@@ -1,0 +1,31 @@
+"""nextdenovo_tpu — a TPU-native long-read de novo assembly framework.
+
+A from-scratch re-design of the correct-then-assemble pipeline of
+NextDenovo (reference: /root/reference, v2.5.2) as batched JAX/XLA/Pallas
+array programs:
+
+  * 2-bit packed read store with device-friendly layouts (io.seqstore)
+  * minimizer sketch + chain + banded-DP overlap engine (ops.sketch,
+    ops.chain, overlap.engine) replacing the minimap2-nd fork
+  * seed-keyed overlap shuffle with coverage/chimera filtering
+    (overlap.sort) replacing ovl_sort's external merge sort
+  * batched banded alignment kernels in Pallas (ops.align) replacing
+    align.c's O(ND) aligner
+  * tag-MSA + POA consensus correction (correct/, native/) replacing
+    nextcorrect.c
+  * string-graph assembly (graph/) replacing util/ng
+  * contig polishing (polish/) replacing ctg_cns.c
+
+Compute-heavy DP runs on TPU; irregular graph/consensus bookkeeping runs
+in native C++ host components (native/).
+"""
+
+__version__ = "0.1.0"
+
+# Base encoding used across the framework: A=0 C=1 G=2 T=3 (complement = c ^ 3).
+# The reference uses A0 T1 G2 C3 (lib/nextcorrect.c:52 base_to_int); we use the
+# lexicographic order because the complement becomes a single XOR.
+BASE_A, BASE_C, BASE_G, BASE_T = 0, 1, 2, 3
+BASE_GAP = 4   # '-' in alignment columns
+BASE_N = 5     # 'N'
+BASE_M = 6     # 'M' masked filler (reference lib/nextcorrect.c:42 int_to_base)

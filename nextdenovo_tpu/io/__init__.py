@@ -1,0 +1,2 @@
+from .seqstore import SeqStore, pack_codes, unpack_words, revcomp_codes
+from .fastx import read_fastx, write_fasta

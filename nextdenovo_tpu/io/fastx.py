@@ -1,0 +1,99 @@
+"""FASTA/FASTQ IO (host side).
+
+Replaces the reference's kseq-based readers (lib/mseq.h, util/kseq.h) with a
+simple buffered Python/NumPy reader.  Read names are assigned dense integer
+ids at load time, mirroring seq_dump's global id assignment
+(/root/reference/util/seq_dump.c:59-118).
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from typing import Iterator, Tuple
+
+import numpy as np
+
+# ASCII -> 2-bit code (A0 C1 G2 T3); everything else (incl. N) -> 0 with a mask.
+_CODE_LUT = np.zeros(256, dtype=np.uint8)
+_CODE_LUT[ord("A")] = 0; _CODE_LUT[ord("a")] = 0
+_CODE_LUT[ord("C")] = 1; _CODE_LUT[ord("c")] = 1
+_CODE_LUT[ord("G")] = 2; _CODE_LUT[ord("g")] = 2
+_CODE_LUT[ord("T")] = 3; _CODE_LUT[ord("t")] = 3
+
+_BASE_CHARS = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rb")
+    return open(path, "rb")
+
+
+def read_fastx(path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Yield (name, codes uint8) per record. Auto-detects fasta/fastq."""
+    with _open(path) as fh:
+        first = fh.read(1)
+        if not first:
+            return
+        fh.seek(0)
+        if first == b">":
+            yield from _read_fasta(fh)
+        elif first == b"@":
+            yield from _read_fastq(fh)
+        else:
+            raise ValueError(f"{path}: not fasta/fastq (starts with {first!r})")
+
+
+def _read_fasta(fh) -> Iterator[Tuple[str, np.ndarray]]:
+    name = None
+    chunks = []
+    for raw in fh:
+        line = raw.strip()
+        if not line:
+            continue
+        if line.startswith(b">"):
+            if name is not None:
+                yield name, _to_codes(b"".join(chunks))
+            name = line[1:].split()[0].decode()
+            chunks = []
+        else:
+            chunks.append(line)
+    if name is not None:
+        yield name, _to_codes(b"".join(chunks))
+
+
+def _read_fastq(fh) -> Iterator[Tuple[str, np.ndarray]]:
+    while True:
+        hdr = fh.readline()
+        if not hdr:
+            return
+        seq = fh.readline().strip()
+        fh.readline()  # +
+        fh.readline()  # qual
+        yield hdr[1:].split()[0].decode(), _to_codes(seq)
+
+
+def _to_codes(seq: bytes) -> np.ndarray:
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    return _CODE_LUT[arr]
+
+
+def codes_to_str(codes: np.ndarray) -> str:
+    return _BASE_CHARS[np.asarray(codes, dtype=np.uint8) & 3].tobytes().decode()
+
+
+def write_fasta(path: str, records, width: int = 0) -> None:
+    """records: iterable of (name, codes-or-str)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as out:
+        for name, seq in records:
+            if not isinstance(seq, str):
+                seq = codes_to_str(seq)
+            out.write(f">{name}\n")
+            if width:
+                for i in range(0, len(seq), width):
+                    out.write(seq[i : i + width] + "\n")
+            else:
+                out.write(seq + "\n")
+    os.replace(tmp, path)

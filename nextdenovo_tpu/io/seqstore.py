@@ -1,0 +1,148 @@
+"""2-bit packed read store.
+
+TPU-native re-design of the reference's 2bit DB (/root/reference/lib/bseq.c:114-139
+seq2bit / subbit): reads are packed 16 bases per uint32 into one flat word pool
+with per-read word offsets, so the whole store can live in device HBM as three
+dense arrays (words, word_start, length).  Random access (subbit_-style slicing,
+lib/bseq.c:241-255) is a vectorized gather+shift instead of a lookup table.
+
+Base code: A=0 C=1 G=2 T=3; base i of a word sits at bits [2i, 2i+2)
+(little-endian within the word).  Complement = code ^ 3.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+WORD_BASES = 16  # bases per uint32
+
+
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """Pack uint8 codes (values 0..3) into uint32 words, 16 bases/word."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    n = len(codes)
+    nw = (n + WORD_BASES - 1) // WORD_BASES
+    padded = np.zeros(nw * WORD_BASES, dtype=np.uint32)
+    padded[:n] = codes & 3
+    shifts = (np.arange(WORD_BASES, dtype=np.uint32) * 2)
+    lanes = padded.reshape(nw, WORD_BASES) << shifts[None, :]
+    return np.bitwise_or.reduce(lanes, axis=1).astype(np.uint32)
+
+
+def unpack_words(words: np.ndarray, length: Optional[int] = None) -> np.ndarray:
+    """Unpack uint32 words back to uint8 codes; trim to `length` bases."""
+    words = np.asarray(words, dtype=np.uint32)
+    shifts = (np.arange(WORD_BASES, dtype=np.uint32) * 2)
+    codes = ((words[:, None] >> shifts[None, :]) & 3).astype(np.uint8).reshape(-1)
+    if length is not None:
+        codes = codes[:length]
+    return codes
+
+
+def revcomp_codes(codes: np.ndarray) -> np.ndarray:
+    """Reverse complement of 2-bit codes (complement = code ^ 3)."""
+    return (np.asarray(codes, dtype=np.uint8) ^ 3)[::-1]
+
+
+@dataclass
+class SeqStore:
+    """Dense 2-bit read pool + per-read index.
+
+    Replaces the 2bit DB + .idx sidecar pair
+    (/root/reference/util/seq_dump.c:204-207, lib/index.c:7-36); read "names"
+    are dense integer ids by construction.
+    """
+
+    words: np.ndarray        # uint32 pool
+    word_start: np.ndarray   # int64 word offset per read
+    length: np.ndarray       # int64 base length per read
+    names: List[str] = field(default_factory=list)
+
+    @classmethod
+    def empty(cls) -> "SeqStore":
+        return cls(np.zeros(0, np.uint32), np.zeros(0, np.int64), np.zeros(0, np.int64), [])
+
+    @classmethod
+    def from_codes(cls, seqs: Sequence[np.ndarray], names: Optional[List[str]] = None) -> "SeqStore":
+        packs, starts, lens = [], [], []
+        off = 0
+        for s in seqs:
+            w = pack_codes(s)
+            packs.append(w)
+            starts.append(off)
+            lens.append(len(s))
+            off += len(w)
+        words = np.concatenate(packs) if packs else np.zeros(0, np.uint32)
+        return cls(words, np.asarray(starts, np.int64), np.asarray(lens, np.int64),
+                   names if names is not None else [str(i) for i in range(len(seqs))])
+
+    def __len__(self) -> int:
+        return len(self.length)
+
+    @property
+    def total_bases(self) -> int:
+        return int(self.length.sum())
+
+    def get(self, rid: int) -> np.ndarray:
+        """Full read as uint8 codes."""
+        s = int(self.word_start[rid])
+        n = int(self.length[rid])
+        nw = (n + WORD_BASES - 1) // WORD_BASES
+        return unpack_words(self.words[s : s + nw], n)
+
+    def subseq(self, rid: int, start: int, end: int, rc: bool = False) -> np.ndarray:
+        """codes of read[start:end] (end exclusive); rc=True reverse-complements.
+
+        Equivalent to subbit_ + revcomp (lib/bseq.c:241-255,45-57) but as a
+        word-aligned slice + unpack.
+        """
+        n = int(self.length[rid])
+        start = max(0, int(start)); end = min(n, int(end))
+        if end <= start:
+            return np.zeros(0, np.uint8)
+        ws = int(self.word_start[rid])
+        w0 = start // WORD_BASES
+        w1 = (end + WORD_BASES - 1) // WORD_BASES
+        codes = unpack_words(self.words[ws + w0 : ws + w1])[start - w0 * WORD_BASES : end - w0 * WORD_BASES]
+        return revcomp_codes(codes) if rc else codes
+
+    # ---------- persistence (binary, np.savez) ----------
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, words=self.words, word_start=self.word_start, length=self.length,
+            names=np.asarray(self.names, dtype=object))
+
+    @classmethod
+    def load(cls, path: str) -> "SeqStore":
+        if not path.endswith(".npz"):
+            path = path + ".npz"
+        z = np.load(path, allow_pickle=True)
+        return cls(z["words"], z["word_start"], z["length"], list(z["names"]))
+
+    # ---------- device views ----------
+    def device_arrays(self):
+        """(words, word_start, length) as jnp arrays for on-device slicing."""
+        import jax.numpy as jnp
+        return (jnp.asarray(self.words), jnp.asarray(self.word_start, jnp.int32),
+                jnp.asarray(self.length, jnp.int32))
+
+
+def stat_n50(lengths: np.ndarray):
+    """N10..N90 + totals, mirroring cal_n50_info (/root/reference/lib/kit.py:190)."""
+    ls = np.sort(np.asarray(lengths))[::-1]
+    total = int(ls.sum())
+    cum = np.cumsum(ls)
+    out = {}
+    for frac in range(10, 100, 10):
+        idx = int(np.searchsorted(cum, total * frac / 100.0))
+        idx = min(idx, len(ls) - 1)
+        out[f"N{frac}"] = (int(ls[idx]), idx + 1)
+    out["total"] = total
+    out["count"] = len(ls)
+    out["mean"] = total // max(1, len(ls))
+    out["max"] = int(ls[0]) if len(ls) else 0
+    out["min"] = int(ls[-1]) if len(ls) else 0
+    return out

@@ -1,0 +1,97 @@
+"""Synthetic genome / noisy-read simulator for tests and benchmarks.
+
+The reference validates end-to-end on a bundled ~308 kb genome
+(/root/reference/test_data/run.cfg:17) whose read blob is absent from the
+snapshot, so we generate equivalent synthetic workloads: a random genome and
+long reads with CLR/ONT-style error profiles (mismatch/insert/delete mix).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import numpy as np
+
+
+def simulate_genome(length: int, seed: int = 0, repeat_frac: float = 0.0,
+                    repeat_len: int = 5000) -> np.ndarray:
+    """Random genome as uint8 codes; optionally paste duplicated segments to
+    create repeats (for graph-cleaning stress tests)."""
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 4, size=length, dtype=np.int64).astype(np.uint8)
+    if repeat_frac > 0:
+        n_rep = max(1, int(length * repeat_frac / repeat_len / 2))
+        for _ in range(n_rep):
+            src = int(rng.integers(0, length - repeat_len))
+            dst = int(rng.integers(0, length - repeat_len))
+            g[dst : dst + repeat_len] = g[src : src + repeat_len]
+    return g
+
+
+def mutate_read(read: np.ndarray, error_rate: float, rng,
+                mix=(0.25, 0.45, 0.30)) -> np.ndarray:
+    """Apply mismatch/ins/del errors. mix = (sub, ins, del) fractions of errors
+    (ONT-ish default).  Vectorized: draw per-base op codes then reassemble."""
+    n = len(read)
+    if n == 0 or error_rate <= 0:
+        return read.copy()
+    p_sub, p_ins, p_del = (error_rate * m for m in mix)
+    u = rng.random(n)
+    sub_mask = u < p_sub
+    del_mask = (u >= p_sub) & (u < p_sub + p_del)
+    ins_mask = (u >= p_sub + p_del) & (u < p_sub + p_del + p_ins)
+
+    out = read.copy()
+    # substitutions: add 1..3 mod 4 (never identity)
+    out[sub_mask] = (out[sub_mask] + rng.integers(1, 4, size=int(sub_mask.sum()))) % 4
+    # build with insertions/deletions via repeat counts: del -> 0 copies; ins -> 2
+    reps = np.ones(n, dtype=np.int64)
+    reps[del_mask] = 0
+    reps[ins_mask] = 2
+    expanded = np.repeat(out, reps)
+    # second copy of an inserted position becomes a random base
+    if ins_mask.any():
+        pos = np.cumsum(reps) - 1          # index of last copy of each source base
+        ins_pos = pos[ins_mask]            # the duplicated (inserted) copy
+        expanded[ins_pos] = rng.integers(0, 4, size=len(ins_pos))
+    return expanded.astype(np.uint8)
+
+
+@dataclass
+class SimReads:
+    reads: List[np.ndarray]
+    start: np.ndarray      # true genome start per read
+    end: np.ndarray        # true genome end
+    strand: np.ndarray     # 0 fwd / 1 rev
+    genome: np.ndarray
+
+
+def simulate_reads(genome: np.ndarray, coverage: float, mean_len: int,
+                   error_rate: float = 0.10, seed: int = 0,
+                   min_len: int = 1000, circular: bool = False,
+                   mix=(0.25, 0.45, 0.30)) -> SimReads:
+    rng = np.random.default_rng(seed)
+    glen = len(genome)
+    total = int(glen * coverage)
+    reads, starts, ends, strands = [], [], [], []
+    acc = 0
+    while acc < total:
+        ln = int(rng.gamma(3.0, mean_len / 3.0))
+        ln = max(min_len, min(ln, glen))
+        if circular:
+            s = int(rng.integers(0, glen))
+            idx = (np.arange(s, s + ln)) % glen
+            frag = genome[idx]
+            e = s + ln
+        else:
+            s = int(rng.integers(0, max(1, glen - ln)))
+            e = s + ln
+            frag = genome[s:e]
+        strand = int(rng.integers(0, 2))
+        if strand:
+            frag = (frag ^ 3)[::-1]
+        reads.append(mutate_read(frag, error_rate, rng, mix))
+        starts.append(s); ends.append(e); strands.append(strand)
+        acc += ln
+    return SimReads(reads, np.asarray(starts), np.asarray(ends),
+                    np.asarray(strands), genome)

@@ -1,0 +1,71 @@
+import numpy as np
+
+from nextdenovo_tpu.io.seqstore import SeqStore, pack_codes, unpack_words, revcomp_codes, stat_n50
+from nextdenovo_tpu.io.fastx import read_fastx, write_fasta, codes_to_str
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads, mutate_read
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    for n in [0, 1, 15, 16, 17, 1000, 12345]:
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        assert np.array_equal(unpack_words(pack_codes(codes), n), codes)
+
+
+def test_revcomp():
+    codes = np.array([0, 1, 2, 3, 0, 0], dtype=np.uint8)  # ACGTAA
+    rc = revcomp_codes(codes)                              # TTACGT
+    assert codes_to_str(rc) == "TTACGT"
+    assert np.array_equal(revcomp_codes(rc), codes)
+
+
+def test_seqstore_subseq():
+    rng = np.random.default_rng(1)
+    seqs = [rng.integers(0, 4, int(n)).astype(np.uint8) for n in rng.integers(20, 300, 20)]
+    st = SeqStore.from_codes(seqs)
+    assert len(st) == 20
+    for i, s in enumerate(seqs):
+        assert np.array_equal(st.get(i), s)
+        a, b = sorted(rng.integers(0, len(s), 2).tolist())
+        assert np.array_equal(st.subseq(i, a, b), s[a:b])
+        assert np.array_equal(st.subseq(i, a, b, rc=True), (s[a:b] ^ 3)[::-1])
+
+
+def test_seqstore_save_load(tmp_path):
+    rng = np.random.default_rng(2)
+    seqs = [rng.integers(0, 4, 100).astype(np.uint8) for _ in range(5)]
+    st = SeqStore.from_codes(seqs, names=[f"r{i}" for i in range(5)])
+    p = str(tmp_path / "store.npz")
+    st.save(p)
+    st2 = SeqStore.load(p)
+    assert np.array_equal(st2.words, st.words)
+    assert st2.names == st.names
+
+
+def test_fastx_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    recs = [(f"read{i}", rng.integers(0, 4, 77).astype(np.uint8)) for i in range(4)]
+    p = str(tmp_path / "x.fasta")
+    write_fasta(p, recs, width=30)
+    back = list(read_fastx(p))
+    assert [n for n, _ in back] == [n for n, _ in recs]
+    for (_, a), (_, b) in zip(back, recs):
+        assert np.array_equal(a, b)
+
+
+def test_simulate_error_rate():
+    g = simulate_genome(50000, seed=4)
+    rng = np.random.default_rng(5)
+    r = mutate_read(g[:10000], 0.10, rng)
+    # length roughly preserved (ins ~ del)
+    assert 9000 < len(r) < 11000
+    # ~identity sanity: count exact 8-mers shared
+    sim = simulate_reads(g, coverage=2, mean_len=8000, error_rate=0.1, seed=6)
+    assert sum(len(x) for x in sim.reads) >= 2 * len(g) * 0.9
+    assert len(sim.reads) == len(sim.start)
+
+
+def test_n50():
+    s = stat_n50(np.array([10, 20, 30, 40]))
+    assert s["total"] == 100
+    assert s["N50"][0] == 30
