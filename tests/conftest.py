@@ -7,9 +7,14 @@ interpret mode and multi-chip shardings) on host CPU.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env presets axon (TPU)
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin overrides JAX_PLATFORMS at load time; force cpu via config.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,54 @@
+"""CPU reference implementations used to validate TPU kernels."""
+from __future__ import annotations
+
+import numpy as np
+
+
+def edit_align_oracle(q: np.ndarray, t: np.ndarray):
+    """Full-DP unit-cost global alignment. Returns (dist, ops) with
+    ops in {0=diag,1=up/consume-q,2=left/consume-t}, start->end order.
+    Tie-break: diag, then up, then left (matches the TPU kernel)."""
+    m, n = len(q), len(t)
+    dp = np.zeros((m + 1, n + 1), dtype=np.int32)
+    dp[:, 0] = np.arange(m + 1)
+    dp[0, :] = np.arange(n + 1)
+    for i in range(1, m + 1):
+        sub = (q[i - 1] != t).astype(np.int32)
+        row = dp[i]
+        prev = dp[i - 1]
+        row[0] = i
+        for j in range(1, n + 1):
+            row[j] = min(prev[j - 1] + sub[j - 1], prev[j] + 1, row[j - 1] + 1)
+    # traceback
+    ops = []
+    i, j = m, n
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and dp[i, j] == dp[i - 1, j - 1] + (q[i - 1] != t[j - 1]):
+            ops.append(0); i -= 1; j -= 1
+        elif i > 0 and dp[i, j] == dp[i - 1, j] + 1:
+            ops.append(1); i -= 1
+        else:
+            ops.append(2); j -= 1
+    return int(dp[m, n]), np.array(ops[::-1], dtype=np.int8)
+
+
+def ops_cost(q: np.ndarray, t: np.ndarray, ops: np.ndarray) -> int:
+    """Cost of an alignment op string; returns -1 if ops don't consume q/t
+    exactly."""
+    i = j = cost = 0
+    for op in ops:
+        if op == 0:
+            if i >= len(q) or j >= len(t):
+                return -1
+            cost += int(q[i] != t[j]); i += 1; j += 1
+        elif op == 1:
+            if i >= len(q):
+                return -1
+            cost += 1; i += 1
+        else:
+            if j >= len(t):
+                return -1
+            cost += 1; j += 1
+    if i != len(q) or j != len(t):
+        return -1
+    return cost

@@ -1,0 +1,63 @@
+import numpy as np
+import pytest
+
+from nextdenovo_tpu.io.simulate import simulate_genome, mutate_read
+from nextdenovo_tpu.ops.align import band_align
+from oracles import edit_align_oracle, ops_cost
+
+
+def _rand_pair(rng, n, err):
+    t = rng.integers(0, 4, n).astype(np.int8)
+    q = mutate_read(t.astype(np.uint8), err, rng).astype(np.int8)
+    return q, t
+
+
+@pytest.mark.parametrize("R", [1, 2])
+def test_band_align_exact_small(R):
+    rng = np.random.default_rng(0)
+    qs, ts = [], []
+    for _ in range(6):
+        q, t = _rand_pair(rng, int(rng.integers(30, 200)), 0.15)
+        qs.append(q); ts.append(t)
+    res = band_align(qs, ts, R=R)
+    for q, t, r in zip(qs, ts, res):
+        d_oracle, _ = edit_align_oracle(q, t)
+        assert r["reached"] and r["ok"]
+        assert r["dist"] == d_oracle, (len(q), len(t))
+        c = ops_cost(q, t, r["ops"])
+        assert c == r["dist"]
+
+
+def test_band_align_identical():
+    rng = np.random.default_rng(1)
+    s = rng.integers(0, 4, 500).astype(np.int8)
+    r = band_align([s], [s])[0]
+    assert r["dist"] == 0 and r["ok"]
+    assert np.all(r["ops"] == 0) and len(r["ops"]) == 500
+
+
+def test_band_align_long_noisy():
+    rng = np.random.default_rng(2)
+    qs, ts = [], []
+    for _ in range(4):
+        q, t = _rand_pair(rng, 3000, 0.12)
+        qs.append(q); ts.append(t)
+    res = band_align(qs, ts, R=2)
+    for q, t, r in zip(qs, ts, res):
+        assert r["reached"] and r["ok"]
+        # banded dist is an upper bound on true dist and should be close
+        c = ops_cost(q, t, r["ops"])
+        assert c == r["dist"]
+        assert r["dist"] <= 0.20 * (len(q) + len(t)) / 2 * 2
+
+
+def test_band_align_len_mismatch():
+    # very different lengths: needs forced band motion to reach the corner
+    rng = np.random.default_rng(3)
+    t = rng.integers(0, 4, 400).astype(np.int8)
+    q = t[100:300].copy()
+    r = band_align([q], [t])[0]
+    d_oracle, _ = edit_align_oracle(q, t)
+    assert r["ok"]
+    assert r["dist"] >= d_oracle
+    assert ops_cost(q, t, r["ops"]) == r["dist"]
