@@ -22,6 +22,26 @@ in native C++ host components (native/).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _setup_jax_cache():
+    """Persistent compilation cache: Mosaic/XLA compiles of the DP kernels
+    are expensive (tens of seconds); cache them across processes."""
+    try:
+        import jax
+
+        cache = _os.environ.get(
+            "NDT_JAX_CACHE",
+            _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_setup_jax_cache()
+
 # Base encoding used across the framework: A=0 C=1 G=2 T=3 (complement = c ^ 3).
 # The reference uses A0 T1 G2 C3 (lib/nextcorrect.c:52 base_to_int); we use the
 # lexicographic order because the complement becomes a single XOR.

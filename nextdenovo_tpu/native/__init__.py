@@ -1,0 +1,120 @@
+"""ctypes bindings to libndtpu (native consensus engine).
+
+Auto-builds the shared library on first import if missing (the reference
+ships Makefiles the same way, lib/Makefile:16-29)."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Sequence
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB = os.path.join(_DIR, "libndtpu.so")
+
+
+class NdCns(ctypes.Structure):
+    _fields_ = [("len", ctypes.c_uint32), ("identity", ctypes.c_float),
+                ("seq", ctypes.c_char_p)]
+
+
+def _build():
+    subprocess.run(["make", "-C", _DIR, "-s"], check=True)
+
+
+def _load():
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
+            os.path.join(_DIR, "consensus.cpp")):
+        _build()
+    lib = ctypes.CDLL(_LIB)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.nd_correct.restype = ctypes.POINTER(NdCns)
+    lib.nd_correct.argtypes = [
+        u8p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(u8p), i32p, i32p, i32p,
+        ctypes.POINTER(u8p), i32p,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.nd_free_cns.argtypes = [ctypes.POINTER(NdCns)]
+    lib.nd_band_align.restype = ctypes.c_int32
+    lib.nd_band_align.argtypes = [
+        ctypes.c_char_p, ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.c_char_p, i32p, ctypes.c_int32]
+    lib.nd_poa.restype = ctypes.c_void_p
+    lib.nd_poa.argtypes = [ctypes.POINTER(ctypes.c_char_p), i32p, ctypes.c_int32]
+    lib.nd_free_str.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_lib = None
+
+
+def lib():
+    global _lib
+    if _lib is None:
+        _lib = _load()
+    return _lib
+
+
+def _u8arr(a: np.ndarray):
+    a = np.ascontiguousarray(a, dtype=np.uint8)
+    return a, a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def correct_seed(seed: np.ndarray, sup_seqs: Sequence[np.ndarray],
+                 t_starts: Sequence[int], t_ends: Sequence[int],
+                 ops: Sequence[np.ndarray], *, min_len_aln: int = 500,
+                 max_cov_aln: int = 130, min_cov: int = 4,
+                 max_lq_length: int = 10000,
+                 min_error_corrected_ratio: float = 0.8, split: bool = False,
+                 read_type: int = 1):
+    """Run the native consensus for one seed.  Returns (len, identity, seq str).
+
+    sup_seqs are oriented support subsequences (codes), ops the TPU alignment
+    op strings (support vs seed[t_start..t_end] inclusive)."""
+    L = lib()
+    n = len(sup_seqs)
+    seed_a, seed_p = _u8arr(seed)
+    keep = [_u8arr(s) for s in sup_seqs]
+    ops_keep = [_u8arr(o) for o in ops]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    sup_arr = (u8p * n)(*[p for _, p in keep])
+    ops_arr = (u8p * n)(*[p for _, p in ops_keep])
+    sup_lens = (ctypes.c_int32 * n)(*[len(s) for s in sup_seqs])
+    ts = (ctypes.c_int32 * n)(*[int(x) for x in t_starts])
+    te = (ctypes.c_int32 * n)(*[int(x) for x in t_ends])
+    ops_lens = (ctypes.c_int32 * n)(*[len(o) for o in ops])
+    res = L.nd_correct(seed_p, len(seed), n, sup_arr, sup_lens, ts, te,
+                       ops_arr, ops_lens, min_len_aln, max_cov_aln, min_cov,
+                       max_lq_length, min_error_corrected_ratio,
+                       1 if split else 0, read_type)
+    c = res.contents
+    out = (int(c.len), float(c.identity),
+           c.seq.decode() if c.seq else "")
+    L.nd_free_cns(res)
+    return out
+
+
+def poa(seqs: List[str]) -> str:
+    L = lib()
+    bs = [s.encode() for s in seqs]
+    arr = (ctypes.c_char_p * len(bs))(*bs)
+    lens = (ctypes.c_int32 * len(bs))(*[len(b) for b in bs])
+    p = L.nd_poa(arr, lens, len(bs))
+    out = ctypes.string_at(p).decode()
+    L.nd_free_str(p)
+    return out
+
+
+def band_align_cpu(q: str, t: str, hq: bool = False):
+    L = lib()
+    buf_q = ctypes.create_string_buffer(len(q) + len(t) + 2)
+    buf_t = ctypes.create_string_buffer(len(q) + len(t) + 2)
+    alen = ctypes.c_int32(0)
+    d = L.nd_band_align(q.encode(), len(q), t.encode(), len(t), buf_q, buf_t,
+                        ctypes.byref(alen), 1 if hq else 0)
+    return d, buf_q.value.decode(), buf_t.value.decode()

@@ -1,0 +1,1296 @@
+// libndtpu: native consensus engine for nextdenovo_tpu.
+//
+// Re-implements the algorithmic semantics of the reference's seed-correction
+// consensus (falcon_sense-style 2nd-order tag MSA, /root/reference/lib/
+// nextcorrect.c) and POA (/root/reference/lib/dag.c) as modern C++, consuming
+// alignments produced by the TPU banded aligner instead of running the O(ND)
+// aligner inline.  A scalar banded aligner is retained for the small
+// low-quality-window re-alignments (candidate vs pseudo-seed), mirroring
+// align.c:core/align semantics (unit costs, adaptive band, 250bp gap cap).
+//
+// Citations in comments are file:line into /root/reference.
+#include "ndtpu.h"
+
+#include <algorithm>
+#include <array>
+#include <climits>
+#include <cassert>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr int DAG_MAX_LENGTH = 10000;   // nextcorrect.h:3
+constexpr double DAG_MAX_RATIO = 0.8;   // nextcorrect.h:4
+constexpr int DAG_MIN_QV = 40;          // nextcorrect.h:5
+constexpr int LQBASE_MIN_QV = 20;       // nextcorrect.h:6
+constexpr int LQREG_MAX_GAP = 10;       // nextcorrect.h:7
+constexpr int LQREG_MAX_LEN = 100;      // nextcorrect.h:8
+constexpr int LQREG_MAX_COUNT = 10;     // nextcorrect.h:9
+constexpr int LQSEQ_MAX_CAN_COUNT = 40; // nextcorrect.h:11
+constexpr int LQSEQ_MAX_COUNT = 30;     // nextcorrect.h:12
+constexpr int LQSEQ_MAX_REV_LEN = 2000; // nextcorrect.h:13
+constexpr int KMER_RANGE = 40;          // nextcorrect.h:15
+constexpr int KMER_MAX_SEQ = 10;        // nextcorrect.h:16
+constexpr int KMER_LEN = 8;             // nextcorrect.h:17
+constexpr int KMER_LEN_COUNT = 65536;   // nextcorrect.h:18
+
+constexpr int READS_ONT = 1, READS_CLR = 2, READS_HIFI = 3;
+
+// our base order: A C G T - N M
+static const char kIntToBase[] = {'A', 'C', 'G', 'T', '-', 'N', 'M'};
+
+static inline int base_to_int(char c) {
+  switch (c) {
+    case 'A': case 'a': return 0;
+    case 'C': case 'c': return 1;
+    case 'G': case 'g': return 2;
+    case 'T': case 't': return 3;
+    case '-': return 4;
+    case 'N': case 'n': return 5;
+    default: return 6;
+  }
+}
+
+static int g_read_type = READS_ONT;
+static unsigned g_lqseq_max_length = DAG_MAX_LENGTH;
+
+// ---------------------------------------------------------------------------
+// Scalar banded O(ND) aligner with traceback (align.c:428-561 semantics).
+
+struct Alignment {
+  int shift = 0;
+  int aln_len = 0;
+  int aln_t_s = 0, aln_t_e = 0;
+  int aln_t_len = 0, aln_q_len = 0;
+  std::string q_aln, t_aln;
+};
+
+class NDAligner {
+ public:
+  void align(const char *q, int ql, const char *t, int tl, Alignment *out,
+             bool hq) {
+    int max_d, band;
+    if (hq) {  // align_hq (align.c:563-570)
+      max_d = int((ql + tl > 1000 ? 0.1 : 0.5) * (ql + tl));
+      band = int((ql + tl > 1000 ? 0.03 : 0.3) * (ql + tl));
+    } else {  // align (align.c:572-578)
+      max_d = int(0.4 * (ql + tl));
+      band = int((ql + tl > 5000 ? 0.1 : 1.0) * (ql + tl));
+    }
+    core(q, ql, t, tl, out, max_d, band);
+  }
+
+ private:
+  std::vector<int> V;
+  std::vector<uint8_t> D;       // triangular: row d holds d+1 entries
+  std::vector<size_t> Doff;
+
+  // Myers furthest-reaching wavefronts with the reference's band pruning
+  // (best antidiagonal - 150) and 250-gap traceback cap.
+  void core(const char *q, int ql, const char *t, int tl, Alignment *a,
+            int max_d, int band_size) {
+    a->aln_len = 0;
+    const int k_off = max_d;
+    V.assign(size_t(max_d) * 2 + 2, 0);
+    Doff.resize(max_d + 1);
+    size_t need = 0;
+    for (int d = 0; d <= max_d; d++) { Doff[d] = need; need += d + 1; }
+    D.assign(need, 0);
+    int min_k = 0, max_k = 0, best_m = -1;
+    bool aligned = false;
+    int x = 0, y = 0, d = 0, k = 0, kk = 0;
+    for (d = 0; d < max_d && max_k - min_k <= band_size; d++) {
+      for (k = min_k; k <= max_k; k += 2) {
+        kk = k < 0 ? -k - 1 : k;
+        if (k == min_k || (k != max_k && V[k - 1 + k_off] < V[k + 1 + k_off])) {
+          x = V[k + 1 + k_off];
+          D[Doff[d] + kk] = 0;
+        } else {
+          x = V[k - 1 + k_off] + 1;
+          D[Doff[d] + kk] = 1;
+        }
+        y = x - k;
+        while (x < ql && y < tl && q[x] == t[y]) { x++; y++; }
+        V[k + k_off] = x;
+        if (x + y > best_m) best_m = x + y;
+        if (x >= ql && y >= tl) { aligned = true; break; }
+      }
+      // band pruning (align.c:472-489)
+      int new_min_k = max_k, new_max_k = min_k;
+      for (int k2 = min_k; k2 < new_min_k; k2 += 2)
+        if (V[k2 + k_off] * 2 - k2 >= best_m - 150) { new_min_k = k2; break; }
+      for (int k2 = max_k; k2 > new_max_k; k2 -= 2)
+        if (V[k2 + k_off] * 2 - k2 >= best_m - 150) { new_max_k = k2; break; }
+      max_k = new_max_k + 1;
+      min_k = new_min_k - 1;
+
+      if (aligned) {
+        x--;  // 0-based
+        a->aln_t_e = a->aln_t_s + y - 1;
+        a->aln_t_len = y;
+        a->aln_q_len = x + 1;
+        a->q_aln.clear();
+        a->t_aln.clear();
+        int gap = 0;
+        while (true) {
+          while (x >= 0 && x >= k && q[x] == t[x - k]) {
+            a->q_aln.push_back(q[x]);
+            a->t_aln.push_back(q[x]);
+            x--;
+            gap = 0;
+          }
+          if (x < 0 && x - k < 0) break;
+          int pre_k, pre_x;
+          if (x < k || (x >= 0 && D[Doff[d] + kk])) {
+            pre_k = k - 1;
+            pre_x = x - 1;
+          } else {
+            pre_k = k + 1;
+            pre_x = x;
+          }
+          int pre_y = pre_x - pre_k;
+          if (pre_x == x && pre_y != x - k) {  // advance in y
+            if (x - k < 0) gap = 260;
+            else { a->q_aln.push_back('-'); a->t_aln.push_back(t[x - k]); }
+          } else {  // advance in x
+            if (x < 0) gap = 260;
+            else { a->q_aln.push_back(q[x]); a->t_aln.push_back('-'); }
+          }
+          if (gap++ > 250) {  // align.c:542-545
+            a->q_aln.resize(2);
+            a->t_aln.resize(2);
+            break;
+          }
+          d--;
+          k = pre_k;
+          kk = k < 0 ? -k - 1 : k;
+          x = pre_x;
+        }
+        a->aln_len = (int)a->q_aln.size();
+        std::reverse(a->q_aln.begin(), a->q_aln.end());
+        std::reverse(a->t_aln.begin(), a->t_aln.end());
+        a->shift = 0;
+        return;
+      }
+    }
+    a->aln_len = 0;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// POA (dag.c) — partial-order alignment consensus for lq windows.
+
+struct PoaNode {
+  char base;
+  std::vector<int> inedge, outedge;
+  std::vector<int> alignedto;
+  double best_score = 0;
+  int best_pnode = -1;
+};
+
+struct PoaEdge {
+  int in, out;
+  uint64_t labels = 0;  // bitset over seq indices (<= 50 seqs, dag.c:17)
+};
+
+class Poa {
+ public:
+  std::vector<PoaNode> nodes;
+  std::vector<PoaEdge> edges;
+  std::vector<int> sorted;
+
+  int insert_node(char b) {
+    nodes.push_back(PoaNode{b, {}, {}, {}, 0, -1});
+    return (int)nodes.size() - 1;
+  }
+  int insert_edge(int in, int out, int seq) {
+    edges.push_back(PoaEdge{in, out, 1ull << seq});
+    nodes[in].outedge.push_back((int)edges.size() - 1);
+    nodes[out].inedge.push_back((int)edges.size() - 1);
+    return (int)edges.size() - 1;
+  }
+  bool add_label(int in, int out, int seq) {  // dag.c:223-234
+    bool missing = true;
+    for (int e : nodes[in].outedge)
+      if (edges[e].out == out) { edges[e].labels |= 1ull << seq; missing = false; }
+    return missing;
+  }
+
+  void insert_chain(int seq, const char *s, int len, int *first, int *head) {
+    for (int i = 0; i < len; i++) {
+      int ni = insert_node(s[i]);
+      if (*first == -1) *first = ni;
+      else insert_edge(*head, ni, seq);
+      *head = ni;
+    }
+  }
+
+  // group-aware topological sort: alignedto rings stay adjacent (dag.c:469)
+  void toposort() {
+    int n = (int)nodes.size();
+    std::vector<int> grp(n, -1);
+    std::vector<std::vector<int>> members;
+    for (int i = 0; i < n; i++) {
+      if (grp[i] != -1) continue;
+      int gid = (int)members.size();
+      members.push_back({i});
+      grp[i] = gid;
+      for (int a : nodes[i].alignedto) {
+        if (grp[a] == -1) { grp[a] = gid; members[gid].push_back(a); }
+      }
+    }
+    int G = (int)members.size();
+    std::vector<int> indeg(G, 0);
+    std::vector<std::vector<int>> gout(G);
+    for (auto &e : edges) {
+      int a = grp[e.in], b = grp[e.out];
+      if (a != b) { gout[a].push_back(b); indeg[b]++; }
+    }
+    std::vector<int> stack;
+    for (int g = 0; g < G; g++) if (!indeg[g]) stack.push_back(g);
+    sorted.clear();
+    sorted.reserve(n);
+    while (!stack.empty()) {
+      int g = stack.back(); stack.pop_back();
+      for (int m : members[g]) sorted.push_back(m);
+      for (int b : gout[g]) if (--indeg[b] == 0) stack.push_back(b);
+    }
+  }
+
+  // NW of seq against the sorted graph (dag.c:261-300), then graph update
+  // (dag.c:345-401).
+  void align_and_merge(int seq_index, const char *seq, int y) {
+    int x = (int)nodes.size();
+    std::vector<int> sidx(x);
+    for (int i = 0; i < x; i++) sidx[sorted[i]] = i;
+    // score/backtrack matrices: (x+1) x (y+1)
+    std::vector<long long> S((size_t)(x + 1) * (y + 1));
+    std::vector<int> BX((size_t)(x + 1) * (y + 1)), BY((size_t)(x + 1) * (y + 1));
+    auto at = [&](int i, int j) { return (size_t)i * (y + 1) + j; };
+    const long long GAP = -2;
+    auto msc = [&](char a, char b) { return (long long)(a == b ? 1 : -2); };
+    for (int j = 0; j <= y; j++) S[at(0, j)] = j * GAP;
+    for (int i = 0; i < x; i++) {  // score_init row heads (dag.c:107-125)
+      int ni = sorted[i];
+      long long bs = 0;
+      if (!nodes[ni].inedge.empty()) {
+        bs = LLONG_MIN;
+        for (int e : nodes[ni].inedge)
+          bs = std::max(bs, S[at(sidx[edges[e].in] + 1, 0)]);
+      }
+      S[at(i + 1, 0)] = bs + GAP;
+    }
+    for (int i = 0; i < x; i++) {
+      int ni = sorted[i];
+      for (int j = 0; j < y; j++) {
+        long long best = S[at(i + 1, j)] + GAP;
+        int bx = i + 1, by = j;
+        auto consider = [&](int pi) {
+          long long s1 = S[at(pi + 1, j + 1)] + GAP;           // del (skip node)
+          long long s2 = S[at(pi + 1, j)] + msc(seq[j], nodes[ni].base);
+          if (s1 > best && s1 >= s2) { best = s1; bx = pi + 1; by = j + 1; }
+          else if (s2 > best && s2 >= s1) { best = s2; bx = pi + 1; by = j; }
+        };
+        if (nodes[ni].inedge.empty()) consider(-1);
+        for (int e : nodes[ni].inedge) consider(sidx[edges[e].in]);
+        S[at(i + 1, j + 1)] = best;
+        BX[at(i + 1, j + 1)] = bx;
+        BY[at(i + 1, j + 1)] = by;
+      }
+    }
+    // best terminal node (dag.c:302-313)
+    long long bests = 0;
+    int bestx = 0, got = 0;
+    for (int i = 0; i < x; i++) {
+      if (nodes[sorted[i]].outedge.empty()) {
+        long long s = S[at(i + 1, y)];
+        if (!got || s > bests) { bestx = i + 1; bests = s; got = 1; }
+      }
+    }
+    // traceback to match route (dag.c:327-343)
+    struct MR { int x, y; };
+    std::vector<MR> route;
+    int cx = bestx, cy = y;
+    long long starty = -1, endy = -1;
+    while (cx != 0 || cy != 0) {
+      int nx = BX[at(cx, cy)], ny = BY[at(cx, cy)];
+      MR m{-1, -1};
+      if (nx != cx) m.x = sorted[cx - 1];
+      if (ny != cy) {
+        m.y = cy - 1;
+        starty = cy - 1;
+        if (endy == -1) endy = m.y;
+      }
+      route.push_back(m);
+      cx = nx; cy = ny;
+    }
+    std::reverse(route.begin(), route.end());
+
+    // merge into graph (dag.c:345-401)
+    int firstnode = -1, headnode = -1, tailnode = -1, nodeidx = -1;
+    bool updated_node = true, updated_head = true;
+    if (starty > 0) insert_chain(seq_index, seq, (int)starty, &firstnode, &headnode);
+    if (endy < y - 1)
+      insert_chain(seq_index, seq + endy + 1, y - 1 - (int)endy, &tailnode, &nodeidx);
+    for (auto &m : route) {
+      if (m.y == -1) continue;
+      updated_node = false;
+      char base = seq[m.y];
+      int node_index;
+      if (m.x == -1) { node_index = insert_node(base); updated_node = true; }
+      else if (nodes[m.x].base == base) node_index = m.x;
+      else {
+        int found = -1;
+        for (int a : nodes[m.x].alignedto)
+          if (nodes[a].base == base) { found = a; }
+        if (found == -1) {
+          node_index = insert_node(base);
+          updated_node = true;
+          // join the alignedto ring (dag.c:190-202,367-373)
+          nodes[node_index].alignedto.push_back(m.x);
+          for (int a : nodes[m.x].alignedto)
+            nodes[node_index].alignedto.push_back(a);
+          for (int a : nodes[node_index].alignedto)
+            nodes[a].alignedto.push_back(node_index);
+        } else node_index = found;
+      }
+      if (headnode != -1) {
+        if (updated_node || updated_head) insert_edge(headnode, node_index, seq_index);
+        else if (add_label(headnode, node_index, seq_index))
+          insert_edge(headnode, node_index, seq_index);
+      }
+      headnode = node_index;
+      updated_head = updated_node;
+      if (firstnode == -1) firstnode = headnode;
+    }
+    if (tailnode != -1) insert_edge(headnode, tailnode, seq_index);
+    toposort();
+  }
+
+  std::string consensus(int seq_count) {  // dag.c:555-595
+    double global_best = -1;
+    int global_node = -1;
+    for (int si = 0; si < (int)sorted.size(); si++) {
+      int ni = sorted[si];
+      double best = 0;
+      int bp = -1;
+      if (!nodes[ni].inedge.empty()) {
+        best = -1e30;
+        for (int e : nodes[ni].inedge) {
+          double sc = nodes[edges[e].in].best_score +
+                      __builtin_popcountll(edges[e].labels) -
+                      0.5 * (double)nodes[ni].inedge.size();
+          if (sc > best || bp == -1) { best = sc; bp = edges[e].in; }
+        }
+      }
+      nodes[ni].best_score = best;
+      nodes[ni].best_pnode = bp;
+      if (best > global_best) { global_best = best; global_node = ni; }
+    }
+    std::string out;
+    while (global_node != -1) {
+      out.push_back(nodes[global_node].base);
+      global_node = nodes[global_node].best_pnode;
+    }
+    std::reverse(out.begin(), out.end());
+    return out;
+  }
+};
+
+static std::string poa_consensus(const std::vector<std::pair<const char *, int>> &seqs) {
+  Poa g;
+  for (size_t i = 0; i < seqs.size(); i++) {
+    if (i == 0) {
+      int f = -1, h = -1;
+      g.insert_chain(0, seqs[0].first, seqs[0].second, &f, &h);
+      g.sorted.resize(g.nodes.size());
+      for (size_t x = 0; x < g.nodes.size(); x++) g.sorted[x] = (int)x;
+    } else {
+      g.align_and_merge((int)i, seqs[i].first, seqs[i].second);
+    }
+  }
+  return g.consensus((int)seqs.size());
+}
+
+// ---------------------------------------------------------------------------
+// Tag MSA (nextcorrect.c).
+
+struct Tag {
+  int t_pos = -1;
+  uint16_t delta = 0;
+  uint8_t q_base = 0;
+  bool operator==(const Tag &o) const {
+    return t_pos == o.t_pos && delta == o.delta && q_base == o.q_base;
+  }
+};
+static const Tag kHeadTag{-1, 0, 0};
+
+struct Entry {
+  Tag pp, ppp;
+  uint16_t link = 0;
+  long long score = 0;
+};
+
+struct Node {
+  std::vector<Entry> entries;
+  Tag best_pp{-1, 0, 0};
+  long long best_score = -10;
+  uint16_t best_link = 0;
+};
+
+struct MsaPos {
+  uint16_t coverage = 0;
+  std::vector<std::array<Node, 6>> by_delta;  // grown to max delta + 1
+};
+
+struct TagsList {
+  unsigned aln_t_s = 0;
+  std::vector<Tag> tags;
+};
+
+// get_align_tags (nextcorrect.c:1485-1536)
+static void get_align_tags(const std::string &q_aln, const std::string &t_aln,
+                           int t_start, TagsList *out, std::vector<MsaPos> *msa) {
+  out->tags.clear();
+  out->aln_t_s = t_start;
+  int t_pos = t_start - 1;
+  uint16_t delta = 0;
+  for (size_t i = 0; i < q_aln.size(); i++) {
+    if (t_aln[i] != '-') { t_pos++; delta = 0; }
+    Tag tg;
+    tg.t_pos = t_pos;
+    tg.delta = delta++;
+    tg.q_base = (uint8_t)base_to_int(q_aln[i]);
+    out->tags.push_back(tg);
+    auto &mp = (*msa)[t_pos];
+    if (tg.delta == 0 && q_aln[i] != 'M') mp.coverage++;
+    if (tg.delta >= mp.by_delta.size()) mp.by_delta.resize(tg.delta + 1);
+  }
+}
+
+// update_msa (nextcorrect.c:212-250)
+static void update_msa(std::vector<MsaPos> *msa, std::vector<TagsList> &tags_list) {
+  for (auto &tl : tags_list) {
+    for (size_t d = 0; d < tl.tags.size(); d++) {
+      const Tag &p1 = tl.tags[d];
+      const Tag &pp = d > 0 ? tl.tags[d - 1] : kHeadTag;
+      const Tag &ppp = d > 1 ? tl.tags[d - 2] : kHeadTag;
+      if (p1.q_base == 6 || pp.q_base == 6) continue;
+      Node &nd = (*msa)[p1.t_pos].by_delta[p1.delta][p1.q_base];
+      bool updated = false;
+      for (auto &e : nd.entries) {
+        if (e.pp == pp && e.ppp == ppp) { e.link++; updated = true; break; }
+      }
+      if (!updated) nd.entries.push_back(Entry{pp, ppp, 1, 0});
+    }
+  }
+}
+
+struct Consensus {
+  std::vector<std::pair<unsigned, char>> bases;  // (pos, base char)
+  unsigned uncorrected_len = 0, lstrip = 0, rstrip = 0;
+};
+
+struct LqWin {
+  int start = 0, end = 0;            // seed positions (start < end after fix)
+  int len = 0;                       // candidate count; <=0 disables
+  int indexs = 0, indexe = 0;
+  unsigned lqcount = 0;
+  std::string sudoseed;
+  struct Cand {
+    uint16_t order;
+    uint32_t kscore;
+    std::string seq;
+  };
+  std::vector<Cand> seqs;
+};
+
+// score chaining (get_cns_from_align_tags, nextcorrect.c:2141-2202)
+static Tag score_msa(std::vector<MsaPos> &msa, int len, int factor,
+                     long long slack, bool tail_window) {
+  long long global_best_score = -10;
+  Tag global_best{0, 0, 0};
+  global_best.t_pos = -1;
+  for (int p = 0; p < len; p++) {
+    auto &mp = msa[p];
+    for (size_t d = 0; d < mp.by_delta.size(); d++) {
+      for (int b = 0; b < 5; b++) {
+        Node &nd = mp.by_delta[d][b];
+        nd.best_score = -10;
+        nd.best_pp = kHeadTag;
+        long long p_pp_score = LLONG_MIN, p_pp_score_ = LLONG_MIN;
+        for (auto &m : nd.entries) {
+          if (m.pp.t_pos == -1) {
+            m.score = 10LL * m.link - (long long)factor * mp.coverage;
+          } else {
+            m.score = LLONG_MIN;
+            Node &ppn = msa[m.pp.t_pos].by_delta[m.pp.delta][m.pp.q_base];
+            for (auto &n : ppn.entries) {
+              if (n.pp == m.ppp) {
+                long long sc = n.score + 10LL * m.link -
+                               (long long)factor * mp.coverage;
+                if (m.score == LLONG_MIN || sc > m.score) {
+                  m.score = sc;
+                  p_pp_score_ = n.score;
+                }
+                // nextcorrect.c:2175-2182 best_pp tweak
+                if (tail_window && n.score > p_pp_score &&
+                    (m.pp.q_base == 4 || m.pp.q_base == b)) {
+                  p_pp_score = n.score;
+                  nd.best_score = m.score;
+                  nd.best_pp = m.pp;
+                  nd.best_link = m.link;
+                }
+              }
+            }
+            if (m.score == LLONG_MIN) m.score = -10;  // dangling context
+          }
+          if (m.score > nd.best_score ||
+              (m.score == nd.best_score && m.pp.q_base != 4)) {
+            p_pp_score = p_pp_score_;
+            nd.best_score = m.score;
+            nd.best_pp = m.pp;
+            nd.best_link = m.link;
+          }
+        }
+        if (tail_window) {
+          if (nd.best_score >= global_best_score - slack) {
+            global_best = Tag{p, (uint16_t)d, (uint8_t)b};
+            if (nd.best_score > global_best_score)
+              global_best_score = nd.best_score;
+          }
+        } else {
+          global_best = Tag{p, (uint16_t)d, (uint8_t)b};
+        }
+      }
+    }
+  }
+  return global_best;
+}
+
+// generate_cns_from_best_score (nextcorrect.c:1885-2006): walk the best
+// chain backwards, classify lq regions.
+static bool generate_cns(std::vector<MsaPos> &msa, Tag global_best_p, int len,
+                         int min_cov, float min_error_corrected_ratio,
+                         Consensus *cons, std::vector<LqWin> *lqwins) {
+  int lq_min_length = 8;
+  int qv = 0, hq = 0, lq = 0, lq_l = 0, lq_s = -1, lq_e = -1;
+  int lqseq_total_length = 0;
+  bool lable = true;
+  Tag cur = global_best_p;
+  while (true) {
+    if (cur.q_base != 4) {
+      unsigned pos = cur.t_pos;
+      Node &nd = msa[cur.t_pos].by_delta[cur.delta][cur.q_base];
+      int cov = std::max<int>(1, msa[cur.t_pos].coverage);
+      int pqv = 100 * nd.best_link / cov;
+      int p = (int)cons->bases.size();
+      if (pqv > DAG_MIN_QV) hq++;
+      else { hq = 0; lqseq_total_length++; }
+      if (hq > lq_min_length / 2 && lq_e - lq_s < lq_min_length / 2) {
+        qv = lq_l = lq = 0;
+        lq_s = -1;
+      }
+      bool pos_changed = p > 0 && cons->bases.back().first != pos;
+      if ((qv + pqv) / (lq_l + 1) < DAG_MIN_QV) {
+        if (lq_s == -1) lq_s = p;
+        lq_e = p;
+        lq = 1;
+        lq_l++;
+        qv += pqv;
+      } else if (lq && p - lq_e > 2 * lq_min_length && pos_changed) {
+        if (lq_e - lq_s + 1 > lq_min_length &&
+            lq_e - lq_s + 1 < (int)g_lqseq_max_length) {
+          lq_e = p - lq_min_length - 1;
+          lq_s = lq_s > lq_min_length ? lq_s - lq_min_length : 1;
+          LqWin w;
+          w.end = cons->bases[lq_s].first;
+          w.start = cons->bases[lq_e].first;
+          if (!lqwins->empty() && w.end == lqwins->back().start) {
+            while (w.end == lqwins->back().start && lq_s < p - 4)
+              w.end = cons->bases[++lq_s].first;
+          }
+          lqwins->push_back(w);
+        }
+        qv = lq_l = lq = 0;
+        lq_s = -1;
+      } else if (lq && pos_changed) {
+        qv = lq_l = 0;
+      }
+      if ((int)msa[cur.t_pos].coverage > min_cov && pqv > LQBASE_MIN_QV) {
+        cons->bases.push_back({pos, kIntToBase[cur.q_base]});
+        lable = false;
+        cons->lstrip = 0;
+      } else {
+        cons->bases.push_back({pos, (char)tolower(kIntToBase[cur.q_base])});
+        cons->uncorrected_len++;
+        cons->lstrip++;
+        if (lable) cons->rstrip++;
+      }
+    }
+    Tag next = msa[cur.t_pos].by_delta[cur.delta][cur.q_base].best_pp;
+    if (next.t_pos == -1) break;
+    cur = next;
+  }
+  int total = (int)cons->bases.size();
+  if (!(total > 2 && lqseq_total_length < total * DAG_MAX_RATIO &&
+        (int)cons->uncorrected_len - (int)cons->lstrip - (int)cons->rstrip <
+            (total - (int)cons->lstrip - (int)cons->rstrip) *
+                (1 - min_error_corrected_ratio)))
+    return false;  // low-quality seed (error_seed(2))
+  std::reverse(cons->bases.begin(), cons->bases.end());
+  return true;
+}
+
+// generate_lqseqs_from_tags (nextcorrect.c:356-510): extract per-window
+// candidate subsequences, rank by shared-8mer kscore, POA a pseudo-seed.
+static void count_kmers(LqWin &w, std::vector<uint16_t> &kmers, int c, int fromend) {
+  std::fill(kmers.begin(), kmers.end(), 0);
+  for (int j = 0; j < std::min<int>((int)w.seqs.size(), c); j++) {
+    const std::string &s = w.seqs[j].seq;
+    int L = (int)s.size();
+    if (L < KMER_LEN) continue;
+    int st = (fromend && L > KMER_RANGE) ? L - KMER_RANGE : 0;
+    uint16_t kmer = 0;
+    int lim = std::min(L, KMER_RANGE) - KMER_LEN;
+    for (int k = 0; k < lim; k++) {
+      if (k) kmer = (uint16_t)(kmer << 2 | (base_to_int(s[st + k + KMER_LEN - 1]) & 3));
+      else {
+        kmer = 0;
+        for (int x = 0; x < KMER_LEN; x++)
+          kmer = (uint16_t)(kmer << 2 | (base_to_int(s[st + k + x]) & 3));
+      }
+      kmers[kmer]++;
+    }
+  }
+}
+
+static void count_kscore(LqWin &w, std::vector<uint16_t> &kmers, int fromend) {
+  for (auto &cand : w.seqs) {
+    cand.kscore = 0;
+    const std::string &s = cand.seq;
+    int L = (int)s.size();
+    if (L < KMER_LEN) continue;
+    int st = (fromend && L > KMER_RANGE) ? L - KMER_RANGE : 0;
+    uint16_t kmer = 0;
+    int lim = std::min(L, KMER_RANGE) - KMER_LEN;
+    for (int k = 0; k < lim; k++) {
+      if (k) kmer = (uint16_t)(kmer << 2 | (base_to_int(s[st + k + KMER_LEN - 1]) & 3));
+      else {
+        kmer = 0;
+        for (int x = 0; x < KMER_LEN; x++)
+          kmer = (uint16_t)(kmer << 2 | (base_to_int(s[st + k + x]) & 3));
+      }
+      cand.kscore += kmers[kmer];
+    }
+  }
+}
+
+static int generate_lqseqs_from_tags(std::vector<LqWin> &lqwins,
+                                     std::vector<TagsList> &tags_list,
+                                     int split) {
+  int max_aln_length = 0;
+  std::vector<uint16_t> kmers(KMER_LEN_COUNT);
+  for (auto &w : lqwins) {
+    int max_aln_lqseq_len = 0, large_seq = 0;
+    int start = w.start, end = w.end;
+    w.seqs.clear();
+    for (auto &tl : tags_list) {
+      if (tl.tags.empty()) continue;
+      if (tl.tags.front().t_pos <= start && tl.tags.back().t_pos >= end) {
+        std::string s;
+        bool lable = false;
+        size_t k0 = (size_t)std::max(0, start - tl.tags.front().t_pos);
+        for (size_t k = k0; k < tl.tags.size() && tl.tags[k].t_pos <= end; k++) {
+          if (tl.tags[k].t_pos >= start && tl.tags[k].q_base != 4) {
+            s.push_back(kIntToBase[tl.tags[k].q_base]);
+            if (s.size() > g_lqseq_max_length - 1) { large_seq++; lable = true; break; }
+          }
+        }
+        if (!s.empty() && !lable) {
+          LqWin::Cand c;
+          c.order = (uint16_t)w.seqs.size();
+          c.kscore = 0;
+          c.seq = std::move(s);
+          if ((int)c.seq.size() > max_aln_lqseq_len)
+            max_aln_lqseq_len = (int)c.seq.size();
+          w.seqs.push_back(std::move(c));
+        }
+        if ((int)w.seqs.size() >= LQSEQ_MAX_CAN_COUNT) break;
+      }
+    }
+    w.len = (int)w.seqs.size();
+    if ((float)large_seq / std::max(1, w.len + large_seq) > 1.0 / 3 ||
+        w.len <= 4 || (split && w.len < 10)) {
+      w.len = 0;
+      continue;
+    }
+    // kscore ranking (nextcorrect.c:410-442)
+    auto by_kscore = [](const LqWin::Cand &a, const LqWin::Cand &b) {
+      return a.kscore > b.kscore;
+    };
+    count_kmers(w, kmers, 1, 0);
+    count_kscore(w, kmers, 0);
+    std::stable_sort(w.seqs.begin(), w.seqs.end(), by_kscore);
+    count_kmers(w, kmers, KMER_MAX_SEQ, 0);
+    count_kscore(w, kmers, 0);
+    unsigned kmaxscore = w.seqs[0].kscore;
+    unsigned kmaxlen = (unsigned)w.seqs[0].seq.size(), kminlen;
+    if (kmaxlen > 500 || (kmaxlen > 200 && kmaxscore < 200)) {
+      // long windows: re-rank anchored at the tail (nextcorrect.c:418-428)
+      std::vector<uint32_t> save(LQSEQ_MAX_CAN_COUNT, 0);
+      if (w.seqs[0].order) {  // find_ref_lqseq
+        for (size_t j = 1; j < w.seqs.size(); j++)
+          if (!w.seqs[j].order) { std::swap(w.seqs[0], w.seqs[j]); break; }
+      }
+      for (auto &c : w.seqs) save[c.order] = c.kscore;
+      count_kmers(w, kmers, 1, 1);
+      count_kscore(w, kmers, 1);
+      std::stable_sort(w.seqs.begin(), w.seqs.end(), by_kscore);
+      count_kmers(w, kmers, KMER_MAX_SEQ, 1);
+      count_kscore(w, kmers, 1);
+      for (auto &c : w.seqs) c.kscore += save[c.order];
+    }
+    std::stable_sort(w.seqs.begin(), w.seqs.end(), by_kscore);
+    kminlen = kmaxlen = (unsigned)w.seqs[0].seq.size();
+    unsigned klastscore = kmaxscore = w.seqs[0].kscore;
+    int j = 0;
+    for (j = 0; j < w.len; j++) {
+      auto &c = w.seqs[j];
+      if (c.kscore * 10 < kmaxscore || j >= LQSEQ_MAX_COUNT ||
+          c.kscore * 2 < klastscore ||
+          (j > 4 && kmaxlen > 200 && c.kscore < kmaxscore * 0.6 &&
+           c.seq.size() < kminlen * 0.8))
+        break;
+      klastscore = c.kscore;
+      if (j < KMER_MAX_SEQ && c.kscore > kmaxscore * 0.8) {
+        if (c.seq.size() > kmaxlen) kmaxlen = (unsigned)c.seq.size();
+        else if (c.seq.size() < kminlen) kminlen = (unsigned)c.seq.size();
+      }
+    }
+    w.indexs = 0;
+    w.indexe = (kmaxlen > LQSEQ_MAX_REV_LEN && j > 6) ? 5 : j - 1;
+    if (w.indexe - w.indexs <= 3) { w.len = 0; continue; }
+    {
+      int jj = w.indexs, kk;
+      if (w.seqs[0].seq.size() < 3000)
+        kk = (jj + 6 < w.indexe) ? 6 : w.indexe - jj + 1;
+      else
+        kk = (jj + 2 < w.indexe) ? 2 : w.indexe - jj + 1;
+      std::vector<std::pair<const char *, int>> ps;
+      for (int q = jj; q < jj + kk && q < (int)w.seqs.size(); q++)
+        ps.push_back({w.seqs[q].seq.c_str(), (int)w.seqs[q].seq.size()});
+      w.sudoseed = poa_consensus(ps);
+    }
+    // over-long pseudo-seed fallback to a representative read
+    // (nextcorrect.c:464-483)
+    if (w.sudoseed.size() > 500) {
+      int k = 0, kmax, kmin;
+      int jend = std::min(w.indexe, w.indexs + 4);
+      kmax = kmin = (int)w.seqs[w.indexs].seq.size();
+      k = kmax;
+      int cnt = 1;
+      for (int q = w.indexs + 1; q <= jend; q++) {
+        int L = (int)w.seqs[q].seq.size();
+        k += L;
+        cnt++;
+        if (L > kmax) kmax = L;
+        else if (L < kmin) kmin = L;
+      }
+      int mean = (kmax != kmin && cnt > 2) ? (k - kmax - kmin) / (cnt - 2) : k / cnt;
+      if ((int)w.sudoseed.size() > mean + mean / 10) {
+        int pick = w.indexs;
+        for (pick = w.indexs; pick <= jend; pick++)
+          if ((int)w.seqs[pick].seq.size() != kmax &&
+              (int)w.seqs[pick].seq.size() >= mean)
+            break;
+        if (pick > jend) {
+          for (pick = 0; pick < w.len && w.seqs[pick].order; pick++) {}
+          if (pick >= w.len) pick = 0;
+        }
+        w.sudoseed = w.seqs[pick].seq;
+      }
+    }
+    if (max_aln_lqseq_len + (int)w.sudoseed.size() > max_aln_length)
+      max_aln_length = max_aln_lqseq_len + (int)w.sudoseed.size();
+  }
+  return max_aln_length;
+}
+
+// get_lqseqs_from_align_tags (nextcorrect.c:1250-1338): lighter scoring pass
+// used on the linked lq-window alignments.
+static std::string lq_consensus_from_tags(std::vector<MsaPos> &msa, int len,
+                                          std::vector<TagsList> &tags_list) {
+  update_msa(&msa, tags_list);
+  int factor = g_read_type == READS_HIFI ? 4 : 2;
+  Tag cur = score_msa(msa, len, factor, 0, /*tail_window=*/false);
+  int min_qv_factor = g_read_type == READS_HIFI ? 2 : 5;
+  std::string out;
+  while (true) {
+    if (cur.q_base != 4) {
+      Node &nd = msa[cur.t_pos].by_delta[cur.delta][cur.q_base];
+      char c = kIntToBase[cur.q_base];
+      out.push_back(
+          (int)nd.best_link * min_qv_factor > (int)msa[cur.t_pos].coverage || c == 'N'
+              ? c
+              : (char)tolower(c));
+    }
+    Tag next = msa[cur.t_pos].by_delta[cur.delta][cur.q_base].best_pp;
+    if (next.t_pos == -1) break;
+    cur = next;
+  }
+  // collected backwards; callers of the reference read it back-to-front too
+  return out;
+}
+
+// generate_consensus_trimed (nextcorrect.c:1538-1669): align candidate i of
+// every lq window to its pseudo-seed, linked with 'N' separators, and
+// re-consensus the whole thing.
+static std::string generate_consensus_trimed_pass(std::vector<LqWin> &lqwins) {
+  NDAligner aligner;
+  int total_len = 0;
+  for (auto &w : lqwins)
+    if (w.len > 0) total_len += (int)w.sudoseed.size() + 1;
+  total_len += 2;
+  std::vector<TagsList> tags_list(LQSEQ_MAX_COUNT);
+  std::vector<MsaPos> msa;
+  int msa_len = -1;
+  Alignment aln;
+  bool hq = g_read_type == READS_HIFI;
+  for (int i = 0; i < LQSEQ_MAX_COUNT; i++) {
+    std::string q_link, t_link;
+    int t_total = 0;
+    for (int j = (int)lqwins.size() - 1; j >= 0; j--) {
+      LqWin &w = lqwins[j];
+      if (w.len <= 0) continue;
+      int seed_len = (int)w.sudoseed.size();
+      q_link.push_back('N');
+      t_link.push_back('N');
+      t_total += 1;
+      int qi = i + w.indexs;
+      int query_len = qi > w.indexe ? seed_len : (int)w.seqs[qi].seq.size();
+      bool use_filler = qi > w.indexe ||
+                        (i && (query_len < seed_len * 0.5 || query_len > seed_len * 1.3));
+      if (use_filler) {
+        q_link.append(seed_len, 'M');
+        t_link.append(seed_len, 'M');
+        t_total += seed_len;
+      } else {
+        aln.aln_t_s = 0;
+        aligner.align(w.seqs[qi].seq.c_str(), query_len, w.sudoseed.c_str(),
+                      seed_len, &aln, hq);
+        if (aln.aln_len > 2) {
+          q_link += aln.q_aln;
+          t_link += aln.t_aln;
+          int t_used = aln.aln_t_len;
+          while (t_used < seed_len) {
+            t_link.push_back(w.sudoseed[t_used++]);
+            q_link.push_back('-');
+          }
+          int delta = 0;
+          int q_used = aln.aln_q_len;
+          while (q_used < query_len && delta++ < 250) {
+            q_link.push_back(w.seqs[qi].seq[q_used++]);
+            t_link.push_back('-');
+          }
+          t_total += seed_len;
+        } else {
+          q_link.append(seed_len, 'M');
+          t_link.append(seed_len, 'M');
+          t_total += seed_len;
+        }
+      }
+    }
+    q_link.push_back('N');
+    t_link.push_back('N');
+    t_total += 1;
+    if (msa_len < 0) {
+      msa_len = t_total + 2;
+      msa.assign(msa_len, MsaPos{});
+    }
+    get_align_tags(q_link, t_link, 0, &tags_list[i], &msa);
+  }
+  return lq_consensus_from_tags(msa, msa_len, tags_list);
+}
+
+// iterate_generate_consensus_trimed (nextcorrect.c:1671-1715)
+static void iterate_consensus(std::vector<LqWin> &lqwins, int iterate) {
+  for (int it = 1; it <= iterate; it++) {
+    std::string cons = generate_consensus_trimed_pass(lqwins);
+    // cons is backwards; walk from the back splitting on 'N'
+    int j = (int)lqwins.size();
+    std::string cur;
+    unsigned lqcount = 0;
+    auto flush = [&](int idx) {
+      if (idx >= 0 && idx < (int)lqwins.size()) {
+        lqwins[idx].sudoseed = cur;
+        lqwins[idx].lqcount = lqcount;
+        if (lqcount > cur.size() * 4 / 5) lqwins[idx].len = -1;
+      }
+    };
+    for (int k = (int)cons.size(); k > 0; k--) {
+      char c = cons[k - 1];
+      if (c != 'N') {
+        if (c < 'a') cur.push_back(c);
+        else { cur.push_back((char)toupper(c)); lqcount++; }
+      } else {
+        if (j != (int)lqwins.size()) flush(j);
+        j--;
+        while (j >= 0 && lqwins[j].len <= 0) j--;
+        if (j < 0) continue;
+        cur.clear();
+        lqcount = 0;
+      }
+    }
+  }
+}
+
+// update_consensus_trimed (nextcorrect.c:1365-1482)
+static NdCns *update_consensus(std::vector<LqWin> &lqwins, Consensus &cons) {
+  std::string out;
+  struct Reg { unsigned start = 0, end = 0, lqlen = 0, lq_total = 0; };
+  std::vector<Reg> lq(LQREG_MAX_COUNT + 2);
+  int lq_i = 0;
+  unsigned lq_m = 0, hq_m = 0;
+  auto update_lqreg = [&](unsigned p) {  // nextcorrect.c:1340-1363
+    if (out[p] >= 'a') {
+      if (!lq[lq_i].lqlen) lq[lq_i].start = p;
+      if (lq_m++ > 2) hq_m = 0;
+      lq[lq_i].end = p;
+      lq[lq_i].lqlen++;
+      lq[lq_i].lq_total++;
+    } else {
+      if (lq[lq_i].lqlen && lq[lq_i].start == 0) { lq_i++; hq_m = 0; }
+      else if (hq_m + lq[lq_i].start > lq[lq_i].end || hq_m++ > LQREG_MAX_GAP) {
+        if (lq[lq_i].end > lq[lq_i].start + LQREG_MAX_LEN) lq_i++;
+        else { lq[lq_i].lqlen = lq[lq_i].end = 0; }
+        hq_m = 0;
+      } else if (hq_m >= lq[lq_i].lqlen) {
+        lq[lq_i].lqlen = lq[lq_i].end = 0;
+        hq_m = 0;
+      }
+      lq_m = 0;
+    }
+  };
+
+  int lqseqs_index = (int)lqwins.size() - 1;
+  bool update = true;
+  unsigned i = cons.lstrip;
+  unsigned end_i = (unsigned)cons.bases.size() - cons.rstrip;
+  while (i < end_i && lq_i < LQREG_MAX_COUNT) {
+    unsigned p = cons.bases[i].first;
+    if (lqseqs_index >= 0 &&
+        ((lqwins[lqseqs_index].len <= 0 && lqwins[lqseqs_index].len != -2) ||
+         (int)p > lqwins[lqseqs_index].end)) {
+      lqseqs_index--;
+      update = true;
+      continue;  // re-check with the next window before consuming the base
+    }
+    if (lqseqs_index >= 0 &&
+        (lqwins[lqseqs_index].len > 0 || lqwins[lqseqs_index].len == -2) &&
+        (int)p >= lqwins[lqseqs_index].start && (int)p <= lqwins[lqseqs_index].end) {
+      if (update) {
+        for (char c : lqwins[lqseqs_index].sudoseed) {
+          out.push_back(c);
+          update_lqreg((unsigned)out.size() - 1);
+          if (lq_i >= LQREG_MAX_COUNT) break;
+        }
+        update = false;
+      }
+    } else {
+      out.push_back(cons.bases[i].second);
+      update = true;
+      update_lqreg((unsigned)out.size() - 1);
+    }
+    i++;
+  }
+  if (lq_i < (int)lq.size() && lq[lq_i].end == out.size() - 1) lq_i++;
+
+  NdCns *res = (NdCns *)malloc(sizeof(NdCns));
+  if (lq_i) {
+    // keep the largest clean stretch between lq regions (nextcorrect.c:1445-1468)
+    unsigned best_s = 0, best_e = lq[0].start, best_len = lq[0].start;
+    unsigned lq_total = lq[0].lq_total - lq[0].lqlen;
+    int ii;
+    for (ii = 1; ii < LQREG_MAX_COUNT && lq[ii].end; ii++) {
+      if (lq[ii].start - lq[ii - 1].end > best_len) {
+        best_s = lq[ii - 1].end + 1;
+        best_e = lq[ii].start;
+        lq_total = lq[ii].lq_total - lq[ii].lqlen;
+        best_len = lq[ii].start - lq[ii - 1].end;
+      }
+    }
+    if (ii < LQREG_MAX_COUNT && out.size() - lq[ii - 1].end > best_len) {
+      best_s = lq[ii - 1].end + 1;
+      best_e = (unsigned)out.size();
+      lq_total = lq[ii].lq_total;
+    }
+    std::string kept = out.substr(best_s, best_e - best_s);
+    res->len = (uint32_t)kept.size();
+    res->identity = kept.empty() ? 0.f : 1.f - (float)lq_total / kept.size();
+    res->seq = strdup(kept.c_str());
+  } else {
+    unsigned strip = 0;
+    while (strip < out.size() && out[strip] >= 'a') strip++;
+    unsigned lq_total = lq[0].lq_total >= strip ? lq[0].lq_total - strip : 0;
+    std::string kept = out.substr(strip);
+    res->len = (uint32_t)kept.size();
+    res->identity = kept.empty() ? 0.f : 1.f - (float)lq_total / kept.size();
+    res->seq = strdup(kept.c_str());
+  }
+  return res;
+}
+
+// trim_terminal_ssr (nextcorrect.c:2008-2128)
+static int get_terminal_ssr(int kmers[256], int ssr_range, int ssr_len,
+                            const char *seq, int s) {
+  memset(kmers, 0, sizeof(int) * 256);
+  uint8_t kmer = 0;
+  for (int i = 0; i < ssr_range; i++) {
+    if (i) kmer = (uint8_t)(kmer << 2 | (base_to_int(seq[s + i + ssr_len - 1]) & 3));
+    else {
+      kmer = 0;
+      for (int k = 0; k < ssr_len; k++)
+        kmer = (uint8_t)(kmer << 2 | (base_to_int(seq[s + k]) & 3));
+    }
+    kmers[kmer]++;
+  }
+  int best = 0, bk = 0;
+  for (int i = 0; i < 256; i++)
+    if (kmers[i] > best) { best = kmers[i]; bk = i; }
+  return bk;
+}
+
+static int clip_terminal_ssr(const char *seq, int seq_len, int ssr_len,
+                             int kmer, int dire) {
+  int gap = 20;
+  int p = 0, p1 = 0, p2 = 0;
+  uint8_t kmer_t = 0;
+  if (dire) {
+    uint8_t kr = 0;
+    for (int i = 0; i < 8; i += 2) kr = (uint8_t)(kr << 2 | ((kmer >> i) & 3));
+    kmer = kr;
+    seq_len--;
+    for (int i = 0; i < seq_len - ssr_len; i++) {
+      if (i) kmer_t = (uint8_t)(kmer_t << 2 | (base_to_int(seq[seq_len - i - ssr_len + 1]) & 3));
+      else {
+        kmer_t = 0;
+        for (int k = 0; k < ssr_len; k++)
+          kmer_t = (uint8_t)(kmer_t << 2 | (base_to_int(seq[seq_len - k]) & 3));
+      }
+      if (kmer_t != (uint8_t)kmer) {
+        if (i - p > gap) {
+          if (!p1) p1 = p;
+          else if (p2) {
+            if (i - p2 < 100) { p = p1; break; }
+            else p1 = p2 = 0;
+          }
+        }
+      } else {
+        p = i;
+        if (p1 && p2 == 0) p2 = p;
+      }
+    }
+    p = p > 100 ? p + ssr_len : 0;
+  } else {
+    for (int i = 0; i < seq_len - ssr_len; i++) {
+      if (i) kmer_t = (uint8_t)(kmer_t << 2 | (base_to_int(seq[i + ssr_len - 1]) & 3));
+      else {
+        kmer_t = 0;
+        for (int k = 0; k < ssr_len; k++)
+          kmer_t = (uint8_t)(kmer_t << 2 | (base_to_int(seq[k]) & 3));
+      }
+      if (kmer_t != (uint8_t)kmer) {
+        if (i - p > gap) {
+          if (!p1) p1 = p;
+          else if (p2) {
+            if (i - p2 < 100) { p = p1; break; }
+            else p1 = p2 = 0;
+          }
+        }
+      } else {
+        p = i;
+        if (p1 && p2 == 0) p2 = p;
+      }
+    }
+    p = p > 100 ? p + ssr_len : 0;
+  }
+  return p;
+}
+
+static void trim_terminal_ssr(NdCns *c) {
+  int ssr_range = 24, ssr_len = 4, kmers[256];
+  int clip_s = 0, clip_e = 0;
+  if ((int)c->len < ssr_range + ssr_len + 2) return;
+  int kmer = get_terminal_ssr(kmers, ssr_range, ssr_len, c->seq, 0);
+  if (kmers[kmer] >= 4) {
+    clip_s = clip_terminal_ssr(c->seq, c->len, ssr_len, kmer, 0);
+    while (clip_s < (int)c->len && c->seq[clip_s] >= 'a') clip_s++;
+  }
+  kmer = get_terminal_ssr(kmers, ssr_range, ssr_len, c->seq,
+                          c->len - ssr_range - ssr_len + 1);
+  if (kmers[kmer] >= 4) {
+    clip_e = clip_terminal_ssr(c->seq, c->len, ssr_len, kmer, 1);
+    while (clip_e < (int)c->len && c->seq[c->len - clip_e - 1] >= 'a') clip_e++;
+  }
+  if (clip_s + clip_e < (int)c->len - 10) {
+    if (clip_e) c->seq[c->len - clip_e] = '\0';
+    c->len -= clip_s + clip_e;
+    if (clip_s) memmove(c->seq, c->seq + clip_s, c->len + 1);
+  } else c->len = 4;
+}
+
+static NdCns *error_seed(int len) {
+  NdCns *c = (NdCns *)malloc(sizeof(NdCns));
+  c->len = len;
+  c->identity = 0;
+  c->seq = strdup("");
+  return c;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+extern "C" {
+
+NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
+                  const uint8_t *const *sup_seqs, const int32_t *sup_lens,
+                  const int32_t *t_starts, const int32_t *t_ends,
+                  const uint8_t *const *ops_arr, const int32_t *ops_lens,
+                  int32_t min_len_aln, int32_t max_cov_aln, int32_t min_cov,
+                  int32_t max_lq_length, float min_error_corrected_ratio,
+                  int32_t split, int32_t read_type) {
+  g_read_type = read_type;
+  g_lqseq_max_length = std::min<unsigned>(max_lq_length, DAG_MAX_LENGTH);
+
+  std::vector<MsaPos> msa(seed_len);
+  std::vector<TagsList> tags_list;
+  long long total_cov_aln = 0;
+
+  // support 0: the seed itself (nextCorrect i==0, nextcorrect.c:2279-2282)
+  {
+    std::string q(seed_len, 'A'), t(seed_len, 'A');
+    for (int i = 0; i < seed_len; i++) q[i] = t[i] = kIntToBase[seed[i] & 3];
+    tags_list.emplace_back();
+    get_align_tags(q, t, 0, &tags_list.back(), &msa);
+  }
+
+  for (int s = 0; s < n_sup && total_cov_aln / seed_len <= max_cov_aln; s++) {
+    // rebuild aligned strings from the TPU op string
+    const uint8_t *ops = ops_arr[s];
+    int no = ops_lens[s];
+    std::string q_aln, t_aln;
+    q_aln.reserve(no);
+    t_aln.reserve(no);
+    int qi = 0, ti = t_starts[s];
+    bool bad = false;
+    int gap_run = 0;
+    for (int i = 0; i < no; i++) {
+      switch (ops[i]) {
+        case 0:
+          q_aln.push_back(kIntToBase[sup_seqs[s][qi++] & 3]);
+          t_aln.push_back(kIntToBase[seed[ti++] & 3]);
+          gap_run = 0;
+          break;
+        case 1:
+          q_aln.push_back(kIntToBase[sup_seqs[s][qi++] & 3]);
+          t_aln.push_back('-');
+          gap_run++;
+          break;
+        default:
+          q_aln.push_back('-');
+          t_aln.push_back(kIntToBase[seed[ti++] & 3]);
+          gap_run++;
+          break;
+      }
+      if (gap_run > 250) { bad = true; break; }  // align.c:542 gap cap
+    }
+    if (bad || qi != sup_lens[s]) continue;
+    // get_align_shift(aln, 8) (nextcorrect.c:102-154): trim to the first and
+    // last run of 8 exact matches.
+    int L = (int)q_aln.size();
+    int first = -1, run = 0;
+    for (int i = 0; i < L; i++) {
+      run = (q_aln[i] == t_aln[i]) ? run + 1 : 0;
+      if (run == 8) { first = i - 7; break; }
+    }
+    if (first < 0) continue;
+    int last = -1;
+    run = 0;
+    for (int i = L - 1; i >= 0; i--) {
+      run = (q_aln[i] == t_aln[i]) ? run + 1 : 0;
+      if (run == 8) { last = i + 7; break; }
+    }
+    int t_lead = 0;
+    for (int i = 0; i < first; i++) if (t_aln[i] != '-') t_lead++;
+    int aln_t_s = t_starts[s] + t_lead;
+    std::string q_t = q_aln.substr(first, last - first + 1);
+    std::string t_t = t_aln.substr(first, last - first + 1);
+    if ((int)q_t.size() < min_len_aln) continue;
+    int t_span = 0;
+    for (char c : t_t) if (c != '-') t_span++;
+    total_cov_aln += t_span;
+    tags_list.emplace_back();
+    get_align_tags(q_t, t_t, aln_t_s, &tags_list.back(), &msa);
+  }
+
+  // MSA scoring + consensus (get_cns_from_align_tags, nextcorrect.c:2130)
+  update_msa(&msa, tags_list);
+  int factor = read_type == READS_HIFI ? 4 : 3;
+  Tag best = score_msa(msa, seed_len, factor, 3000, /*tail_window=*/true);
+  if (best.t_pos < 0) return error_seed(2);
+
+  Consensus cons;
+  std::vector<LqWin> lqwins;
+  if (!generate_cns(msa, best, seed_len, min_cov, min_error_corrected_ratio,
+                    &cons, &lqwins))
+    return error_seed(2);
+
+  generate_lqseqs_from_tags(lqwins, tags_list, split);
+  iterate_consensus(lqwins, 2);
+  NdCns *res = update_consensus(lqwins, cons);
+  if (res->len > 1000 && res->identity > 0.8) trim_terminal_ssr(res);
+  return res;
+}
+
+void nd_free_cns(NdCns *c) {
+  if (c) {
+    free(c->seq);
+    free(c);
+  }
+}
+
+int32_t nd_band_align(const char *q, int32_t ql, const char *t, int32_t tl,
+                      char *q_aln, char *t_aln, int32_t *aln_len, int32_t hq) {
+  NDAligner a;
+  Alignment aln;
+  aln.aln_t_s = 0;
+  a.align(q, ql, t, tl, &aln, hq != 0);
+  if (aln_len) *aln_len = aln.aln_len;
+  if (q_aln && t_aln && aln.aln_len > 0) {
+    memcpy(q_aln, aln.q_aln.data(), aln.aln_len);
+    q_aln[aln.aln_len] = '\0';
+    memcpy(t_aln, aln.t_aln.data(), aln.aln_len);
+    t_aln[aln.aln_len] = '\0';
+  }
+  int d = 0;
+  for (int i = 0; i < aln.aln_len; i++)
+    if (aln.q_aln[i] != aln.t_aln[i]) d++;
+  return d;
+}
+
+char *nd_poa(const char *const *seqs, const int32_t *lens, int32_t n) {
+  std::vector<std::pair<const char *, int>> ps;
+  for (int i = 0; i < n; i++) ps.push_back({seqs[i], lens[i]});
+  std::string c = poa_consensus(ps);
+  return strdup(c.c_str());
+}
+
+void nd_free_str(char *s) { free(s); }
+
+}  // extern "C"

@@ -1,0 +1,54 @@
+// Public C API of libndtpu — native host components of nextdenovo_tpu.
+//
+// The TPU handles the batched alignment DP; these routines handle the
+// irregular, pointer-heavy consensus bookkeeping that the reference
+// implements in lib/nextcorrect.c and lib/dag.c.  Alignments arrive as op
+// strings (0=diag, 1=up/consume-query, 2=left/consume-target) produced by
+// the Pallas banded aligner (nextdenovo_tpu/ops/align.py).
+//
+// Base codes everywhere: A=0 C=1 G=2 T=3 (gap=4, N=5, M=6 internally).
+#pragma once
+#include <stdint.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct {
+  uint32_t len;
+  float identity;
+  char *seq;  // ASCII, lowercase = uncorrected bases (reference semantics)
+} NdCns;
+
+// Seed correction: equivalent of nextCorrect (lib/nextcorrect.c:2219-2305)
+// with the alignment phase factored out to the TPU.
+//  - sup 0..n_sup-1 are supporting read subsequences already oriented to the
+//    seed forward strand, sorted by decreasing match score;
+//  - t_start/t_end are the 0-based INCLUSIVE seed interval of each support;
+//  - ops describe the global alignment support-vs-seed[t_start..t_end].
+NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
+                  const uint8_t *const *sup_seqs, const int32_t *sup_lens,
+                  const int32_t *t_starts, const int32_t *t_ends,
+                  const uint8_t *const *ops_arr, const int32_t *ops_lens,
+                  int32_t min_len_aln, int32_t max_cov_aln, int32_t min_cov,
+                  int32_t max_lq_length, float min_error_corrected_ratio,
+                  int32_t split, int32_t read_type);
+
+void nd_free_cns(NdCns *c);
+
+// Scalar banded aligner (used internally for lq-window re-alignment; exposed
+// for tests).  Returns edit distance, fills aligned strings if out buffers
+// given (caller allocates l1+l2+1 chars each).
+int32_t nd_band_align(const char *q, int32_t ql, const char *t, int32_t tl,
+                      char *q_aln, char *t_aln, int32_t *aln_len,
+                      int32_t hq);
+
+// POA consensus over small sequence sets (lib/dag.c:658 equivalent).
+// seqs: ASCII strings; returns malloc'd consensus (caller frees via
+// nd_free_str).
+char *nd_poa(const char *const *seqs, const int32_t *lens, int32_t n);
+void nd_free_str(char *s);
+
+#ifdef __cplusplus
+}
+#endif

@@ -1,0 +1,76 @@
+"""Segmented-array utilities built on jax.lax.associative_scan.
+
+TPU-native replacements for the reference's per-read hash/loop bookkeeping
+(khash accumulation in ovl_sort/filter_ovl): arrays sorted by a segment key,
+with per-segment reductions done as O(log n) vectorized scans instead of
+scatter ops (XLA scatters serialize badly on TPU).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_starts(keys: jnp.ndarray) -> jnp.ndarray:
+    """Bool mask: True where a new segment begins (keys must be sorted)."""
+    first = jnp.ones((1,), bool)
+    return jnp.concatenate([first, keys[1:] != keys[:-1]])
+
+
+def segment_scan(values, starts, combine):
+    """Inclusive within-segment scan.  `combine(a, b)` must be associative.
+    values may be a pytree of equally-shaped arrays."""
+    def comb(a, b):
+        a_start, a_val = a
+        b_start, b_val = b
+        new_val = jax.tree.map(
+            lambda bv, cv: jnp.where(b_start, bv, cv), b_val,
+            combine(a_val, b_val))
+        return (a_start | b_start, new_val)
+
+    _, out = jax.lax.associative_scan(comb, (starts, values))
+    return out
+
+
+def segment_scan_rev(values, starts, combine):
+    """Inclusive within-segment scan from the right (suffix scan)."""
+    ends = jnp.concatenate([starts[1:], jnp.ones((1,), bool)])
+    flip = lambda t: jax.tree.map(lambda x: x[::-1], t)
+    out = segment_scan(flip(values), ends[::-1], combine)
+    return flip(out)
+
+
+def segment_broadcast_last(values, starts):
+    """Give every element its segment's LAST value (e.g. a total computed by
+    an inclusive forward scan)."""
+    return segment_scan_rev(values, starts, lambda a, b: b)
+
+
+def segment_sum(values, starts):
+    tot = segment_scan(values, starts, lambda a, b: a + b)
+    return segment_broadcast_last(tot, starts)
+
+
+def segment_max(values, starts):
+    m = segment_scan(values, starts, jnp.maximum)
+    return segment_broadcast_last(m, starts)
+
+
+def segment_min(values, starts):
+    m = segment_scan(values, starts, jnp.minimum)
+    return segment_broadcast_last(m, starts)
+
+
+def segment_argmax(scores, payload, starts):
+    """Per segment, the payload of the max-score element (first on ties),
+    broadcast to every element of the segment."""
+    def comb(a, b):
+        sa, pa = a
+        sb, pb = b
+        take_b = sb > sa
+        return (jnp.maximum(sa, sb),
+                jax.tree.map(lambda x, y: jnp.where(take_b, y, x), pa, pb))
+
+    best = segment_scan((scores, payload), starts, comb)
+    best_score, best_payload = segment_broadcast_last(best, starts)
+    return best_score, best_payload

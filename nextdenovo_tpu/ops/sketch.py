@@ -1,0 +1,193 @@
+"""Minimizer sketching as batched vector ops.
+
+Replaces the reference's scalar sketchers (minimap2/sketch.c:77-143
+mm_sketch_shortkmer; long-kmer HiFi variant :283-357).  Differences by
+design: k-mer assembly uses log2(k) shift-or doubling over (hi, lo) uint32
+lanes instead of a rolling scalar loop, window minima use log2(w) min-shift
+doubling, and the hash is a murmur-style finalizer (we never need to invert
+it).  Selection rule: position i is a minimizer iff it is the leftmost-tie
+argmin of some w-window, matching minimap2's density guarantee.
+
+Supports k <= 31 (64-bit k-mers).  HiFi long-k (51) sketching needs the
+homopolymer-compressed path and will ride the same machinery with 4-lane
+packing in a later revision.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+UMAX = jnp.uint32(0xFFFFFFFF)
+
+
+class Minimizers(NamedTuple):
+    rid: jnp.ndarray     # int32 read id (within batch; caller rebases)
+    pos: jnp.ndarray     # int32 k-mer start position (fwd strand coords)
+    hash: jnp.ndarray    # uint32 canonical hash
+    strand: jnp.ndarray  # int32 0 = canonical is fwd, 1 = rc
+    n: jnp.ndarray       # int32 scalar: number of valid entries
+
+
+def _shift_or(hi_a, lo_a, hi_b, lo_b, bits_b: int):
+    """(a << bits_b) | b on 64-bit values split into uint32 (hi, lo)."""
+    if bits_b == 0:
+        return hi_a, lo_a
+    if bits_b >= 32:
+        sh = bits_b - 32
+        if sh == 0:
+            return lo_a | hi_b, lo_b
+        return ((lo_a << sh) | hi_b), lo_b
+    return ((hi_a << bits_b) | (lo_a >> (32 - bits_b)) | hi_b,
+            (lo_a << bits_b) | lo_b)
+
+
+def _shift_right(x, s: int):
+    """Shift a (L,) array towards lower indices: out[i] = x[i + s]."""
+    if s == 0:
+        return x
+    pad = jnp.zeros_like(x[..., :s])
+    return jnp.concatenate([x[..., s:], pad], axis=-1)
+
+
+def kmer_pack(codes: jnp.ndarray, k: int):
+    """codes (..., L) int32 in 0..3 -> ((hi, lo), (rhi, rlo)) uint32 arrays
+    where position i holds the fwd k-mer codes[i..i+k) and its revcomp."""
+    assert 1 <= k <= 31
+    c = codes.astype(jnp.uint32) & 3
+    rc = c ^ 3
+    # binary decomposition: blocks of power-of-two base counts
+    fwd_blocks = {1: (jnp.zeros_like(c), c)}
+    rev_blocks = {1: (jnp.zeros_like(c), rc)}
+    s = 1
+    while s * 2 <= k:
+        hi, lo = fwd_blocks[s]
+        hi2, lo2 = _shift_right(hi, s), _shift_right(lo, s)
+        fwd_blocks[2 * s] = _shift_or(hi, lo, hi2, lo2, 2 * s)
+        rhi, rlo = rev_blocks[s]
+        rhi2, rlo2 = _shift_right(rhi, s), _shift_right(rlo, s)
+        # rc: second half occupies the HIGH bits
+        rev_blocks[2 * s] = _shift_or(rhi2, rlo2, rhi, rlo, 2 * s)
+        s *= 2
+    # compose remaining bits from largest to smallest block
+    rem = k
+    fhi = flo = rhi = rlo = None
+    off = 0
+    for s in sorted(fwd_blocks, reverse=True):
+        if s > rem:
+            continue
+        bh, bl = fwd_blocks[s]
+        bh, bl = _shift_right(bh, off), _shift_right(bl, off)
+        ch, cl = rev_blocks[s]
+        ch, cl = _shift_right(ch, off), _shift_right(cl, off)
+        if fhi is None:
+            fhi, flo, rhi, rlo = bh, bl, ch, cl
+        else:
+            fhi, flo = _shift_or(fhi, flo, bh, bl, 2 * s)
+            # rc: later (higher-index) block goes to HIGH bits
+            rhi, rlo = _shift_or(ch, cl, rhi, rlo, 2 * off)
+        off += s
+        rem -= s
+    return (fhi, flo), (rhi, rlo)
+
+
+def _mix32(x):
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7feb352d)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846ca68b)
+    return x ^ (x >> 16)
+
+
+def hash_kmer(hi, lo):
+    return _mix32(lo ^ _mix32(hi ^ jnp.uint32(0x9e3779b9)))
+
+
+def sliding_min_pair(val, idx, w: int):
+    """Per position i: (min value, its leftmost index) over [i, i+w)."""
+    s = 1
+    spans = {1: (val, idx)}
+    while s * 2 <= w:
+        v, x = spans[s]
+        v2, x2 = _shift_right(v, s), _shift_right(x, s)
+        take2 = v2 < v
+        spans[2 * s] = (jnp.where(take2, v2, v), jnp.where(take2, x2, x))
+        s *= 2
+    rem = w
+    cv = cx = None
+    off = 0
+    for s in sorted(spans, reverse=True):
+        if s > rem:
+            continue
+        v, x = spans[s]
+        v, x = _shift_right(v, off), _shift_right(x, off)
+        if cv is None:
+            cv, cx = v, x
+        else:
+            take2 = v < cv
+            cv, cx = jnp.where(take2, v, cv), jnp.where(take2, x, cx)
+        off += s
+        rem -= s
+    return cv, cx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
+def sketch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
+           cap: int) -> Minimizers:
+    """Minimizers of a read batch.
+
+    codes: (B, L) int32 base codes (padded); lengths: (B,) int32.
+    cap: static max number of emitted minimizers (flat across batch).
+    """
+    B, L = codes.shape
+    (fhi, flo), (rhi, rlo) = kmer_pack(codes, k)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    valid_k = pos + k <= lengths[:, None]
+
+    fwd_less = (fhi < rhi) | ((fhi == rhi) & (flo < rlo))
+    equal = (fhi == rhi) & (flo == rlo)
+    strand = jnp.where(fwd_less, 0, 1).astype(jnp.int32)
+    chi = jnp.where(fwd_less, fhi, rhi)
+    clo = jnp.where(fwd_less, flo, rlo)
+    h = hash_kmer(chi, clo)
+    h = jnp.where(valid_k & ~equal, h, UMAX)
+
+    wmin, warg = sliding_min_pair(h, pos, w)
+    # i is selected iff some window starting in [i-w+1, i] has argmin == i
+    sel = jnp.zeros((B, L), bool)
+    for d in range(w):
+        # window starting at i-d
+        shifted = jnp.pad(warg, ((0, 0), (d, 0)))[:, :L] if d else warg
+        wvalid = (pos - d >= 0) & (pos - d + w + k - 1 <= lengths[:, None])
+        sel = sel | (jnp.where(wvalid, shifted, -1) == pos)
+    sel = sel & valid_k & (h != UMAX)
+
+    flat = sel.reshape(-1)
+    (hits,) = jnp.nonzero(flat, size=cap, fill_value=B * L)
+    in_range = hits < B * L
+    hits_c = jnp.minimum(hits, B * L - 1)
+    rid = (hits_c // L).astype(jnp.int32)
+    p = (hits_c % L).astype(jnp.int32)
+    return Minimizers(
+        rid=jnp.where(in_range, rid, -1),
+        pos=jnp.where(in_range, p, 0),
+        hash=jnp.where(in_range, h.reshape(-1)[hits_c], UMAX),
+        strand=jnp.where(in_range, strand.reshape(-1)[hits_c], 0),
+        n=jnp.sum(in_range.astype(jnp.int32)),
+    )
+
+
+def kmer_oracle(codes: np.ndarray, k: int):
+    """Numpy oracle: fwd/rc 64-bit k-mer value at each valid position."""
+    L = len(codes)
+    out_f = np.zeros(L, dtype=np.uint64)
+    out_r = np.zeros(L, dtype=np.uint64)
+    for i in range(L - k + 1):
+        f = r = 0
+        for j in range(k):
+            f = (f << 2) | int(codes[i + j])
+            r |= (int(codes[i + j]) ^ 3) << (2 * j)
+        out_f[i] = f
+        out_r[i] = r
+    return out_f, out_r

@@ -1,0 +1,229 @@
+"""All-vs-all overlap engine: minimizer index + diagonal-vote chaining.
+
+TPU-native replacement for the minimap2-nd fork's overlap path
+(/root/reference/minimap2/: mm_sketch sketch.c:77, mm_idx_* index.c,
+mm_chain_dp chain.c:164, --step 1 output map.c:1299-1304).  Design
+differences:
+
+  * the index is a hash-sorted flat table queried with vectorized binary
+    search instead of a bucketed hash table;
+  * candidate overlaps come from diagonal-band voting over anchors (sorted
+    once, then segmented scans) rather than the O(n * lookback) chain DP —
+    endpoints are anchor extents within the winning diagonal corridor.
+    Precise endpoints/identity are recovered downstream by the banded
+    aligner, mirroring how the reference re-aligns in --step 2/3.
+
+All shapes are static: per-launch caps bound minimizers, anchors and
+emitted records; overflow is reported so the driver can re-batch.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.seqstore import SeqStore
+from ..ops.segment import (segment_argmax, segment_max, segment_min,
+                           segment_starts, segment_sum)
+from ..ops.sketch import Minimizers, sketch
+from .records import OvlBlock
+
+I32MAX = np.int32(2**31 - 1)
+
+
+class MiniIndex(NamedTuple):
+    h: jnp.ndarray        # uint32 sorted hashes
+    rid: jnp.ndarray      # int32 global read id
+    pos: jnp.ndarray      # int32 k-mer start (fwd coords)
+    strand: jnp.ndarray   # int32
+    n: jnp.ndarray        # int32 valid entries
+    lens: jnp.ndarray     # int32 (n_reads,) read length lookup
+
+
+@functools.partial(jax.jit, static_argnames=("max_occ",))
+def _build_index(h, rid, pos, strand, nvalid, lens, max_occ: int):
+    order = jnp.argsort(h)
+    h, rid, pos, strand = h[order], rid[order], pos[order], strand[order]
+    # high-frequency filter (minimap2 -f analogue): drop hashes with more
+    # than max_occ entries entirely
+    starts = segment_starts(h)
+    cnt = segment_sum(jnp.ones_like(rid), starts)
+    keep = (cnt <= max_occ) & (rid >= 0)
+    h = jnp.where(keep, h, jnp.uint32(0xFFFFFFFF))
+    order2 = jnp.argsort(h)
+    return MiniIndex(h[order2], rid[order2], pos[order2], strand[order2],
+                     jnp.sum(keep.astype(jnp.int32)), lens)
+
+
+def _bucket_len(L: int, lo: int = 4096) -> int:
+    """Round read length up to a power of two so jit shapes are reused."""
+    p = lo
+    while p < L:
+        p *= 2
+    return p
+
+
+def _sketch_batch(store: SeqStore, sub: np.ndarray, lens: np.ndarray,
+                  k: int, w: int, batch_rows: int):
+    """Sketch a fixed-shape (batch_rows, Lp) batch; sub may be shorter than
+    batch_rows (padded with empty rows)."""
+    L = int(lens[sub].max()) if len(sub) else 1
+    Lp = _bucket_len(L)
+    codes = np.zeros((batch_rows, Lp), np.int32)
+    blens = np.zeros(batch_rows, np.int32)
+    for i, r in enumerate(sub):
+        c = store.get(int(r))
+        codes[i, : len(c)] = c
+        blens[i] = len(c)
+    cap = int(2 * batch_rows * Lp // max(1, w) + 1024)
+    return sketch(jnp.asarray(codes), jnp.asarray(blens), k=k, w=w, cap=cap)
+
+
+def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
+                max_occ: int = 64, batch_rows: int = 32) -> MiniIndex:
+    """Sketch reads `rids` of `store` and build a queryable index."""
+    lens = np.asarray(store.length, np.int64)
+    parts = []
+    rids = np.asarray(rids)
+    for s in range(0, len(rids), batch_rows):
+        sub = rids[s : s + batch_rows]
+        m = _sketch_batch(store, sub, lens, k, w, batch_rows)
+        n = int(m.n)
+        parts.append((np.asarray(m.rid[:n]), np.asarray(m.pos[:n]),
+                      np.asarray(m.hash[:n]), np.asarray(m.strand[:n]), sub))
+    rid = np.concatenate([s[r] for r, _, _, _, s in parts]) if parts else np.zeros(0, np.int64)
+    pos = np.concatenate([p for _, p, _, _, _ in parts]) if parts else np.zeros(0, np.int32)
+    h = np.concatenate([hh for _, _, hh, _, _ in parts]) if parts else np.zeros(0, np.uint32)
+    st = np.concatenate([ss for _, _, _, ss, _ in parts]) if parts else np.zeros(0, np.int32)
+    return _build_index(jnp.asarray(h), jnp.asarray(rid, jnp.int32),
+                        jnp.asarray(pos, jnp.int32), jnp.asarray(st, jnp.int32),
+                        jnp.int32(len(h)), jnp.asarray(lens, jnp.int32),
+                        max_occ=max_occ)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "max_occ", "diag_shift", "min_cnt", "min_span",
+                     "cap_out"))
+def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base,
+                 idx: MiniIndex, k: int, max_occ: int, diag_shift: int,
+                 min_cnt: int, min_span: int, cap_out: int):
+    """Anchors + diagonal voting for one sketched query batch.
+
+    qm_*: flat minimizer arrays (cap_mini,), rid local (row) ids, -1 = pad.
+    q_rid_base: (B,) int32 mapping local row -> global rid.
+    Returns (records dict of (cap_out,) int32 arrays, n_out, n_groups_overflow)
+    """
+    M = qm_rid.shape[0]
+    valid_m = qm_rid >= 0
+    lo = jnp.searchsorted(idx.h, qm_hash, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(idx.h, qm_hash, side="right").astype(jnp.int32)
+    cnt = jnp.minimum(hi - lo, max_occ)
+
+    q_grid = q_rid_base[jnp.maximum(qm_rid, 0)]
+    qlen = idx.lens[q_grid]
+
+    # anchor expansion: (M, max_occ)
+    occ = jax.lax.broadcasted_iota(jnp.int32, (M, max_occ), 1)
+    take = (occ < cnt[:, None]) & valid_m[:, None]
+    aidx = jnp.minimum(lo[:, None] + occ, idx.h.shape[0] - 1)
+    t_rid = idx.rid[aidx]
+    t_pos = idx.pos[aidx]
+    t_str = idx.strand[aidx]
+    rel = (qm_strand[:, None] ^ t_str) & 1
+    take = take & (t_rid != q_grid[:, None]) & (t_rid >= 0)
+
+    qpos = jnp.broadcast_to(qm_pos[:, None], (M, max_occ))
+    qr = jnp.broadcast_to(qm_rid[:, None], (M, max_occ))
+    diag = jnp.where(rel == 0, qpos - t_pos, qpos + t_pos)
+
+    # flatten + sort by (q local rid, target key, diag-bin/qpos)
+    A = M * max_occ
+    f = lambda x: x.reshape(A)
+    qr, t_rid, t_pos, rel, qpos, diag, take = map(
+        f, (qr, t_rid, t_pos, rel, qpos, diag, take))
+    dbin = (diag >> diag_shift) + jnp.int32(1 << 20)
+    key_t = t_rid * 2 + rel
+    key_q = jnp.where(take, qr, I32MAX)
+    key_b = dbin * jnp.int32(1 << 10) + jnp.minimum(qpos >> 8, (1 << 10) - 1)
+    srt = jax.lax.sort([key_q, key_t, key_b, t_pos, qpos, diag],
+                       num_keys=3)
+    key_q, key_t, key_b, t_pos, qpos, diag = srt
+    valid = key_q != I32MAX
+    dbin = key_b >> 10
+
+    g_starts = segment_starts(key_q) | segment_starts(key_t)
+    b_starts = g_starts | segment_starts(dbin)
+    ones = valid.astype(jnp.int32)
+    bin_cnt = segment_sum(ones, b_starts)
+    _, best_bin = segment_argmax(bin_cnt, dbin, g_starts)
+    # anchors near the winning diagonal corridor (+- one bin width)
+    width = jnp.int32(1 << diag_shift)
+    center = (best_bin - (1 << 20)) * width + width // 2
+    near = valid & (jnp.abs(diag - center) <= width)
+
+    nearc = near.astype(jnp.int32)
+    cnt_g = segment_sum(nearc, g_starts)
+    inf = jnp.int32(1 << 30)
+    qs = segment_min(jnp.where(near, qpos, inf), g_starts)
+    qe = segment_max(jnp.where(near, qpos, -inf), g_starts) + k
+    ts = segment_min(jnp.where(near, t_pos, inf), g_starts)
+    te = segment_max(jnp.where(near, t_pos, -inf), g_starts) + k
+
+    # emit one record per group (at group end)
+    g_ends = jnp.concatenate([g_starts[1:], jnp.ones((1,), bool)])
+    span = jnp.minimum(qe - qs, te - ts)
+    emit = g_ends & valid & (cnt_g >= min_cnt) & (span >= min_span)
+
+    (hits,) = jnp.nonzero(emit, size=cap_out, fill_value=A)
+    got = hits < A
+    hc = jnp.minimum(hits, A - 1)
+    g = lambda x: jnp.where(got, x[hc], 0)
+    q_local = g(key_q)
+    rec = dict(
+        qname=jnp.where(got, q_rid_base[jnp.clip(q_local, 0, q_rid_base.shape[0] - 1)], -1),
+        rev=g(key_t) & 1,
+        qs=g(qs), qe=g(qe),
+        tname=g(key_t) >> 1,
+        ts=g(ts), te=g(te),
+        match=jnp.minimum(g(cnt_g) * k, g(span)),
+    )
+    n_out = jnp.sum(got.astype(jnp.int32))
+    overflow = jnp.sum(emit.astype(jnp.int32)) - n_out
+    return rec, n_out, overflow
+
+
+def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
+                  max_occ: int = 16, diag_bin: int = 256, min_cnt: int = 4,
+                  min_span: int = 500, batch_rows: int = 16) -> OvlBlock:
+    """Overlap query reads against the index; returns an OvlBlock (PAF-like
+    fwd-coordinate records with a rev flag, step-1 semantics)."""
+    lens = np.asarray(store.length, np.int64)
+    diag_shift = int(np.log2(diag_bin))
+    out = []
+    query_rids = np.asarray(query_rids)
+    for s in range(0, len(query_rids), batch_rows):
+        sub = query_rids[s : s + batch_rows]
+        m = _sketch_batch(store, sub, lens, k, w, batch_rows)
+        base = np.full(batch_rows, -1, np.int32)
+        base[: len(sub)] = sub
+        cap_out = 256 * batch_rows + 256
+        rec, n_out, overflow = _match_block(
+            m.rid, m.pos, m.hash, m.strand, jnp.asarray(base), idx,
+            k=k, max_occ=max_occ, diag_shift=diag_shift, min_cnt=min_cnt,
+            min_span=min_span, cap_out=cap_out)
+        n = int(n_out)
+        if int(overflow) > 0:
+            # rare: too many candidate groups; caller batches are small enough
+            # in practice, but record the loss loudly
+            import logging
+            logging.getLogger(__name__).warning(
+                "overlap emit overflow: %d records dropped", int(overflow))
+        blk = OvlBlock({kk: np.asarray(v[:n]) for kk, v in rec.items()})
+        if len(blk):
+            blk = blk.take(np.asarray(blk.qname) >= 0)
+        out.append(blk)
+    return OvlBlock.concat_all(out)

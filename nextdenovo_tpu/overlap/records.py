@@ -1,0 +1,67 @@
+"""Overlap records as fixed-width structure-of-arrays.
+
+Replaces the reference's delta+varint .ovl stream (/root/reference/lib/ovl.c:
+109-253 encode_ovl/decode_ovl; struct overlap lib/ovl.h:21-37).  The varint
+coding exists only to shrink files; device-side we keep dense int32 columns
+(qname, rev, qs, qe, tname, ts, te, match [, ide]) and persist with npz
+compression when needed.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+FIELDS = ("qname", "rev", "qs", "qe", "tname", "ts", "te", "match")
+FIELDS_I = FIELDS + ("ide",)   # mode-10 records add identity*10000 (ovl.h:30-37)
+
+
+@dataclass
+class OvlBlock:
+    """A block of overlap records; every field is an int32 np array."""
+    data: dict
+
+    @classmethod
+    def empty(cls, mode10: bool = False):
+        f = FIELDS_I if mode10 else FIELDS
+        return cls({k: np.zeros(0, np.int32) for k in f})
+
+    @classmethod
+    def from_arrays(cls, **kw):
+        n = len(next(iter(kw.values())))
+        assert all(len(v) == n for v in kw.values())
+        return cls({k: np.asarray(v, np.int32) for k, v in kw.items()})
+
+    def __len__(self):
+        return len(next(iter(self.data.values())))
+
+    def __getattr__(self, k):
+        d = object.__getattribute__(self, "data")
+        if k in d:
+            return d[k]
+        raise AttributeError(k)
+
+    def take(self, idx) -> "OvlBlock":
+        return OvlBlock({k: v[idx] for k, v in self.data.items()})
+
+    def concat(self, other: "OvlBlock") -> "OvlBlock":
+        return OvlBlock({k: np.concatenate([self.data[k], other.data[k]])
+                         for k in self.data})
+
+    @staticmethod
+    def concat_all(blocks):
+        blocks = [b for b in blocks if len(b)]
+        if not blocks:
+            return OvlBlock.empty()
+        return OvlBlock({k: np.concatenate([b.data[k] for b in blocks])
+                         for k in blocks[0].data})
+
+    def save(self, path: str):
+        np.savez_compressed(path, **self.data)
+
+    @classmethod
+    def load(cls, path: str):
+        if not path.endswith(".npz"):
+            path += ".npz"
+        z = np.load(path)
+        return cls({k: z[k] for k in z.files})

@@ -1,0 +1,297 @@
+"""Seed-keyed overlap sort + coverage/chimera filtering.
+
+Host-side equivalent of the reference's external merge sort
+(/root/reference/util/ovl_sort.c): symmetrize every overlap record to the
+seed-keyed orientation (sort_ovl_file:933-1012), sort by (seed asc, match
+desc, span asc) (cmp_ovl:246-261), inject a per-seed self record at merge
+time (merge_ovl_from_sort:871+), then stream each seed's records through the
+coverage-bin depth cap (encode_ovl_filter:657-723), chimera detection
+(check_chimer:317-334, check_chimer2:337-375) and the low-coverage
+"k-region" clearing of ovl_filter (:433-560), emitting the kept records and
+a blacklist of contained ('c') / chimeric ('k') seeds.
+
+The reference runs this as a multithreaded external sort over files; here a
+single in-memory pass (numpy sort + per-seed loops).  The multi-host version
+shards by seed id over the device mesh (parallel/).
+
+Constants mirror util/ovl_sort.h:3-12 and ovl_sort.c:24-26.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+
+from .records import OvlBlock
+
+BIN_OFFSET = 6
+MAX_OVL_COV = 150
+BIN_TOLERANCE_EDGE = 50
+BIN_TOLERANCE_COUNT = 5
+MIN_CONTAINED_COUNT = 2
+
+
+@dataclass
+class SortResult:
+    block: OvlBlock                  # seed-keyed records, INCLUSIVE ends
+    blacklist: Dict[int, str] = field(default_factory=dict)  # seed -> 'c'|'k'
+
+
+def symmetrize(raw: OvlBlock, is_seed: np.ndarray, lens: np.ndarray) -> OvlBlock:
+    """Both orientations of each record, keyed by a seed read; ends become
+    0-based inclusive (sort_ovl_file:976-999)."""
+    q, t = np.asarray(raw.qname), np.asarray(raw.tname)
+    keep = (q != t) & (raw.qe - raw.qs >= 500) & (raw.te - raw.ts >= 500)
+    views = []
+    # q-keyed view
+    m = keep & is_seed[q] & (lens[q] >= raw.qe)
+    views.append(dict(qname=q[m], rev=raw.rev[m], qs=raw.qs[m],
+                      qe=raw.qe[m] - 1, tname=t[m], ts=raw.ts[m],
+                      te=raw.te[m] - 1, match=raw.match[m]))
+    # t-keyed view
+    m = keep & is_seed[t] & (lens[t] >= raw.te)
+    views.append(dict(qname=t[m], rev=raw.rev[m], qs=raw.ts[m],
+                      qe=raw.te[m] - 1, tname=q[m], ts=raw.qs[m],
+                      te=raw.qe[m] - 1, match=raw.match[m]))
+    return OvlBlock.concat_all([OvlBlock.from_arrays(**v) for v in views])
+
+
+def _check_chimer(bins: np.ndarray) -> int:
+    """Coverage break-point detector (ovl_sort.c:317-334, noisy-read path)."""
+    n = len(bins)
+    lable = llable = rlable = 0
+    for i in range(1, n - 1):
+        if bins[i] > 20:
+            llable += 1
+            if lable:
+                rlable += 1
+                if rlable >= 5:
+                    break
+        else:
+            l = max(i - 5, 0)
+            r = min(i + 5, n - 1)
+            if llable > 5 and (bins[l] > 20 or bins[r] > 20) and \
+                    bins[i] <= max(3, min(bins[l], bins[r]) // 5):
+                lable = i
+    if rlable < 5:
+        lable = 0
+    return lable
+
+
+def _check_chimer2(ovls, qlen: int) -> int:
+    """Hot break-end detector (ovl_sort.c:337-375)."""
+    j = BIN_OFFSET + 1
+    nbin = (qlen >> j) + 2
+    bins = np.zeros(nbin + 2, np.int32)
+    c = 0
+    s, e = nbin, 0
+    for o in ovls[1:]:
+        if o["qe"] == 0:
+            continue
+        c += 1
+        ts = (o["qs"] + 10) >> j
+        te = (o["qe"] - 10) >> j
+        s = min(s, ts); e = max(e, te)
+        bins[ts] += 1
+        bins[te] += 1
+    t = 0
+    if c > 20:
+        while s < e and bins[s] < 4:
+            s += 1
+        while e > s and bins[e] < 4:
+            e -= 1
+        ms, me, mx = bins[s], bins[e], s
+        for i in range(s, e + 1):
+            if i < s + 5 and bins[i] > ms:
+                ms = bins[i]
+            if i > e - 5 and bins[i] > me:
+                me = bins[i]
+            if bins[i] > bins[mx]:
+                mx = i
+        if mx > s + 5 and mx < e - 5 and bins[mx] > max(ms, me) and \
+                ((c > 75 and bins[mx] > c / 5) or (c < 75 and bins[mx] > c / 2)):
+            t = mx << j
+    return t
+
+
+def _filter_seed_group(ovls, qlen: int, max_bin_cov: int, max_flank_len: int,
+                       min_seed_len: int, is_hq: bool):
+    """encode_ovl_filter + ovl_filter for one seed's sorted records.
+
+    ovls: list of dicts with inclusive ends; ovls[0] is the self record.
+    Returns (kept record list, blacklist mark or None).
+    """
+    nbin = (qlen >> BIN_OFFSET) + 1
+    bins = np.zeros(nbin + 2, np.int32)
+    qcov = 0
+    qmaxlen = qlen * MAX_OVL_COV
+    bincount = binlen = 0
+    contained = 0
+    pcount = 1
+    prev_qs = prev_qe = -10**9
+    accepted = []
+
+    for o in ovls:
+        if qcov > qmaxlen or len(accepted) > 65000:
+            continue
+        lable = 1
+        if o is not ovls[0]:
+            j = (o["qs"] + 10) >> BIN_OFFSET
+            kk = (o["qe"] - 10) >> BIN_OFFSET
+            if (j > 15 or kk < nbin - 16) and abs(o["qs"] - prev_qs) < BIN_TOLERANCE_EDGE \
+                    and abs(o["qe"] - prev_qe) < BIN_TOLERANCE_EDGE:
+                lable = 2 if pcount < BIN_TOLERANCE_COUNT else 0
+                pcount += 1
+            if lable:
+                seg = bins[j + 1 : kk + 1]
+                nnew = int((seg == 0).sum())
+                seg += 1
+                mincov = int(seg.min()) if len(seg) else 200
+                msum = int(seg.sum())
+                mean_lim = 1.3 * min(max(bincount / max(1, binlen), 10), max_bin_cov)
+                if (mincov > max_bin_cov or msum / max(1, kk - j) > mean_lim) and \
+                        (o["qe"] - o["qs"] <= qlen * 0.8):
+                    seg -= 1
+                    lable = 0
+                else:
+                    if lable != 2:
+                        pcount = 1
+                    lable = 1
+                    binlen += nnew
+                    bincount += kk - j
+        if lable:
+            prev_qs, prev_qe = o["qs"], o["qe"]
+            qcov += o["qe"] - o["qs"] + 1
+            if o["qname"] != o["tname"] and o["qs"] <= max_flank_len and \
+                    o["qe"] + max_flank_len >= qlen:
+                contained += 1
+            accepted.append(o)
+
+    # ---- ovl_filter: chimera + low-coverage region clearing ----
+    chimera = _check_chimer(bins[:nbin])
+    blacklist = None
+    if chimera or not contained:
+        s = e = 0
+        regs = []
+        if qcov > qlen * 10:
+            for i in range(1, nbin - 1):
+                if bins[i] < min(4, max_bin_cov // 10):
+                    if s == 0:
+                        s = i
+                    e = i
+                elif s:
+                    if chimera and chimera < s and (not regs or chimera > regs[-1][1]):
+                        regs.append((chimera, chimera))
+                    regs.append((s, e))
+                    s = e = 0
+            if s:
+                if chimera and chimera < s and (not regs or chimera > regs[-1][1]):
+                    regs.append((chimera, chimera))
+                regs.append((s, e))
+            if chimera and (not regs or chimera > regs[-1][1]):
+                regs.append((chimera, chimera))
+        elif chimera:
+            regs.append((chimera, chimera))
+
+        if regs:
+            m = len(regs) * 2
+            if regs[0][0] < 5:
+                m -= 2
+            if regs[-1][1] > nbin - 5:
+                m -= 2
+            if m > 0:
+                # find the largest clean gap between low-cov regions
+                k_best = 0
+                best = regs[0][0]
+                for i in range(1, len(regs)):
+                    gap = regs[i][0] - regs[i - 1][1]
+                    if gap > best:
+                        best = gap
+                        k_best = i
+                if nbin - regs[-1][1] > best:
+                    best = nbin - regs[-1][1]
+                    s, e = regs[-1][1], nbin
+                elif k_best and regs[k_best][1] > nbin - 5:
+                    s, e = regs[k_best - 1][1], nbin
+                elif k_best == 0 or regs[k_best - 1][0] < 5:
+                    s, e = 0, regs[k_best][0]
+                else:
+                    s, e = regs[k_best - 1][1], regs[k_best][0]
+                flank = 5
+                s = (s - flank) << BIN_OFFSET if s > flank else 0
+                e = (e + flank) << BIN_OFFSET
+                if best > (min_seed_len >> BIN_OFFSET) * 2 // 3:
+                    chimera = 0
+                    for o in accepted[1:]:
+                        if o["qs"] < s or o["qe"] > e:
+                            o["qe"] = 0
+                else:
+                    chimera = 1
+            else:
+                s = e = 0
+        else:
+            s = e = 0
+
+        if (not is_hq) and qcov > qlen * 20 and not chimera and \
+                contained < MIN_CONTAINED_COUNT:
+            chimera = _check_chimer2(accepted, qlen)
+            if not e:
+                e = qlen
+            if chimera <= s + (15 << BIN_OFFSET) or \
+                    chimera + (15 << BIN_OFFSET) >= e:
+                chimera = 0
+
+    kept = []
+    contained = 0
+    for o in accepted:
+        if o["qe"]:
+            kept.append(o)
+            if o["qname"] != o["tname"] and o["qs"] <= max_flank_len and \
+                    o["qe"] + max_flank_len >= qlen:
+                contained += 1
+    if contained >= MIN_CONTAINED_COUNT:
+        blacklist = "c"
+    elif chimera:
+        blacklist = "k"
+    return kept, blacklist
+
+
+def sort_filter_overlaps(raw: OvlBlock, is_seed: np.ndarray, lens: np.ndarray,
+                         max_bin_cov: int = 40, max_flank_len: int = 300,
+                         is_hq: bool = False) -> SortResult:
+    """Full ovl_sort pipeline over in-memory raw step-1 records."""
+    lens = np.asarray(lens, np.int64)
+    sym = symmetrize(raw, np.asarray(is_seed, bool), lens)
+    if len(sym) == 0:
+        return SortResult(OvlBlock.empty(), {})
+    span = sym.qe - sym.qs
+    order = np.lexsort((span, -sym.match.astype(np.int64), sym.qname))
+    sym = sym.take(order)
+
+    seed_rids = np.unique(sym.qname)
+    min_seed_len = int(lens[seed_rids].min())
+
+    out = []
+    blacklist: Dict[int, str] = {}
+    q = np.asarray(sym.qname)
+    bounds = np.searchsorted(q, seed_rids, side="left").tolist() + [len(q)]
+    for si, seed in enumerate(seed_rids):
+        lo, hi = bounds[si], bounds[si + 1]
+        qlen = int(lens[seed])
+        self_rec = dict(qname=int(seed), rev=0, qs=0, qe=qlen - 1,
+                        tname=int(seed), ts=0, te=qlen - 1, match=0)
+        group = [self_rec] + [
+            {k: int(sym.data[k][i]) for k in sym.data} for i in range(lo, hi)]
+        kept, mark = _filter_seed_group(group, qlen, max_bin_cov,
+                                        max_flank_len, min_seed_len, is_hq)
+        if mark:
+            blacklist[int(seed)] = mark
+        out.extend(kept)
+
+    if out:
+        blk = OvlBlock.from_arrays(**{k: np.array([o[k] for o in out], np.int32)
+                                      for k in out[0]})
+    else:
+        blk = OvlBlock.empty()
+    return SortResult(blk, blacklist)

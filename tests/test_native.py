@@ -1,0 +1,79 @@
+import numpy as np
+import pytest
+
+from nextdenovo_tpu.io.simulate import simulate_genome, mutate_read
+from nextdenovo_tpu.io.fastx import codes_to_str
+from nextdenovo_tpu.native import poa, band_align_cpu, correct_seed
+from oracles import edit_align_oracle
+
+
+def test_poa_consensus_majority():
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 4, 120).astype(np.uint8)
+    truth = codes_to_str(base)
+    seqs = []
+    for i in range(6):
+        seqs.append(codes_to_str(mutate_read(base, 0.08, rng)))
+    cons = poa(seqs)
+    # consensus should be closer to truth than any input
+    d_cons, _ = edit_align_oracle(
+        np.frombuffer(cons.encode(), np.uint8), np.frombuffer(truth.encode(), np.uint8))
+    d_in = min(edit_align_oracle(
+        np.frombuffer(s.encode(), np.uint8), np.frombuffer(truth.encode(), np.uint8))[0]
+        for s in seqs)
+    assert d_cons <= d_in
+    assert abs(len(cons) - len(truth)) < 20
+
+
+def test_cpu_band_align():
+    rng = np.random.default_rng(1)
+    t = codes_to_str(rng.integers(0, 4, 500).astype(np.uint8))
+    q = codes_to_str(mutate_read(np.frombuffer(t.encode(), np.uint8) % 4, 0, rng))
+    # identical strings -> distance 0
+    d, qa, ta = band_align_cpu(t, t)
+    assert d == 0 and qa == ta == t
+    q2 = codes_to_str(mutate_read(
+        np.array([{"A":0,"C":1,"G":2,"T":3}[c] for c in t], np.uint8), 0.1, rng))
+    d2, qa2, ta2 = band_align_cpu(q2, t)
+    assert 0 < d2 < 150
+    assert qa2.replace("-", "") == q2
+    assert ta2.replace("-", "") == t
+
+
+def _ops_from_oracle(q, t):
+    _, ops = edit_align_oracle(np.asarray(q, np.int8), np.asarray(t, np.int8))
+    return ops.astype(np.uint8)
+
+
+def test_correct_seed_recovers_truth():
+    rng = np.random.default_rng(2)
+    truth = rng.integers(0, 4, 3000).astype(np.uint8)
+    seed = mutate_read(truth, 0.10, rng)   # noisy seed
+    sups, ts_, te_, ops = [], [], [], []
+    for i in range(25):
+        sup = mutate_read(truth, 0.10, rng)
+        sups.append(sup)
+        ts_.append(0)
+        te_.append(len(seed) - 1)
+        ops.append(_ops_from_oracle(sup, seed))
+    ln, ide, seq = correct_seed(seed, sups, ts_, te_, ops,
+                                min_len_aln=100, min_cov=3, read_type=1)
+    assert ln > 2500, (ln, ide)
+    assert ide > 0.9
+    # corrected seq should be much closer to truth than the raw seed
+    cor = np.array([{"A":0,"C":1,"G":2,"T":3}[c] for c in seq.upper()], np.int8)
+    d_cor, _ = edit_align_oracle(cor, truth.astype(np.int8))
+    d_raw, _ = edit_align_oracle(seed.astype(np.int8), truth.astype(np.int8))
+    assert d_cor < d_raw * 0.15, (d_cor, d_raw)
+
+
+def test_correct_seed_low_coverage_rejected():
+    rng = np.random.default_rng(3)
+    truth = rng.integers(0, 4, 2000).astype(np.uint8)
+    seed = mutate_read(truth, 0.1, rng)
+    # only 1 support: most bases below min_cov -> len sentinel or low identity
+    sup = mutate_read(truth, 0.1, rng)
+    ln, ide, seq = correct_seed(seed, [sup], [0], [len(seed) - 1],
+                                [_ops_from_oracle(sup, seed)],
+                                min_len_aln=100, min_cov=4, read_type=1)
+    assert ln <= 2000 * 0.5 or ide < 0.8 or ln == 2

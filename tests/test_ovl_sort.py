@@ -1,0 +1,78 @@
+import numpy as np
+
+from nextdenovo_tpu.overlap.records import OvlBlock
+from nextdenovo_tpu.overlap.sort import sort_filter_overlaps
+
+
+def _mk(recs):
+    keys = ("qname", "rev", "qs", "qe", "tname", "ts", "te", "match")
+    return OvlBlock.from_arrays(**{k: np.array([r[i] for r in recs], np.int32)
+                                   for i, k in enumerate(keys)})
+
+
+def test_symmetrize_sort_and_self_record():
+    # reads: 0 (seed, 10k), 1..5 supports (8k)
+    lens = np.array([10000] + [8000] * 5)
+    is_seed = np.array([True] + [False] * 5)
+    recs = []
+    for i in range(1, 6):
+        # support i overlaps seed left-shifted: q=support keyed raw record
+        recs.append((i, 0, 0, 6000, 0, 2000, 8000, 5000 + i))
+    raw = _mk(recs)
+    res = sort_filter_overlaps(raw, is_seed, lens)
+    blk = res.block
+    assert len(blk) == 6  # self + 5
+    # first record per seed is the self record with inclusive ends
+    assert blk.qname[0] == 0 and blk.tname[0] == 0
+    assert blk.qs[0] == 0 and blk.qe[0] == 9999
+    # others sorted by match desc
+    assert list(blk.match[1:]) == sorted(blk.match[1:], reverse=True)
+    # seed-keyed: qname is always the seed
+    assert all(q == 0 for q in blk.qname)
+    # inclusive ends: seed interval was [2000, 8000) -> [2000, 7999]
+    assert blk.qe[1] == 7999
+    assert res.blacklist == {}
+
+
+def test_depth_cap():
+    # one seed, 300 identical-ish overlaps stacked on the same interval:
+    # the 64bp-bin depth cap (max_bin_cov) must drop most
+    lens = np.array([20000] + [9000] * 300)
+    is_seed = np.array([True] + [False] * 300)
+    recs = []
+    rng = np.random.default_rng(0)
+    for i in range(1, 301):
+        qs = int(rng.integers(0, 50))
+        recs.append((i, 0, 500, 8500, 0, 5000 + qs, 13000 + qs, 7000 - i))
+    raw = _mk(recs)
+    res = sort_filter_overlaps(raw, is_seed, lens, max_bin_cov=40)
+    kept = len(res.block) - 1
+    assert kept < 90, kept  # 40 cap + tolerance slop, far below 300
+
+
+def test_contained_seed_blacklisted():
+    # seed 0 (5k) fully contained in 3 larger reads -> 'c'
+    lens = np.array([5000, 20000, 20000, 20000])
+    is_seed = np.array([True, False, False, False])
+    recs = [(0, 0, 50, 4950, i, 8000, 12900, 4000) for i in (1, 2, 3)]
+    res = sort_filter_overlaps(_mk(recs), is_seed, lens)
+    assert res.blacklist.get(0) == "c"
+
+
+def test_chimeric_seed_blacklisted():
+    # seed with deep coverage on both flanks but a coverage hole in the
+    # middle which no overlap spans -> chimera 'k'
+    n_sup = 60
+    lens = np.array([30000] + [12000] * n_sup)
+    is_seed = np.array([True] + [False] * n_sup)
+    recs = []
+    rng = np.random.default_rng(1)
+    for i in range(1, n_sup + 1):
+        if i % 2:
+            s = int(rng.integers(0, 2000))
+            recs.append((0, 0, s, s + 11000, i, 0, 11000, 9000))
+        else:
+            s = int(rng.integers(17000, 19000))
+            recs.append((0, 0, s, s + 11000, i, 0, 11000, 9000))
+    res = sort_filter_overlaps(_mk(recs), is_seed, lens)
+    assert res.blacklist.get(0) in ("k", "c"), res.blacklist

@@ -1,0 +1,100 @@
+import numpy as np
+import jax.numpy as jnp
+
+from nextdenovo_tpu.io.seqstore import SeqStore
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+from nextdenovo_tpu.ops.sketch import kmer_pack, kmer_oracle, sketch
+from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+
+
+def test_kmer_pack_oracle():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 200).astype(np.int32)
+    for k in [3, 8, 15, 17, 31]:
+        (fhi, flo), (rhi, rlo) = kmer_pack(jnp.asarray(codes[None, :]), k)
+        fhi, flo = np.asarray(fhi)[0], np.asarray(flo)[0]
+        rhi, rlo = np.asarray(rhi)[0], np.asarray(rlo)[0]
+        of, orr = kmer_oracle(codes, k)
+        for i in range(0, 200 - k, 13):
+            got_f = (int(fhi[i]) << 32) | int(flo[i])
+            got_r = (int(rhi[i]) << 32) | int(rlo[i])
+            assert got_f == int(of[i]), (k, i)
+            assert got_r == int(orr[i]), (k, i)
+
+
+def test_sketch_density_and_validity():
+    rng = np.random.default_rng(1)
+    lens = np.array([900, 400], np.int32)
+    codes = np.zeros((2, 1024), np.int32)
+    for i, l in enumerate(lens):
+        codes[i, :l] = rng.integers(0, 4, l)
+    k, w = 15, 5
+    m = sketch(jnp.asarray(codes), jnp.asarray(lens), k=k, w=w, cap=2048)
+    n = int(m.n)
+    rid = np.asarray(m.rid[:n]); pos = np.asarray(m.pos[:n])
+    assert n > 0
+    # all positions valid
+    for r, p in zip(rid, pos):
+        assert 0 <= p <= lens[r] - k
+    # density ~ 2/(w+1): between 1/w and 3/w
+    d = n / lens.sum()
+    assert 1.0 / (w + 1) < d < 3.0 / w
+    # determinism: same input -> same output
+    m2 = sketch(jnp.asarray(codes), jnp.asarray(lens), k=k, w=w, cap=2048)
+    assert np.array_equal(np.asarray(m2.pos[:n]), pos)
+
+
+def test_sketch_rc_symmetric():
+    """A read and its revcomp share canonical minimizer hashes."""
+    rng = np.random.default_rng(2)
+    s = rng.integers(0, 4, 600).astype(np.int32)
+    rc = (s[::-1] ^ 3).astype(np.int32)
+    codes = np.stack([s, rc])
+    m = sketch(jnp.asarray(codes), jnp.asarray(np.array([600, 600], np.int32)),
+               k=15, w=5, cap=2048)
+    n = int(m.n)
+    rid = np.asarray(m.rid[:n]); h = np.asarray(m.hash[:n])
+    h0 = sorted(h[rid == 0].tolist())
+    h1 = sorted(h[rid == 1].tolist())
+    assert h0 == h1
+
+
+def _true_overlap(sim, i, j):
+    """True genome-interval overlap length of reads i and j."""
+    s = max(sim.start[i], sim.start[j])
+    e = min(sim.end[i], sim.end[j])
+    return max(0, e - s)
+
+
+def test_find_overlaps_recall_precision():
+    g = simulate_genome(120_000, seed=3)
+    sim = simulate_reads(g, coverage=8, mean_len=9000, error_rate=0.10, seed=4)
+    store = SeqStore.from_codes(sim.reads)
+    rids = np.arange(len(store))
+    idx = build_index(store, rids, k=15, w=5, max_occ=64)
+    ovl = find_overlaps(store, rids, idx, k=15, w=5, max_occ=16,
+                        min_cnt=4, min_span=500)
+    assert len(ovl) > 0
+    found = set()
+    for q, t in zip(ovl.qname, ovl.tname):
+        found.add((min(q, t), max(q, t)))
+    # recall over pairs with >=3kb true overlap
+    n_pairs = n_hit = 0
+    B = len(sim.reads)
+    for i in range(B):
+        for j in range(i + 1, B):
+            if _true_overlap(sim, i, j) >= 3000:
+                n_pairs += 1
+                if (i, j) in found:
+                    n_hit += 1
+    assert n_pairs > 20
+    recall = n_hit / n_pairs
+    assert recall >= 0.95, recall
+    # precision: every reported overlap must be a true one (>=500bp)
+    bad = sum(1 for i, j in found if _true_overlap(sim, i, j) < 300)
+    assert bad / max(1, len(found)) <= 0.02, (bad, len(found))
+    # endpoint sanity on fwd-fwd overlaps: reported q-span maps near true span
+    for r in range(len(ovl)):
+        q, t = int(ovl.qname[r]), int(ovl.tname[r])
+        assert 0 <= ovl.qs[r] < ovl.qe[r] <= store.length[q]
+        assert 0 <= ovl.ts[r] < ovl.te[r] <= store.length[t]
