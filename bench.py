@@ -1,0 +1,78 @@
+"""Benchmark: banded-alignment DP throughput on the TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+metric = giga cell-updates/s of the wavefront alignment kernel (band cells)
+on a realistic correction workload (noisy ~10kb read pairs @ 12% error).
+vs_baseline = speedup over the reference-equivalent scalar O(ND) aligner
+(libndtpu nd_band_align, same algorithm/semantics as align.c) on one host
+core, measured in aligned pairs/s on the identical pair set.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from nextdenovo_tpu.io.simulate import mutate_read
+    from nextdenovo_tpu.ops.align import (LANES, band_align_fwd, band_align_tb,
+                                          pad_for_align)
+    from nextdenovo_tpu.native import band_align_cpu
+    from nextdenovo_tpu.io.fastx import codes_to_str
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    R, W = 2, 2 * LANES
+    B, L = 64, 10_000
+    ts = [rng.integers(0, 4, L).astype(np.int8) for _ in range(B)]
+    qs = [mutate_read(t.astype(np.uint8), 0.12, rng).astype(np.int8) for t in ts]
+    m = np.array([len(q) for q in qs], np.int32)
+    n = np.array([len(t) for t in ts], np.int32)
+    a_max = ((int((m + n).max()) + 2047) // 2048 + 1) * 2048
+    qpad = jnp.asarray(pad_for_align(qs, int(m.max()), W))
+    rtpad = jnp.asarray(pad_for_align([t[::-1] for t in ts], int(n.max()), W))
+    mn = jnp.asarray(np.stack([m, n], 1))
+
+    # --- TPU kernel (fwd + traceback = the full alignment service) -------
+    tb, lo, stats = band_align_fwd(qpad, rtpad, mn, R=R, a_max=a_max)
+    ops, span = band_align_tb(tb, lo, mn, R=R, a_max=a_max)
+    _ = np.asarray(span)  # force
+    reps = 3
+    t0 = time.time()
+    for _i in range(reps):
+        tb, lo, stats = band_align_fwd(qpad, rtpad, mn, R=R, a_max=a_max)
+        ops, span = band_align_tb(tb, lo, mn, R=R, a_max=a_max)
+        _ = np.asarray(span)  # tunnel-safe sync
+    dt = (time.time() - t0) / reps
+    cells = float(B) * a_max * W
+    gcups = cells / dt / 1e9
+    tpu_pairs_s = B / dt
+
+    # --- reference-equivalent CPU aligner baseline (subset, 1 core) ------
+    nb = 8
+    t0 = time.time()
+    for i in range(nb):
+        qstr = codes_to_str(qs[i].astype(np.uint8))
+        tstr = codes_to_str(ts[i].astype(np.uint8))
+        band_align_cpu(qstr, tstr)
+    cpu_pairs_s = nb / (time.time() - t0)
+
+    print(json.dumps(dict(
+        metric="band_align_gcups" if on_tpu else "band_align_gcups_cpu",
+        value=round(gcups, 3),
+        unit="Gcells/s",
+        vs_baseline=round(tpu_pairs_s / cpu_pairs_s, 3),
+    )))
+
+
+if __name__ == "__main__":
+    main()

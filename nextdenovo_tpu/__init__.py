@@ -31,6 +31,10 @@ def _setup_jax_cache():
     try:
         import jax
 
+        # the axon TPU plugin overrides JAX_PLATFORMS at load; honor an
+        # explicit cpu request (tests, CPU-only pipelines)
+        if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+            jax.config.update("jax_platforms", "cpu")
         cache = _os.environ.get(
             "NDT_JAX_CACHE",
             _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))

@@ -1,0 +1,173 @@
+"""Seed-correction driver.
+
+Replaces lib/nextcorrect.py's process-pool driver: reads the seed-keyed
+sorted overlap block, gathers oriented support subsequences, aligns
+(seed-segment, support) pairs in length-bucketed batches on the TPU banded
+aligner, and hands alignment op strings to the native consensus engine
+(nextdenovo_tpu/native, = nextcorrect.c semantics).
+
+Reference data flow: read_seq_data (nextcorrect.py:92-143) selects supports
+per seed (min_len_aln, max_cov_aln*1.5 cap, dedup by read, min_cov_seed
+gate); worker (:183-199) fetches subsequences and calls nextCorrect.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..io.seqstore import SeqStore
+from ..native import correct_seed
+from ..ops import align as tpu_align
+
+log = logging.getLogger(__name__)
+
+
+@dataclass
+class SeedJob:
+    seed: int
+    seed_len: int
+    sups: List[Tuple[int, int, int, int, int, int]]  # (q, rev, ss, se, qs, qe) inclusive
+
+
+def iter_seed_jobs(sorted_blk, blacklist: Dict[int, str], lens: np.ndarray,
+                   min_len_seed: int = 1000, min_len_aln: int = 500,
+                   min_cov_seed: int = 10, max_cov_aln: int = 130
+                   ) -> Iterator[SeedJob]:
+    """Group the sorted block per seed (read_seq_data semantics)."""
+    q = np.asarray(sorted_blk.qname)
+    if len(q) == 0:
+        return
+    seeds, starts = np.unique(q, return_index=True)
+    order = np.argsort(starts)
+    bounds = np.searchsorted(q, seeds, "left").tolist() + [len(q)]
+    for si in range(len(seeds)):
+        seed = int(seeds[si])
+        if seed in blacklist:
+            continue
+        lo, hi = int(np.searchsorted(q, seed, "left")), int(np.searchsorted(q, seed, "right"))
+        seed_len = int(lens[seed])
+        if seed_len < min_len_seed:
+            continue
+        sups = []
+        used = set()
+        total = 0
+        for i in range(lo, hi):
+            t = int(sorted_blk.tname[i])
+            if t == seed:
+                continue  # self record
+            ss, se = int(sorted_blk.qs[i]), int(sorted_blk.qe[i])
+            if se - ss < min_len_aln:
+                continue
+            if total / seed_len > max_cov_aln * 1.5:
+                break
+            if t in used:
+                continue
+            used.add(t)
+            sups.append((t, int(sorted_blk.rev[i]), ss, se,
+                         int(sorted_blk.ts[i]), int(sorted_blk.te[i])))
+            total += se - ss + 1
+        if total / seed_len < min_cov_seed:
+            continue
+        yield SeedJob(seed, seed_len, sups)
+
+
+def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
+                  min_len_aln: int = 500, max_cov_aln: int = 130,
+                  min_cov: int = 4, max_lq_length: int = 10000,
+                  min_error_corrected_ratio: float = 0.8, split: bool = False,
+                  min_len_seed: int = 1000, interpret: bool | None = None,
+                  align_batch: int = 48):
+    """Run correction for the given jobs.  Yields (seed, len, ide, seq-str)."""
+    for job in jobs:
+        seed_codes = store.get(job.seed)
+        qs_list, t_pairs = [], []
+        for (t, rev, ss, se, sqs, sqe) in job.sups:
+            sup = store.subseq(t, sqs, sqe + 1, rc=bool(rev))
+            seg = seed_codes[ss : se + 1]
+            qs_list.append(sup.astype(np.int8))
+            t_pairs.append(seg.astype(np.int8))
+        # batched TPU alignment (bucketed by the wrapper's a_max rounding)
+        ops_all: List[Optional[np.ndarray]] = [None] * len(qs_list)
+        for b0 in range(0, len(qs_list), align_batch):
+            sl = slice(b0, min(len(qs_list), b0 + align_batch))
+            res = tpu_align.band_align(qs_list[sl], t_pairs[sl],
+                                       R=2, interpret=interpret)
+            for j, r in enumerate(res):
+                if r["reached"] and r["ok"]:
+                    ops_all[b0 + j] = r["ops"].astype(np.uint8)
+        sups, tss, tes, ops = [], [], [], []
+        for i, o in enumerate(ops_all):
+            if o is None:
+                continue
+            sups.append(qs_list[i].astype(np.uint8))
+            tss.append(job.sups[i][2])
+            tes.append(job.sups[i][3])
+            ops.append(o)
+        ln, ide, seq = correct_seed(
+            seed_codes, sups, tss, tes, ops, min_len_aln=min_len_aln,
+            max_cov_aln=max_cov_aln, min_cov=min_cov,
+            max_lq_length=min(max_lq_length, job.seed_len // 2 or 1),
+            min_error_corrected_ratio=min_error_corrected_ratio, split=split,
+            read_type=read_type)
+        yield job.seed, ln, ide, seq
+
+
+def run_correction(store: SeqStore, sorted_blk, blacklist: Dict[int, str],
+                   read_type: int = 1, min_len_seed: int = 1000,
+                   min_error_corrected_ratio: float = 0.8, split: bool = True,
+                   interpret: bool | None = None, **kw):
+    """Full correction pass -> (corrected SeqStore, names).
+
+    split=True mirrors the driver's `-s` behavior: corrected seeds are split
+    at uncorrected (lowercase) regions (nextcorrect.py:237-247)."""
+    lens = np.asarray(store.length)
+    jobs = list(iter_seed_jobs(sorted_blk, blacklist, lens,
+                               min_len_seed=min_len_seed, **{
+                                   k: v for k, v in kw.items()
+                                   if k in ("min_len_aln", "min_cov_seed",
+                                            "max_cov_aln")}))
+    log.info("correction: %d seed jobs", len(jobs))
+    out_seqs, out_names = [], []
+    n_fail = 0
+    for seed, ln, ide, seq in correct_seeds(
+            store, jobs, read_type=read_type, interpret=interpret,
+            min_error_corrected_ratio=min_error_corrected_ratio,
+            split=split,
+            **{k: v for k, v in kw.items()
+               if k in ("min_len_aln", "max_cov_aln", "min_cov",
+                        "max_lq_length")}):
+        if ln < min_len_seed or ide < min_error_corrected_ratio:
+            if ln == 3:
+                n_fail += 1
+            continue
+        if split:
+            # keep uppercase (corrected) runs only
+            runs = []
+            cur = []
+            for c in seq:
+                if c in "ACGT":
+                    cur.append(c)
+                else:
+                    if cur:
+                        runs.append("".join(cur))
+                    cur = []
+            if cur:
+                runs.append("".join(cur))
+            for i, r in enumerate(runs):
+                if len(r) >= min_len_seed:
+                    out_names.append(f"{seed}_{i+1}")
+                    out_seqs.append(np.frombuffer(
+                        r.encode().translate(_TR), np.uint8))
+        else:
+            out_names.append(str(seed))
+            out_seqs.append(np.frombuffer(
+                seq.upper().encode().translate(_TR), np.uint8))
+    log.info("correction: %d corrected sequences (%d failures)",
+             len(out_seqs), n_fail)
+    return SeqStore.from_codes(out_seqs, names=out_names)
+
+
+_TR = bytes.maketrans(b"ACGT", bytes([0, 1, 2, 3]))

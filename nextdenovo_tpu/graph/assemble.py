@@ -1,0 +1,406 @@
+"""Bidirected string-graph assembly (nextgraph equivalent, host side).
+
+Re-implements the reference's string-graph assembler (/root/reference/util/ng/)
+pipeline: per-read trimmed extents + containment from the cns-overlap
+blacklist info, dovetail edge construction with identity/score-ratio voting
+(asg.c:1468-1683 update_graph), Myers-style transitive reduction with fuzz
+(asg.c mark_edge_tr), tip/short-branch clipping, low-score branch removal,
+simple bubble popping, and unambiguous-path contig extraction
+(ctg.c:67-295 generate_ctg).
+
+Round-1 scope: the passes that determine correctness on clean data — the
+z-branch/complex-path/chimeric-BFS heuristics (asg.c:771+,1106+,1745+) land
+in a later revision, in the reference's pass order (ng/main.c:191-279).
+
+Vertex encoding: v = rid*2 + dir (dir 0 = read forward).  Every edge has a
+complement (t^1 -> q^1); all mutations keep the pair symmetric.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# defaults mirror ng/opt.c:48-89
+DEFAULTS = dict(
+    fuzz_len=1000, min_ide=0.001, min_ide_ratio=0.7, min_sco_ratio=0.4,
+    max_sco_ratio=0.5, max_hang_len=500, min_node_count=2, min_con_count=2,
+    sbranch_len=15, bubble_len=500, out_ctg_len=1000,
+)
+
+
+@dataclass
+class ReadInfo:
+    """Per-read info distilled from the cns-align .bl data
+    (lib/ovl.c:339-361 out_bl fields)."""
+    length: int
+    s: int = 0            # trimmed extent start (le)
+    e: int = 0            # trimmed extent end (length - re)
+    con: int = 0          # containment count
+    lim: int = 0          # best identity (x10000) at left end
+    rim: int = 0
+    llm: int = 0          # best aln len at left end
+    rlm: int = 0
+
+    def __post_init__(self):
+        if self.e == 0:
+            self.e = self.length
+
+
+@dataclass
+class Edge:
+    u: int
+    v: int
+    hang: int        # bases of v's read appended when traversing
+    sco: int         # aln length
+    ide: int         # identity x10000
+    deleted: bool = False
+    reduced: bool = False
+
+
+class StringGraph:
+    def __init__(self, reads: Dict[int, ReadInfo], **params):
+        self.p = dict(DEFAULTS)
+        self.p.update(params)
+        self.reads = reads
+        self.edges: List[Edge] = []
+        self.out: Dict[int, List[int]] = {}   # vertex -> edge indices
+        self.einfo: Dict[Tuple[int, int], int] = {}
+
+    # ---------- construction ----------
+    def _add_pair(self, u, v, hang_uv, hang_vu, sco, ide):
+        """Add edge u->v and its complement v^1 -> u^1."""
+        for (a, b, h) in ((u, v, hang_uv), (v ^ 1, u ^ 1, hang_vu)):
+            key = (a, b)
+            if key in self.einfo:
+                ei = self.einfo[key]
+                if self.edges[ei].sco < sco:
+                    self.edges[ei] = Edge(a, b, h, sco, ide)
+                continue
+            self.edges.append(Edge(a, b, h, sco, ide))
+            self.einfo[key] = len(self.edges) - 1
+            self.out.setdefault(a, []).append(len(self.edges) - 1)
+
+    def build(self, ovl) -> None:
+        """ovl: OvlBlock-like with qname/rev/qs/qe/tname/ts/te/match/ide
+        (exclusive ends, fwd coords).  Mirrors update_graph gating."""
+        H = self.p["max_hang_len"]
+        min_ide = int(self.p["min_ide"] * 10000)
+        R = self.reads
+        n = len(ovl.qname)
+        order = np.argsort(-(np.asarray(ovl.match, np.int64)))
+        for i0 in order:
+            i = int(i0)
+            q, t = int(ovl.qname[i]), int(ovl.tname[i])
+            if q not in R or t not in R:
+                continue
+            rq, rt = R[q], R[t]
+            if rq.con >= self.p["min_con_count"] or rt.con >= self.p["min_con_count"]:
+                continue
+            rev = int(ovl.rev[i])
+            qs, qe = int(ovl.qs[i]), int(ovl.qe[i])
+            ts, te = int(ovl.ts[i]), int(ovl.te[i])
+            ide = int(ovl.data.get("ide", np.full(n, 9000))[i])
+            alnlen = max(qe - qs, te - ts)
+            # containment re-check on trimmed extents (asg.c:1496-1504)
+            if qs <= rq.s + H and qe >= rq.e - H:
+                rq.con += 1
+                continue
+            if ts <= rt.s + H and te >= rt.e - H:
+                rt.con += 1
+                continue
+
+            ql, qr = qs <= rq.s + H, qe >= rq.e - H
+            tl, tr = ts <= rt.s + H, te >= rt.e - H
+
+            def vote(best_im, best_lm):
+                """Per-end support vote (asg.c:1513-1531)."""
+                if alnlen >= best_lm:
+                    return 2
+                if best_im >= min_ide:
+                    return 1 if ide >= best_im * self.p["min_ide_ratio"] else 0
+                return 1 if alnlen >= best_lm * self.p["min_sco_ratio"] else 0
+
+            def upd(r, left):
+                if left:
+                    r.llm = max(r.llm, alnlen)
+                    r.lim = max(r.lim, ide)
+                else:
+                    r.rlm = max(r.rlm, alnlen)
+                    r.rim = max(r.rim, ide)
+
+            def gate(va, vb):
+                v = 2 if (va == 2 or vb == 2) else va + vb
+                return v >= self.p["min_node_count"]
+
+            Q, T = q * 2, t * 2
+            if not rev:
+                if qr and tl:      # q-suffix ~ t-prefix: q+ -> t+
+                    if not gate(vote(rq.rim, rq.rlm), vote(rt.lim, rt.llm)):
+                        continue
+                    upd(rq, False); upd(rt, True)
+                    self._add_pair(Q, T, rt.e - te, qs - rq.s, alnlen, ide)
+                elif ql and tr:    # t+ -> q+
+                    if not gate(vote(rq.lim, rq.llm), vote(rt.rim, rt.rlm)):
+                        continue
+                    upd(rq, True); upd(rt, False)
+                    self._add_pair(T, Q, rq.e - qe, ts - rt.s, alnlen, ide)
+            else:
+                if ql and tl:      # rc left-left: q- -> t+
+                    if not gate(vote(rq.lim, rq.llm), vote(rt.lim, rt.llm)):
+                        continue
+                    upd(rq, True); upd(rt, True)
+                    self._add_pair(Q ^ 1, T, rt.e - te, rq.e - qe, alnlen, ide)
+                elif qr and tr:    # rc right-right: q+ -> t-
+                    if not gate(vote(rq.rim, rq.rlm), vote(rt.rim, rt.rlm)):
+                        continue
+                    upd(rq, False); upd(rt, False)
+                    self._add_pair(Q, T ^ 1, ts - rt.s, qs - rq.s, alnlen, ide)
+        # drop edges touching contained reads discovered late
+        for e in self.edges:
+            if (self.reads[e.u // 2].con >= self.p["min_con_count"] or
+                    self.reads[e.v // 2].con >= self.p["min_con_count"]):
+                e.deleted = True
+
+    # ---------- helpers ----------
+    def out_edges(self, v) -> List[Edge]:
+        return [self.edges[i] for i in self.out.get(v, [])
+                if not (self.edges[i].deleted or self.edges[i].reduced)]
+
+    def in_edges(self, v) -> List[Edge]:
+        return [self.edges[self.einfo[(e.v ^ 1, e.u ^ 1)]]
+                for e in self.out_edges(v ^ 1)]
+
+    def degree(self, v) -> Tuple[int, int]:
+        return len(self.in_edges(v)), len(self.out_edges(v))
+
+    def _del_edge(self, e: Edge):
+        e.deleted = True
+        ci = self.einfo.get((e.v ^ 1, e.u ^ 1))
+        if ci is not None:
+            self.edges[ci].deleted = True
+
+    # ---------- cleaning passes ----------
+    def transitive_reduction(self):
+        """Myers 2005 with fuzz (asg.c mark_edge_tr:417-467)."""
+        fuzz = self.p["fuzz_len"]
+        mark: Dict[int, int] = {}
+        for v in list(self.out.keys()):
+            oes = sorted(self.out_edges(v), key=lambda e: e.hang)
+            if not oes:
+                continue
+            longest = oes[-1].hang + fuzz
+            for e in oes:
+                mark[e.v] = 1  # in-play
+            for e in oes:
+                if mark.get(e.v) == 1:
+                    for e2 in sorted(self.out_edges(e.v), key=lambda x: x.hang):
+                        if e.hang + e2.hang <= longest and mark.get(e2.v) == 1:
+                            mark[e2.v] = 2  # eliminated
+            for e in oes:
+                if mark.get(e.v) == 2:
+                    e.reduced = True
+                    ci = self.einfo.get((e.v ^ 1, e.u ^ 1))
+                    if ci is not None:
+                        self.edges[ci].reduced = True
+                mark.pop(e.v, None)
+
+    def drop_low_score_branches(self):
+        """At branch vertices drop out-edges scoring far below the best
+        (mark_edge_hls/rm_edge_ls, ratio = max_sco_ratio)."""
+        r = self.p["max_sco_ratio"]
+        for v in list(self.out.keys()):
+            oes = self.out_edges(v)
+            if len(oes) < 2:
+                continue
+            best = max(e.sco * e.ide for e in oes)
+            for e in oes:
+                if e.sco * e.ide < best * r:
+                    # keep the graph connected: only cut if v's target keeps
+                    # another in-edge
+                    if len(self.in_edges(e.v)) > 1:
+                        self._del_edge(e)
+
+    def clip_tips(self, max_tip: Optional[int] = None):
+        """Remove dead-end chains of <= sbranch_len nodes that hang off a
+        branching path (rm_sht_brh, asg.c:697+)."""
+        max_tip = max_tip or self.p["sbranch_len"]
+        changed = True
+        while changed:
+            changed = False
+            verts = {e.u for e in self.edges if not (e.deleted or e.reduced)}
+            for v in verts:
+                if self.degree(v)[0] != 0:
+                    continue
+                # v is a path start; walk forward while unambiguous
+                chain = [v]
+                cur = v
+                is_tip = False
+                while len(chain) <= max_tip:
+                    oes = self.out_edges(cur)
+                    if len(oes) != 1:
+                        break  # dead end or out-branch: not a clippable tip
+                    nxt = oes[0].v
+                    if self.degree(nxt)[0] > 1:
+                        is_tip = True  # merges into a through-path
+                        break
+                    chain.append(nxt)
+                    cur = nxt
+                if is_tip and len(chain) <= max_tip:
+                    for n in chain:
+                        for e in self.out_edges(n):
+                            self._del_edge(e)
+                        for e in self.in_edges(n):
+                            self._del_edge(e)
+                    changed = True
+
+    def pop_bubbles(self, max_nodes: int = 50):
+        """k-arm bubble popping: if every out-edge of v starts a simple path
+        and all paths reconverge at one vertex, keep the best-scoring arm
+        (rm_sht_bubble / rm_long_bubble analogue)."""
+        changed = True
+        while changed:
+            changed = False
+            verts = {e.u for e in self.edges if not (e.deleted or e.reduced)}
+            for v in verts:
+                oes = self.out_edges(v)
+                if len(oes) < 2:
+                    continue
+                arms = []
+                ok = True
+                for e in oes:
+                    path = [e]
+                    cur = e.v
+                    n = 0
+                    while True:
+                        ind, outd = self.degree(cur)
+                        if ind == 1 and outd == 1:
+                            nxt = self.out_edges(cur)[0]
+                            path.append(nxt)
+                            cur = nxt.v
+                            n += 1
+                            if n > max_nodes:
+                                ok = False
+                                break
+                        elif ind == 1 and outd == 0:
+                            ok = False  # dead-ending arm: tip logic handles
+                            break
+                        else:
+                            break
+                    if not ok:
+                        break
+                    arms.append((path, cur))
+                if not ok or len(arms) < 2:
+                    continue
+                ends = {end for _, end in arms}
+                if len(ends) != 1 or v in ends or (v ^ 1) in ends:
+                    continue
+                scores = [sum(e.sco * e.ide for e in p) for p, _ in arms]
+                keep = int(np.argmax(scores))
+                for i, (p, _) in enumerate(arms):
+                    if i != keep:
+                        for e in p:
+                            self._del_edge(e)
+                changed = True
+
+    def clean(self):
+        self.transitive_reduction()
+        for _ in range(2):
+            self.clip_tips()
+            self.pop_bubbles()
+            self.drop_low_score_branches()
+        self.clip_tips()
+        self.pop_bubbles()
+
+    # ---------- contig extraction ----------
+    def contigs(self) -> List[List[Tuple[int, Edge]]]:
+        """Paths as [(vertex, incoming-edge-or-None), ...]; each contig's rc
+        twin is suppressed (generate_ctg both-orientation marking)."""
+        visited = set()
+        out = []
+
+        def walk(start):
+            path = [(start, None)]
+            visited.add(start)
+            visited.add(start ^ 1)
+            cur = start
+            while True:
+                oes = self.out_edges(cur)
+                if len(oes) != 1:
+                    break
+                e = oes[0]
+                nxt = e.v
+                if self.degree(nxt)[0] != 1 or nxt in visited:
+                    if nxt not in visited and self.degree(nxt)[0] == 1:
+                        pass
+                    break
+                path.append((nxt, e))
+                visited.add(nxt)
+                visited.add(nxt ^ 1)
+                cur = nxt
+            return path
+
+        verts = set(self.out.keys()) | {e.v for e in self.edges if not e.deleted}
+        for v in sorted(verts):
+            if v in visited:
+                continue
+            ind, outd = self.degree(v)
+            if ind + outd == 0:
+                continue
+            if outd >= 1 and ind != 1:
+                out.append(walk(v))
+        # remaining: pure cycles
+        for v in sorted(verts):
+            if v in visited:
+                continue
+            ind, outd = self.degree(v)
+            if ind == 1 and outd == 1:
+                out.append(walk(v))
+        return [p for p in out if p]
+
+    def contig_sequences(self, get_read) -> List[np.ndarray]:
+        """Emit contig base arrays.  get_read(rid) -> codes (fwd)."""
+        seqs = []
+        for path in self.contigs():
+            parts = []
+            v0, _ = path[0]
+            r0 = self.reads[v0 // 2]
+            s0 = get_read(v0 // 2)[r0.s : r0.e]
+            if v0 & 1:
+                s0 = (s0 ^ 3)[::-1]
+            parts.append(s0)
+            for vtx, e in path[1:]:
+                r = self.reads[vtx // 2]
+                s = get_read(vtx // 2)[r.s : r.e]
+                if vtx & 1:
+                    s = (s ^ 3)[::-1]
+                hang = min(e.hang, len(s))
+                if hang > 0:
+                    parts.append(s[-hang:])
+            seqs.append(np.concatenate(parts) if parts else np.zeros(0, np.uint8))
+        return seqs
+
+
+def assemble(ovl, read_lens: Dict[int, int], bl_info: Optional[dict] = None,
+             get_read=None, min_ctg_len: int = 1000, **params):
+    """High-level: overlaps (+ blacklist info) -> contig sequences.
+
+    bl_info: optional dict rid -> dict(con, le, re, lim, rim, llm, rlm).
+    """
+    reads = {}
+    for rid, L in read_lens.items():
+        info = (bl_info or {}).get(rid, {})
+        reads[rid] = ReadInfo(
+            length=L, s=info.get("le", 0), e=L - info.get("re", 0),
+            con=info.get("con", 0), lim=info.get("lim", 0),
+            rim=info.get("rim", 0), llm=info.get("llm", 0),
+            rlm=info.get("rlm", 0))
+    g = StringGraph(reads, **params)
+    g.build(ovl)
+    g.clean()
+    if get_read is None:
+        return g, []
+    seqs = [s for s in g.contig_sequences(get_read) if len(s) >= min_ctg_len]
+    seqs.sort(key=len, reverse=True)
+    return g, seqs

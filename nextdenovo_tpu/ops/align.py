@@ -439,15 +439,47 @@ def pad_for_align(seqs, max_len: int, W: int) -> np.ndarray:
     return out
 
 
+_B2C = np.frombuffer(b"ACGT", np.uint8)
+
+
+def band_align_native(queries, targets):
+    """Host fallback: the native O(ND) aligner (libndtpu nd_band_align, same
+    semantics as the reference's align.c).  Used off-TPU where Pallas
+    interpret mode would be orders of magnitude too slow."""
+    from ..native import band_align_cpu
+
+    res = []
+    for q, t in zip(queries, targets):
+        qstr = _B2C[np.asarray(q, np.uint8) & 3].tobytes().decode()
+        tstr = _B2C[np.asarray(t, np.uint8) & 3].tobytes().decode()
+        d, qa, ta = band_align_cpu(qstr, tstr)
+        if len(qa) <= 2 and (len(q) > 2 or len(t) > 2):
+            res.append(dict(dist=1 << 28, reached=False, ok=False,
+                            ops=np.zeros(0, np.int8)))
+            continue
+        a = np.frombuffer(qa.encode(), np.uint8)
+        b = np.frombuffer(ta.encode(), np.uint8)
+        ops = np.where(b == ord("-"), OP_UP,
+                       np.where(a == ord("-"), OP_LEFT, OP_DIAG)).astype(np.int8)
+        res.append(dict(dist=int(np.sum(a != b)), reached=True, ok=True, ops=ops))
+    return res
+
+
 def band_align(queries: List[np.ndarray], targets: List[np.ndarray],
                R: int = 2, interpret: bool | None = None):
     """Globally align each (query, target) code-array pair.
 
     Returns list of dicts {dist, reached, ok, ops} where ops is an int array
     of OP_DIAG/OP_UP/OP_LEFT in alignment-column order (start -> end).
+
+    On TPU this runs the Pallas wavefront kernel; elsewhere it falls back to
+    the native scalar aligner (same unit-cost semantics).  Pass
+    interpret=True to force the Pallas interpreter (kernel tests).
     """
     if interpret is None:
-        interpret = not _on_tpu()
+        if not _on_tpu():
+            return band_align_native(queries, targets)
+        interpret = False
     P = SUBLANES // R
     B0 = len(queries)
     padB = (-B0) % P

@@ -1,0 +1,268 @@
+"""cns-read overlap stage (minimap2-nd --step 2 equivalent).
+
+Pipeline: minimizer candidates (diagonal voting, engine.py) -> banded
+re-alignment on TPU for precise endpoints + identity (replacing the
+re-align pass of map.c:988-1090 / alnpos refinement :919-987) -> dovetail /
+containment classification and per-read stats accumulation (filter_ovl,
+lib/ovl.c:449-563) -> mode-10-style records + per-read blacklist info
+(out_bl fields, ovl.c:339-361) for the string graph.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..io.seqstore import SeqStore
+from ..ops import align as tpu_align
+from .engine import MiniIndex, build_index, find_overlaps
+from .records import OvlBlock
+
+EDGEBACKLEN = 10   # lib/ovl.h:12
+MAX_CON = 2        # lib/ovl.h:70
+
+
+@dataclass
+class OvlInfoAln:
+    """Per-read accumulation (lib/ovl.h:60-107 ovlinfo_aln)."""
+    length: int
+    con: int = 0
+    lc: int = 0
+    rc: int = 0
+    lim: int = 0
+    rim: int = 0
+    llm: int = 0
+    rlm: int = 0
+    alns: List[Tuple[int, int]] = field(default_factory=list)
+    alnl: Tuple[int, int] = (0, 0)
+
+    def fill_aln(self, s, e):
+        if self.con < MAX_CON:
+            self.alns.append((s + EDGEBACKLEN, e - EDGEBACKLEN))
+
+    def fill_alnl(self, s, e):
+        if self.con < MAX_CON and e - s > self.alnl[1] - self.alnl[0]:
+            self.alnl = (s, e)
+
+    def merged(self) -> List[Tuple[int, int]]:
+        if not self.alns:
+            return []
+        ivs = sorted(self.alns)
+        out = [list(ivs[0])]
+        for s, e in ivs[1:]:
+            if s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+            else:
+                out.append([s, e])
+        return [(s - EDGEBACKLEN, e + EDGEBACKLEN) for s, e in out]
+
+
+def realign_overlaps(store: SeqStore, cand: OvlBlock, ext: int = 64,
+                     batch: int = 64, interpret: bool | None = None,
+                     min_ide: float = 0.05) -> OvlBlock:
+    """Refine candidate overlap endpoints + identity with the banded aligner.
+
+    Each candidate's clipped segments (grown by `ext` toward the read ends)
+    are globally aligned; terminal gap runs are trimmed off to recover the
+    true start/end, and identity = matches / columns (x10000) fills the
+    mode-10 `ide` field.
+    """
+    n = len(cand)
+    recs = {k: [] for k in
+            ("qname", "rev", "qs", "qe", "tname", "ts", "te", "match", "ide")}
+    for s0 in range(0, n, batch):
+        sl = slice(s0, min(n, s0 + batch))
+        qs_l, ts_l, pairs = [], [], []
+        for i in range(sl.start, sl.stop):
+            q, t = int(cand.qname[i]), int(cand.tname[i])
+            rev = int(cand.rev[i])
+            ql, tl = int(store.length[q]), int(store.length[t])
+            qs = max(0, int(cand.qs[i]) - ext)
+            qe = min(ql, int(cand.qe[i]) + ext)
+            ts = max(0, int(cand.ts[i]) - ext)
+            te = min(tl, int(cand.te[i]) + ext)
+            qseq = store.subseq(q, qs, qe)
+            tseq = store.subseq(t, ts, te, rc=bool(rev))
+            pairs.append((qseq.astype(np.int8), tseq.astype(np.int8)))
+            qs_l.append((qs, qe))
+            ts_l.append((ts, te))
+        res = tpu_align.band_align([p[0] for p in pairs],
+                                   [p[1] for p in pairs], R=2,
+                                   interpret=interpret)
+        for j, r in enumerate(res):
+            i = sl.start + j
+            if not (r["reached"] and r["ok"]):
+                continue
+            ops = r["ops"]
+            # trim terminal gap runs to refine endpoints
+            lead = 0
+            while lead < len(ops) and ops[lead] != 0:
+                lead += 1
+            tail = 0
+            while tail < len(ops) - lead and ops[len(ops) - 1 - tail] != 0:
+                tail += 1
+            core = ops[lead : len(ops) - tail]
+            if len(core) == 0:
+                continue
+            q_lead = int(np.sum(ops[:lead] == 1))
+            t_lead = lead - q_lead
+            q_tail = int(np.sum(ops[len(ops) - tail :] == 1))
+            t_tail = tail - q_tail
+            n_q = int(np.sum(core != 2))
+            n_t = int(np.sum(core != 1))
+            dist_core = r["dist"] - lead - tail
+            matches_lb = len(core) - dist_core  # columns - edits (lower bound)
+            ide = max(0.0, min(1.0, matches_lb / max(1, len(core))))
+            if ide < min_ide:
+                continue
+            (qs, qe) = qs_l[j]
+            (ts, te) = ts_l[j]
+            rev = int(cand.rev[i])
+            new_qs = qs + q_lead
+            new_qe = new_qs + n_q
+            if rev:
+                # t segment was rc'd: leading columns consume the rc prefix =
+                # the fwd suffix
+                new_te = te - t_lead
+                new_ts = new_te - n_t
+            else:
+                new_ts = ts + t_lead
+                new_te = new_ts + n_t
+            recs["qname"].append(int(cand.qname[i]))
+            recs["rev"].append(rev)
+            recs["qs"].append(new_qs)
+            recs["qe"].append(new_qe)
+            recs["tname"].append(int(cand.tname[i]))
+            recs["ts"].append(new_ts)
+            recs["te"].append(new_te)
+            recs["match"].append(matches_lb)
+            recs["ide"].append(int(ide * 10000))
+    return OvlBlock.from_arrays(**recs)
+
+
+def filter_cns_overlaps(ovl: OvlBlock, lens: np.ndarray, maxhan1: int = 5000,
+                        maxhan2: int = 500):
+    """filter_ovl (lib/ovl.c:449-563): containment counting, dovetail
+    classification, per-end depth/quality stats.  Returns (kept OvlBlock,
+    info dict rid -> OvlInfoAln)."""
+    info: Dict[int, OvlInfoAln] = {}
+
+    def get(rid):
+        if rid not in info:
+            info[rid] = OvlInfoAln(length=int(lens[rid]))
+        return info[rid]
+
+    keep = []
+    order = np.argsort(-np.asarray(ovl.match, np.int64), kind="stable")
+    for i in map(int, order):
+        q, t = int(ovl.qname[i]), int(ovl.tname[i])
+        rev = int(ovl.rev[i])
+        qs, qe = int(ovl.qs[i]), int(ovl.qe[i])
+        ts, te = int(ovl.ts[i]), int(ovl.te[i])
+        ide = int(ovl.ide[i])
+        ql, tl = int(lens[q]), int(lens[t])
+        lo, ro = get(q), get(t)
+        if lo.con < MAX_CON:
+            if qs <= maxhan2:
+                lo.lc += 1
+            if ql - qe <= maxhan2:
+                lo.rc += 1
+        if ro.con < MAX_CON:
+            if ts <= maxhan2:
+                ro.lc += 1
+            if tl - te <= maxhan2:
+                ro.rc += 1
+        lo.fill_aln(qs, qe)
+        ro.fill_aln(ts, te)
+        # mutual containment (near-identical reads): drop the shorter one
+        # decisively so duplicate cns reads cannot both survive
+        if (qs <= maxhan2 and qe + maxhan2 >= ql and
+                ts <= maxhan2 and te + maxhan2 >= tl):
+            (lo if ql <= tl else ro).con = MAX_CON
+            continue
+        if lo.con < MAX_CON and qs <= maxhan2 and qe + maxhan2 >= ql:
+            lo.con += 1
+            continue
+        if ro.con < MAX_CON and ts <= maxhan2 and te + maxhan2 >= tl:
+            ro.con += 1
+            continue
+        if lo.con >= MAX_CON or ro.con >= MAX_CON:
+            continue
+        alnlen = max(qe - qs, te - ts)
+        kept_i = False
+        if rev:
+            if qs <= maxhan1 and ts <= maxhan1:
+                if qs <= maxhan2 and ts <= maxhan2:
+                    lo.llm = max(lo.llm, alnlen); ro.llm = max(ro.llm, alnlen)
+                    lo.lim = max(lo.lim, ide); ro.lim = max(ro.lim, ide)
+                kept_i = True
+            elif ql - qe <= maxhan1 and tl - te <= maxhan1:
+                if ql - qe <= maxhan2 and tl - te <= maxhan2:
+                    lo.rlm = max(lo.rlm, alnlen); ro.rlm = max(ro.rlm, alnlen)
+                    lo.rim = max(lo.rim, ide); ro.rim = max(ro.rim, ide)
+                kept_i = True
+        else:
+            if ql - qe <= maxhan1 and ts <= maxhan1:
+                if ql - qe <= maxhan2 and ts <= maxhan2:
+                    lo.rlm = max(lo.rlm, alnlen); ro.llm = max(ro.llm, alnlen)
+                    lo.rim = max(lo.rim, ide); ro.lim = max(ro.lim, ide)
+                kept_i = True
+            elif qs <= maxhan1 and tl - te <= maxhan1:
+                if qs <= maxhan2 and tl - te <= maxhan2:
+                    lo.llm = max(lo.llm, alnlen); ro.rlm = max(ro.rlm, alnlen)
+                    lo.lim = max(lo.lim, ide); ro.rim = max(ro.rim, ide)
+                kept_i = True
+        if not kept_i:
+            # near-containment retention (ovl.c:557-561)
+            if (qs <= maxhan1 and qe + maxhan1 >= ql) or \
+                    (ts <= maxhan1 and te + maxhan1 >= tl):
+                kept_i = True
+            else:
+                lo.fill_alnl(qs, qe)
+                ro.fill_alnl(ts, te)
+        if kept_i:
+            keep.append(i)
+    return ovl.take(np.array(keep, np.int64)) if keep else OvlBlock.empty(True), info
+
+
+def bl_info_for_graph(info: Dict[int, OvlInfoAln], min_con_count: int = 2,
+                      max_hang_len: int = 500, drop_chimera: bool = True):
+    """init_os (ng/main.c:13-79): turn per-read stats into graph ReadInfo
+    inputs; multi-interval (chimeric) cns reads are dropped."""
+    out = {}
+    for rid, o in info.items():
+        if o.con >= min_con_count:
+            continue
+        ivs = o.merged()
+        if drop_chimera and len(ivs) > 1:
+            continue
+        if ivs:
+            s, e = ivs[-1]
+        else:
+            s, e = 0, o.length
+        # refilt_con_read (ng/main.c:37-43)
+        ls, le_ = o.alnl
+        if ls < s + max_hang_len and le_ > e - max_hang_len and le_ > ls:
+            o.con += 1
+            if o.con >= min_con_count:
+                continue
+        out[rid] = dict(con=o.con, le=max(0, s), re=max(0, o.length - min(e, o.length)),
+                        lim=o.lim, rim=o.rim, llm=o.llm, rlm=o.rlm)
+    return out
+
+
+def cns_overlap_stage(store: SeqStore, rids: np.ndarray, k: int = 17,
+                      w: int = 17, maxhan1: int = 5000, maxhan2: int = 500,
+                      min_span: int = 2000, min_cnt: int = 3,
+                      max_occ: int = 16, interpret: bool | None = None):
+    """Full step-2 stage: candidates -> realign -> filter.  Returns
+    (mode-10 OvlBlock, bl_info dict for the graph)."""
+    idx = build_index(store, rids, k=k, w=w, max_occ=max(64, max_occ * 4))
+    cand = find_overlaps(store, rids, idx, k=k, w=w, max_occ=max_occ,
+                         min_cnt=min_cnt, min_span=min_span)
+    ovl = realign_overlaps(store, cand, interpret=interpret)
+    kept, info = filter_cns_overlaps(ovl, np.asarray(store.length),
+                                     maxhan1=maxhan1, maxhan2=maxhan2)
+    bl = bl_info_for_graph(info)
+    return kept, bl

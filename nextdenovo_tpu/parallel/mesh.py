@@ -1,0 +1,31 @@
+"""Device mesh helpers.
+
+The reference scales out with a shell-script task DAG over cluster nodes
+(Paralleltask, SURVEY 2.8); here the same structure maps onto a jax device
+mesh: read batches are data-parallel across chips, the minimizer index is
+sharded by hash range, and overlap/anchor records move via ICI collectives
+(all_to_all) instead of files on a shared filesystem.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+AXIS = "shard"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def shard_rows(mesh: Mesh, arr):
+    """Shard the leading dim across the mesh."""
+    return jax.device_put(arr, NamedSharding(mesh, P(AXIS)))
+
+
+def replicate(mesh: Mesh, arr):
+    return jax.device_put(arr, NamedSharding(mesh, P()))

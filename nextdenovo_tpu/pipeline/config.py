@@ -1,0 +1,133 @@
+"""run.cfg-compatible configuration.
+
+Parses the reference's INI-ish `key = value` format (lib/config_parser.py:111)
+and derives the same options (seed cutoff, sort depth cap, per-read-type
+presets) so existing NextDenovo configs drop in.
+"""
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+_UNIT = {"k": 1e3, "m": 1e6, "g": 1e9}
+
+
+def parse_num_unit(v) -> int:
+    """'1k'/'10m'/'3g' -> int (lib/kit.py:131)."""
+    if isinstance(v, (int, float)):
+        return int(v)
+    m = re.match(r"^\s*([\d.]+)\s*([kmgKMG]?)", str(v))
+    if not m:
+        raise ValueError(f"bad numeric value: {v}")
+    x = float(m.group(1))
+    if m.group(2):
+        x *= _UNIT[m.group(2).lower()]
+    return int(x)
+
+
+@dataclass
+class Config:
+    # [General]
+    task: str = "all"
+    input_fofn: str = ""
+    input_type: str = "raw"
+    read_type: str = "ont"     # clr | ont | hifi
+    workdir: str = "./01_rundir"
+    rewrite: bool = True
+    # [correct_option]
+    read_cutoff: int = 1000
+    genome_size: int = 0
+    seed_cutoff: int = 0
+    seed_depth: int = 45
+    min_len_aln: int = 500
+    min_cov_seed: int = 10
+    max_cov_aln: int = 130
+    min_cov_base: int = 4
+    max_lq_length: int = 10000
+    min_error_corrected_ratio: float = 0.8
+    sort_max_depth: int = 40
+    split_corrected: bool = True
+    # sketch presets (minimap2 ava analogues; config_parser.py:202-232)
+    raw_k: int = 15
+    raw_w: int = 5
+    cns_k: int = 17
+    cns_w: int = 17
+    # [assemble_option]
+    maxhan1: int = 5000
+    maxhan2: int = 500
+    cns_min_span: int = 2000
+    min_ctg_len: int = 1000
+    raw: dict = field(default_factory=dict)
+
+    @property
+    def read_type_code(self) -> int:
+        return {"ont": 1, "clr": 2, "clr-rs": 2, "hifi": 3, "ccs": 3}[self.read_type]
+
+    def derive(self, total_bases: int, lengths) -> None:
+        """db_stat-time derivations (ConfigParser.update:24-47 +
+        seq_stat's auto seed_cutoff, util/seq_stat.c:41-52)."""
+        import numpy as np
+        if self.genome_size <= 0 and self.seed_cutoff <= 0:
+            raise ValueError("genome_size or seed_cutoff must be set")
+        if self.seed_cutoff <= 0:
+            ls = np.sort(np.asarray(lengths))[::-1]
+            target = self.seed_depth * self.genome_size
+            cum = np.cumsum(ls)
+            idx = int(np.searchsorted(cum, target))
+            idx = min(idx, len(ls) - 1)
+            self.seed_cutoff = int(ls[idx])
+        if self.genome_size > 0:
+            total_depth = total_bases // self.genome_size
+            self.sort_max_depth = (total_depth - 2) if total_depth <= 30 \
+                else min(total_depth - 5, 40)
+            self.sort_max_depth = max(self.sort_max_depth, 3)
+        # _set_minlen analogues (config_parser.py:49-65)
+        self.cns_min_span = min(2000, self.seed_cutoff // 10) or 2000
+        self.maxhan1 = min(5000, self.seed_cutoff // 2) or 5000
+        if self.max_lq_length == 10000 and self.read_type != "ont":
+            self.max_lq_length = 1000
+
+    @property
+    def min_len_seed(self) -> int:
+        return max(1000, self.seed_cutoff // 2)
+
+
+def load_config(path: str) -> Config:
+    cfg = Config()
+    raw = {}
+    base = os.path.dirname(os.path.abspath(path))
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#") or line.startswith("["):
+                continue
+            m = re.search(r"([^;\s]+)\s*[=:]\s*([^;#\n]+)", line)
+            if not m or not m.group(2).strip():
+                continue
+            raw[m.group(1)] = m.group(2).strip()
+    cfg.raw = raw
+    if "task" in raw:
+        cfg.task = raw["task"].split()[0]
+    if "input_fofn" in raw:
+        p = raw["input_fofn"]
+        cfg.input_fofn = p if p.startswith("/") else os.path.join(base, p)
+    if "input_type" in raw:
+        cfg.input_type = raw["input_type"].split()[0]
+    if "read_type" in raw:
+        cfg.read_type = raw["read_type"].split()[0]
+        if cfg.read_type == "ccs":
+            cfg.read_type = "hifi"
+    if "workdir" in raw:
+        p = raw["workdir"]
+        cfg.workdir = p if p.startswith("/") else os.path.join(base, p)
+    if "rewrite" in raw:
+        cfg.rewrite = raw["rewrite"].split()[0].lower() not in ("no", "0", "false")
+    for key, attr in [("read_cutoff", "read_cutoff"),
+                      ("genome_size", "genome_size"),
+                      ("seed_cutoff", "seed_cutoff"),
+                      ("seed_depth", "seed_depth")]:
+        if key in raw:
+            setattr(cfg, attr, parse_num_unit(raw[key].split()[0]))
+    return cfg

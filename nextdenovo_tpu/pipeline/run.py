@@ -1,0 +1,211 @@
+"""Pipeline orchestrator: correct-then-assemble end to end.
+
+Replaces the reference's shell-script task DAG + Paralleltask scheduler
+(nextDenovo:564-836): a single-controller driver with per-stage durable
+checkpoints (`<workdir>/<stage>/` + `.done` markers), resumable by re-running
+the same command (doc/FAQ.rst:76-79 semantics).
+
+Stages (mirroring nextDenovo's 11-stage DAG, collapsed where the device
+replaces file-based shuffles):
+  db_stat    read stats, auto seed_cutoff           (bin/seq_stat)
+  db_split   2-bit read store + seed selection      (bin/seq_dump)
+  raw_align  minimizer ava overlap of seeds         (minimap2-nd --step 1)
+  sort_align seed-keyed sort + depth/chimera filter (bin/ovl_sort)
+  seed_cns   TPU align + native consensus           (lib/nextcorrect.py)
+  cns_align  cns ava + realign + dovetail filter    (minimap2-nd --step 2)
+  ctg_graph  string graph -> contigs                (bin/nextgraph)
+
+Usage: python -m nextdenovo_tpu.pipeline.run run.cfg
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..correct.driver import run_correction
+from ..graph.assemble import assemble
+from ..io.fastx import read_fastx, write_fasta
+from ..io.seqstore import SeqStore, stat_n50
+from ..overlap.cns import cns_overlap_stage
+from ..overlap.engine import build_index, find_overlaps
+from ..overlap.records import OvlBlock
+from ..overlap.sort import sort_filter_overlaps
+from .config import Config, load_config
+
+log = logging.getLogger("nextdenovo_tpu")
+
+
+class Stage:
+    def __init__(self, workdir: str, name: str):
+        self.dir = os.path.join(workdir, name)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def done(self) -> bool:
+        return os.path.exists(os.path.join(self.dir, ".done"))
+
+    def mark(self):
+        with open(os.path.join(self.dir, ".done"), "w") as fh:
+            fh.write(str(time.time()))
+
+    def path(self, f):
+        return os.path.join(self.dir, f)
+
+
+def run_pipeline(cfg: Config, interpret: bool | None = None):
+    os.makedirs(cfg.workdir, exist_ok=True)
+    t_start = time.time()
+
+    # ---- db_stat + db_split --------------------------------------------
+    st = Stage(cfg.workdir, "00.db")
+    if st.done():
+        store = SeqStore.load(st.path("reads"))
+        meta = json.load(open(st.path("meta.json")))
+        cfg.seed_cutoff = meta["seed_cutoff"]
+        cfg.sort_max_depth = meta["sort_max_depth"]
+        cfg.cns_min_span = meta["cns_min_span"]
+        cfg.maxhan1 = meta["maxhan1"]
+        seed_mask = np.asarray(meta["seed_mask"], bool)
+    else:
+        seqs, names = [], []
+        with open(cfg.input_fofn) as fh:
+            files = [l.strip() for l in fh if l.strip()]
+        for f in files:
+            if not f.startswith("/"):
+                f = os.path.join(os.path.dirname(cfg.input_fofn), f)
+            for name, codes in read_fastx(f):
+                if len(codes) >= cfg.read_cutoff:
+                    seqs.append(codes)
+                    names.append(name)
+        store = SeqStore.from_codes(seqs, names=names)
+        lens = np.asarray(store.length)
+        cfg.derive(int(lens.sum()), lens)
+        seed_mask = lens >= cfg.seed_cutoff
+        log.info("db: %d reads, %d bases, seed_cutoff=%d (%d seeds), sort -k %d",
+                 len(store), store.total_bases, cfg.seed_cutoff,
+                 int(seed_mask.sum()), cfg.sort_max_depth)
+        store.save(st.path("reads"))
+        json.dump(dict(seed_cutoff=cfg.seed_cutoff,
+                       sort_max_depth=cfg.sort_max_depth,
+                       cns_min_span=cfg.cns_min_span, maxhan1=cfg.maxhan1,
+                       seed_mask=seed_mask.tolist()),
+                  open(st.path("meta.json"), "w"))
+        st.mark()
+    lens = np.asarray(store.length)
+    rids = np.arange(len(store))
+
+    if cfg.input_type == "corrected":
+        cns_store = store
+    else:
+        # ---- raw_align --------------------------------------------------
+        st = Stage(cfg.workdir, "01.raw_align")
+        if st.done():
+            raw_ovl = OvlBlock.load(st.path("raw.ovl"))
+        else:
+            idx = build_index(store, rids, k=cfg.raw_k, w=cfg.raw_w, max_occ=64)
+            seed_rids = rids[seed_mask]
+            raw_ovl = find_overlaps(store, seed_rids, idx, k=cfg.raw_k,
+                                    w=cfg.raw_w, max_occ=16, min_cnt=4,
+                                    min_span=500)
+            log.info("raw_align: %d overlap records", len(raw_ovl))
+            raw_ovl.save(st.path("raw.ovl"))
+            st.mark()
+
+        # ---- sort_align -------------------------------------------------
+        st = Stage(cfg.workdir, "02.sort_align")
+        if st.done():
+            sorted_blk = OvlBlock.load(st.path("sorted.ovl"))
+            blacklist = {int(k): v for k, v in
+                         json.load(open(st.path("bl.json"))).items()}
+        else:
+            res = sort_filter_overlaps(raw_ovl, seed_mask, lens,
+                                       max_bin_cov=cfg.sort_max_depth)
+            sorted_blk, blacklist = res.block, res.blacklist
+            log.info("sort_align: %d records, %d blacklisted seeds",
+                     len(sorted_blk), len(blacklist))
+            sorted_blk.save(st.path("sorted.ovl"))
+            json.dump(blacklist, open(st.path("bl.json"), "w"))
+            st.mark()
+
+        # ---- seed_cns ---------------------------------------------------
+        st = Stage(cfg.workdir, "03.seed_cns")
+        if st.done():
+            cns_store = SeqStore.load(st.path("cns"))
+        else:
+            cns_store = run_correction(
+                store, sorted_blk, blacklist,
+                read_type=cfg.read_type_code,
+                min_len_seed=cfg.min_len_seed,
+                min_error_corrected_ratio=cfg.min_error_corrected_ratio,
+                split=cfg.split_corrected, interpret=interpret,
+                min_len_aln=cfg.min_len_aln, min_cov_seed=cfg.min_cov_seed,
+                max_cov_aln=cfg.max_cov_aln, min_cov=cfg.min_cov_base,
+                max_lq_length=cfg.max_lq_length)
+            log.info("seed_cns: %d corrected reads, %d bases",
+                     len(cns_store), cns_store.total_bases)
+            cns_store.save(st.path("cns"))
+            write_fasta(st.path("cns.fasta"),
+                        [(n, cns_store.get(i))
+                         for i, n in enumerate(cns_store.names)])
+            st.mark()
+
+    if cfg.task == "correct":
+        return dict(cns=cns_store)
+
+    # ---- cns_align ------------------------------------------------------
+    st = Stage(cfg.workdir, "04.cns_align")
+    if st.done():
+        cns_ovl = OvlBlock.load(st.path("cns.filt.dovt.ovl"))
+        bl = {int(k): v for k, v in json.load(open(st.path("cnsbl.json"))).items()}
+    else:
+        cns_rids = np.arange(len(cns_store))
+        cns_ovl, bl = cns_overlap_stage(
+            cns_store, cns_rids, k=cfg.cns_k, w=cfg.cns_w,
+            maxhan1=cfg.maxhan1, maxhan2=cfg.maxhan2,
+            min_span=cfg.cns_min_span, interpret=interpret)
+        log.info("cns_align: %d dovetail records, %d graph reads",
+                 len(cns_ovl), len(bl))
+        cns_ovl.save(st.path("cns.filt.dovt.ovl"))
+        json.dump(bl, open(st.path("cnsbl.json"), "w"))
+        st.mark()
+
+    # ---- ctg_graph ------------------------------------------------------
+    st = Stage(cfg.workdir, "05.ctg_graph")
+    read_lens = {i: int(cns_store.length[i]) for i in range(len(cns_store))}
+    sg, seqs = assemble(cns_ovl, read_lens, bl_info=bl,
+                        get_read=lambda r: cns_store.get(r),
+                        min_ctg_len=cfg.min_ctg_len)
+    names = [f"ctg{i:06d}" for i in range(len(seqs))]
+    write_fasta(st.path("nd.asm.fasta"), list(zip(names, seqs)))
+    stats = stat_n50(np.array([len(s) for s in seqs])) if seqs else {}
+    with open(st.path("nd.asm.stat"), "w") as fh:
+        fh.write(json.dumps(stats, indent=1, default=int))
+    st.mark()
+    log.info("assembly: %d contigs, N50=%s, total=%s (%.1fs)",
+             len(seqs), stats.get("N50", (0,))[0] if stats else 0,
+             stats.get("total", 0), time.time() - t_start)
+    return dict(cns=cns_store, contigs=seqs, stats=stats,
+                fasta=st.path("nd.asm.fasta"))
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s %(levelname)s %(name)s] %(message)s")
+    argv = argv or sys.argv[1:]
+    if not argv:
+        print("usage: python -m nextdenovo_tpu.pipeline.run run.cfg")
+        return 1
+    cfg = load_config(argv[0])
+    out = run_pipeline(cfg)
+    if "stats" in out:
+        print(json.dumps(out["stats"], default=int))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,7 +19,7 @@ def test_band_align_exact_small(R):
     for _ in range(6):
         q, t = _rand_pair(rng, int(rng.integers(30, 200)), 0.15)
         qs.append(q); ts.append(t)
-    res = band_align(qs, ts, R=R)
+    res = band_align(qs, ts, R=R, interpret=True)
     for q, t, r in zip(qs, ts, res):
         d_oracle, _ = edit_align_oracle(q, t)
         assert r["reached"] and r["ok"]
@@ -31,7 +31,7 @@ def test_band_align_exact_small(R):
 def test_band_align_identical():
     rng = np.random.default_rng(1)
     s = rng.integers(0, 4, 500).astype(np.int8)
-    r = band_align([s], [s])[0]
+    r = band_align([s], [s], interpret=True)[0]
     assert r["dist"] == 0 and r["ok"]
     assert np.all(r["ops"] == 0) and len(r["ops"]) == 500
 
@@ -42,7 +42,7 @@ def test_band_align_long_noisy():
     for _ in range(4):
         q, t = _rand_pair(rng, 3000, 0.12)
         qs.append(q); ts.append(t)
-    res = band_align(qs, ts, R=2)
+    res = band_align(qs, ts, R=2, interpret=True)
     for q, t, r in zip(qs, ts, res):
         assert r["reached"] and r["ok"]
         # banded dist is an upper bound on true dist and should be close
@@ -56,8 +56,20 @@ def test_band_align_len_mismatch():
     rng = np.random.default_rng(3)
     t = rng.integers(0, 4, 400).astype(np.int8)
     q = t[100:300].copy()
-    r = band_align([q], [t])[0]
+    r = band_align([q], [t], interpret=True)[0]
     d_oracle, _ = edit_align_oracle(q, t)
     assert r["ok"]
     assert r["dist"] >= d_oracle
     assert ops_cost(q, t, r["ops"]) == r["dist"]
+
+
+def test_band_align_native_fallback():
+    """Off-TPU default path: the native O(ND) aligner."""
+    rng = np.random.default_rng(9)
+    t = rng.integers(0, 4, 1000).astype(np.int8)
+    q = mutate_read(t.astype(np.uint8), 0.1, rng).astype(np.int8)
+    r = band_align([q], [t])[0]  # interpret=None -> native on CPU
+    assert r["ok"] and r["reached"]
+    assert ops_cost(q, t, r["ops"]) >= 0
+    d_oracle, _ = edit_align_oracle(q, t)
+    assert d_oracle <= r["dist"] <= d_oracle * 1.5 + 10

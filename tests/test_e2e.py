@@ -1,0 +1,70 @@
+"""End-to-end pipeline test on a synthetic genome (the reference's bundled
+test is `nextDenovo test_data/run.cfg` on a ~308kb genome; the read blob is
+absent from the snapshot so we simulate an equivalent workload)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nextdenovo_tpu.io.fastx import write_fasta
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+from nextdenovo_tpu.pipeline.config import load_config
+from nextdenovo_tpu.pipeline.run import run_pipeline
+
+
+@pytest.fixture(scope="module")
+def workload(tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    glen = 80_000
+    g = simulate_genome(glen, seed=42)
+    sim = simulate_reads(g, coverage=25, mean_len=15000, error_rate=0.10,
+                         seed=43, min_len=2000)
+    write_fasta(str(d / "reads.fa"),
+                [(f"read{i}", r) for i, r in enumerate(sim.reads)])
+    (d / "input.fofn").write_text("reads.fa\n")
+    (d / "run.cfg").write_text(f"""
+[General]
+task = all
+input_type = raw
+read_type = ont
+input_fofn = ./input.fofn
+workdir = ./rundir
+
+[correct_option]
+read_cutoff = 1k
+genome_size = {glen}
+seed_depth = 12
+""")
+    return d, g, sim
+
+
+def test_pipeline_end_to_end(workload):
+    d, g, sim = workload
+    cfg = load_config(str(d / "run.cfg"))
+    out = run_pipeline(cfg)
+    assert "contigs" in out and len(out["contigs"]) >= 1
+    total = sum(len(c) for c in out["contigs"])
+    longest = len(out["contigs"][0])
+    # assembles into few contigs covering most of the genome
+    assert longest > 0.6 * len(g), (longest, len(g))
+    assert total < 1.6 * len(g), total
+
+    # contig accuracy: sampled 31-mers of the main contig must appear in the
+    # genome (both strands); correction should push accuracy near-perfect
+    def kset(arr, stride=1):
+        a = np.asarray(arr, np.uint64)
+        k = 31
+        v = np.zeros(len(a) - k + 1, np.uint64)
+        for j in range(k):
+            v = (v << np.uint64(2)) | a[j : len(a) - k + 1 + j]
+        return set(v[::stride].tolist())
+
+    gk = kset(g) | kset((np.asarray(g) ^ 3)[::-1])
+    ck = kset(out["contigs"][0], stride=11)
+    hit = sum(1 for v in ck if v in gk)
+    assert hit / max(1, len(ck)) > 0.9, hit / len(ck)
+
+    # resume: re-running must reuse checkpoints (fast, same result)
+    out2 = run_pipeline(cfg)
+    assert sum(len(c) for c in out2["contigs"]) == total

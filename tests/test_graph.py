@@ -1,0 +1,63 @@
+import numpy as np
+
+from nextdenovo_tpu.io.seqstore import SeqStore
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+from nextdenovo_tpu.graph.assemble import assemble
+
+
+def _assemble_sim(glen, cov, err, seed, mean_len=12000):
+    g = simulate_genome(glen, seed=seed)
+    sim = simulate_reads(g, coverage=cov, mean_len=mean_len, error_rate=err,
+                         seed=seed + 1)
+    store = SeqStore.from_codes(sim.reads)
+    rids = np.arange(len(store))
+    idx = build_index(store, rids, k=15, w=5, max_occ=64)
+    ovl = find_overlaps(store, rids, idx, k=15, w=5, max_occ=16,
+                        min_cnt=4, min_span=500)
+    # attach an identity column (graph expects mode-10-ish records); perfect
+    # reads -> high identity estimate from match/span
+    span = np.maximum(ovl.qe - ovl.qs, 1)
+    ide = np.minimum((ovl.match / span * 10000).astype(np.int32), 10000)
+    ovl.data["ide"] = np.maximum(ide, 8000)
+    lens = {i: int(store.length[i]) for i in range(len(store))}
+    sg, seqs = assemble(ovl, lens, get_read=lambda r: store.get(r))
+    return g, sim, store, sg, seqs
+
+
+def test_assemble_perfect_reads():
+    g, sim, store, sg, seqs = _assemble_sim(150_000, 12, 0.0, seed=10)
+    assert len(seqs) >= 1
+    total = sum(len(s) for s in seqs)
+    # main contig should cover most of the genome
+    assert len(seqs[0]) > 0.85 * len(g), (len(seqs[0]), len(g))
+    assert total < 1.35 * len(g), total
+
+
+def test_assemble_low_error_reads():
+    # corrected-read regime: ~1% residual error
+    g, sim, store, sg, seqs = _assemble_sim(150_000, 14, 0.01, seed=20)
+    assert len(seqs) >= 1
+    assert len(seqs[0]) > 0.8 * len(g), (len(seqs[0]), len(g))
+
+
+def _kmer_set(arr, k=31, stride=1):
+    """Vectorized 31-mer values (as uint64) at the given stride."""
+    a = np.asarray(arr, np.uint64)
+    if len(a) < k:
+        return set()
+    v = np.zeros(len(a) - k + 1, np.uint64)
+    for j in range(k):
+        v = (v << np.uint64(2)) | a[j : len(a) - k + 1 + j]
+    return set(v[::stride].tolist())
+
+
+def test_assemble_contig_matches_genome_kmers():
+    g, sim, store, sg, seqs = _assemble_sim(100_000, 12, 0.0, seed=30)
+    ctg = seqs[0]
+    gk = _kmer_set(g) | _kmer_set((np.asarray(g) ^ 3)[::-1])
+    ck = _kmer_set(ctg, stride=7)
+    hit = sum(1 for v in ck if v in gk)
+    # junction endpoints are anchor-extent approximations until the cns-stage
+    # realignment refines them; allow a small junction-kmer loss
+    assert hit / max(1, len(ck)) > 0.99, hit / len(ck)
