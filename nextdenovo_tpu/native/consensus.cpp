@@ -950,8 +950,11 @@ static void iterate_consensus(std::vector<LqWin> &lqwins, int iterate) {
   }
 }
 
-// update_consensus_trimed (nextcorrect.c:1365-1482)
-static NdCns *update_consensus(std::vector<LqWin> &lqwins, Consensus &cons) {
+// update_consensus_trimed (nextcorrect.c:1365-1482); keep_all skips the
+// lq-region clipping (polish mode: low-coverage bases are kept, ctg_cns
+// keeps reference bases under low depth rather than trimming)
+static NdCns *update_consensus(std::vector<LqWin> &lqwins, Consensus &cons,
+                               bool keep_all) {
   std::string out;
   struct Reg { unsigned start = 0, end = 0, lqlen = 0, lq_total = 0; };
   std::vector<Reg> lq(LQREG_MAX_COUNT + 2);
@@ -1012,6 +1015,14 @@ static NdCns *update_consensus(std::vector<LqWin> &lqwins, Consensus &cons) {
   if (lq_i < (int)lq.size() && lq[lq_i].end == out.size() - 1) lq_i++;
 
   NdCns *res = (NdCns *)malloc(sizeof(NdCns));
+  if (keep_all) {
+    unsigned lq_total = 0;
+    for (auto &r : lq) lq_total += r.lq_total;
+    res->len = (uint32_t)out.size();
+    res->identity = out.empty() ? 0.f : 1.f - (float)lq_total / out.size();
+    res->seq = strdup(out.c_str());
+    return res;
+  }
   if (lq_i) {
     // keep the largest clean stretch between lq regions (nextcorrect.c:1445-1468)
     unsigned best_s = 0, best_e = lq[0].start, best_len = lq[0].start;
@@ -1164,7 +1175,7 @@ NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
                   const uint8_t *const *ops_arr, const int32_t *ops_lens,
                   int32_t min_len_aln, int32_t max_cov_aln, int32_t min_cov,
                   int32_t max_lq_length, float min_error_corrected_ratio,
-                  int32_t split, int32_t read_type) {
+                  int32_t split, int32_t read_type, int32_t keep_all) {
   g_read_type = read_type;
   g_lqseq_max_length = std::min<unsigned>(max_lq_length, DAG_MAX_LENGTH);
 
@@ -1253,8 +1264,9 @@ NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
 
   generate_lqseqs_from_tags(lqwins, tags_list, split);
   iterate_consensus(lqwins, 2);
-  NdCns *res = update_consensus(lqwins, cons);
-  if (res->len > 1000 && res->identity > 0.8) trim_terminal_ssr(res);
+  NdCns *res = update_consensus(lqwins, cons, keep_all != 0);
+  if (!keep_all && res->len > 1000 && res->identity > 0.8)
+    trim_terminal_ssr(res);
   return res;
 }
 

@@ -32,7 +32,7 @@ NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
                   const uint8_t *const *ops_arr, const int32_t *ops_lens,
                   int32_t min_len_aln, int32_t max_cov_aln, int32_t min_cov,
                   int32_t max_lq_length, float min_error_corrected_ratio,
-                  int32_t split, int32_t read_type);
+                  int32_t split, int32_t read_type, int32_t keep_all);
 
 void nd_free_cns(NdCns *c);
 

@@ -15,8 +15,13 @@ DP:
     reference's best-antidiagonal band pruning (align.c:472-489), and is
     clamped so the final cell (m, n) is always reached;
   * traceback decisions (2 bits/cell: 0=diag, 1=up/consume-q, 2=left/
-    consume-t) are packed PACK=16 anti-diagonals per int32 word and streamed
-    to HBM; a second kernel walks them back to an op string per pair.
+    consume-t) are packed PACK=16 anti-diagonals per int32 word;
+  * each grid step processes CHUNK=64 packed words (1024 anti-diagonals) and
+    flushes them with in-kernel dynamic stores — per-grid-step output blocks
+    cost ~20us each on this part (measured), so outputs must be chunked;
+  * band offsets are stored compactly per word: lane0 = lo at the word's
+    first step, lane1 = 16 shift bits (lo moves by 0/1 per step), decoded
+    incrementally by the traceback kernel.
 
 Unit costs match `align`'s edit-distance semantics (mismatch=1, gap=1);
 identity / trimming stats are derived from the op string downstream.
@@ -36,6 +41,8 @@ INF = 1 << 28
 LANES = 128
 SUBLANES = 8
 PACK = 16           # anti-diagonal steps packed per tb int32 word
+CHUNK = 64          # packed words processed per fwd grid step
+STEPS_PER_GRID = PACK * CHUNK
 
 OP_DIAG, OP_UP, OP_LEFT, OP_NONE = 0, 1, 2, 3
 
@@ -46,9 +53,9 @@ def _on_tpu() -> bool:
 
 def _band_shift(v, d: int):
     """shifted[w] = v[w + d] (d = +-1) where w = row*128 + lane over the
-    (8,128) tile viewed as one row-major band.  Wrap lanes are fixed up from
-    the neighboring row; out-of-band lanes are handled by validity masks in
-    the caller."""
+    (8,128) tile viewed as one row-major band per pair.  Wrap lanes are
+    fixed up from the neighboring row; out-of-band lanes are masked by the
+    caller's validity tests."""
     assert d in (-1, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
     base = jnp.roll(v, -d, axis=1)
@@ -60,7 +67,7 @@ def _band_shift(v, d: int):
 
 def _dyn_window(ref, p: int, start, R: int):
     """(R, 128) window ref[p, start : start + R*128] for a traced, unaligned
-    `start`.  Mosaic only allows lane-aligned dynamic vector loads, so we load
+    `start`.  Mosaic only allows lane-aligned dynamic vector loads, so load
     aligned 128-blocks and funnel-shift with a dynamic rotate."""
     a0 = pl.multiple_of((start // LANES) * LANES, LANES)
     r = start % LANES
@@ -75,32 +82,32 @@ def _dyn_window(ref, p: int, start, R: int):
 
 
 def _band_w(R: int):
-    """(8,128) band coordinate w of each lane: w = (row % R)*128 + lane."""
     row = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
     return (row % R) * LANES + lane
 
 
 def _fwd_kernel(mn_ref, q_ref, rt_ref, tb_ref, lo_ref, stats_ref,
-                v1, v2, sc, *, R: int, n_at: int):
-    """One grid step computes PACK anti-diagonals for P = 8/R pairs.
+                v1, v2, sc, *, R: int, n_ch: int):
+    """One grid step computes STEPS_PER_GRID anti-diagonals for P pairs.
 
     mn_ref:   (1, P, 8) int32 SMEM: [m, n] per pair
-    q_ref:    (P, QP) int32: query codes, sentinel at [0], pad tail
-    rt_ref:   (P, TP) int32: reversed target codes, same scheme
-    tb_ref:   (1, 8, 128) int32 out: packed traceback words for these steps
-    lo_ref:   (1, P, PACK) int32 out: band offset per step
-    stats_ref:(P, 128) int32 out: [0]=dist, [1]=reached
-    v1, v2:   (8,128) int32 scratch: wavefronts a-1 / a-2
-    sc:       (4, P) int32 SMEM scratch: [lo_m1, lo_m2, done, dist]
+    q_ref:    (8, QP) int32: query codes (rows 0..P-1), sentinel at [0]
+    rt_ref:   (8, TP) int32: reversed target codes, same scheme
+    tb_ref:   (CHUNK, 8, 128) int32 out: packed traceback words
+    lo_ref:   (CHUNK, P, 128) int32 out: lane0 = word base lo, lane1 = shift
+              bits (bit s: lo(step s+1) = lo(step s) + 1)
+    stats_ref:(1, P, 128) int32 out: [0]=dist, [1]=reached
+    v1, v2:   (8,128) int32 scratch wavefronts; sc: (4, 8) SMEM scratch
     """
     P = SUBLANES // R
     W = R * LANES
-    at = pl.program_id(1)
+    c = pl.program_id(1)
     w_idx = _band_w(R)
     inf = jnp.int32(INF)
+    lane_p = jax.lax.broadcasted_iota(jnp.int32, (P, LANES), 1)
 
-    @pl.when(at == 0)
+    @pl.when(c == 0)
     def _init():
         v1[...] = jnp.full((SUBLANES, LANES), inf, jnp.int32)
         v2[...] = jnp.full((SUBLANES, LANES), inf, jnp.int32)
@@ -110,122 +117,129 @@ def _fwd_kernel(mn_ref, q_ref, rt_ref, tb_ref, lo_ref, stats_ref,
             sc[2, p] = 0
             sc[3, p] = inf
 
-    tb_words = jnp.zeros((SUBLANES, LANES), jnp.int32)
-    lo_hist_cols = []          # per step: list of P scalars
+    def word_body(wb, _):
+        a0 = (c * CHUNK + wb) * PACK
+        tb_words = jnp.zeros((SUBLANES, LANES), jnp.int32)
+        base_lo = [sc[0, p] for p in range(P)]  # lo_{a0-1}; adjusted below
+        shift_bits = [jnp.int32(0) for _ in range(P)]
+        first_lo = [None] * P
 
-    for s in range(PACK):
-        a = at * PACK + s
+        for s in range(PACK):
+            a = a0 + s
+            lower = jnp.min(jnp.where(w_idx < W // 2, v1[...], inf), axis=1,
+                            keepdims=True)
+            upper = jnp.min(jnp.where(w_idx >= W // 2, v1[...], inf), axis=1,
+                            keepdims=True)
+            lo_list, s1_list, s2_list, m_list, n_list, done_list = \
+                [], [], [], [], [], []
+            for p in range(P):
+                m = mn_ref[0, p, 0]
+                n = mn_ref[0, p, 1]
+                lo_m1 = sc[0, p]
+                lo_m2 = sc[1, p]
+                lm = lower[p * R, 0]
+                um = upper[p * R, 0]
+                for rr in range(1, R):
+                    lm = jnp.minimum(lm, lower[p * R + rr, 0])
+                    um = jnp.minimum(um, upper[p * R + rr, 0])
+                s_ad = jnp.where(um < lm, 1, 0).astype(jnp.int32)
+                lo_a = jnp.maximum(jnp.maximum(lo_m1 + s_ad, a - n), 0)
+                lo_a = jnp.minimum(jnp.minimum(lo_a, m), lo_m1 + 1)
+                sc[1, p] = lo_m1
+                sc[0, p] = lo_a
+                lo_list.append(lo_a)
+                if s == 0:
+                    first_lo[p] = lo_a
+                else:
+                    shift_bits[p] = shift_bits[p] | ((lo_a - lo_m1) << (s - 1))
+                s1_list.append(lo_a - lo_m1)
+                s2_list.append(lo_a - lo_m2)
+                m_list.append(m)
+                n_list.append(n)
+                done_list.append(sc[2, p])
 
-        # -- choose lo_a per pair from the a-1 wavefront ------------------
-        lower = jnp.min(jnp.where(w_idx < W // 2, v1[...], inf), axis=1,
-                        keepdims=True)
-        upper = jnp.min(jnp.where(w_idx >= W // 2, v1[...], inf), axis=1,
-                        keepdims=True)
-        lo_list, s1_list, s2_list, m_list, n_list, done_list = [], [], [], [], [], []
-        for p in range(P):
-            m = mn_ref[0, p, 0]
-            n = mn_ref[0, p, 1]
-            lo_m1 = sc[0, p]
-            lo_m2 = sc[1, p]
-            lmin = lower[p * R, 0]
-            umin = upper[p * R, 0]
-            for rr in range(1, R):
-                lmin = jnp.minimum(lmin, lower[p * R + rr, 0])
-                umin = jnp.minimum(umin, upper[p * R + rr, 0])
-            s_ad = jnp.where(umin < lmin, 1, 0).astype(jnp.int32)
-            lo_a = jnp.maximum(jnp.maximum(lo_m1 + s_ad, a - n), 0)
-            lo_a = jnp.minimum(jnp.minimum(lo_a, m), lo_m1 + 1)
-            sc[1, p] = lo_m1
-            sc[0, p] = lo_a
-            lo_list.append(lo_a)
-            s1_list.append(lo_a - lo_m1)
-            s2_list.append(lo_a - lo_m2)
-            m_list.append(m)
-            n_list.append(n)
-            done_list.append(sc[2, p])
+            def rows(vals):
+                return jnp.stack([vals[r // R] for r in range(SUBLANES)]
+                                 ).reshape(SUBLANES, 1)
 
-        def rows(vals):
-            return jnp.stack([vals[r // R] for r in range(SUBLANES)]).reshape(
-                SUBLANES, 1)
+            lo_v, s1_v, s2_v = rows(lo_list), rows(s1_list), rows(s2_list)
+            m_v, n_v, done_v = rows(m_list), rows(n_list), rows(done_list)
 
-        lo_v, s1_v, s2_v = rows(lo_list), rows(s1_list), rows(s2_list)
-        m_v, n_v, done_v = rows(m_list), rows(n_list), rows(done_list)
+            qrows, trows = [], []
+            for p in range(P):
+                qrows.append(_dyn_window(q_ref, p, lo_list[p], R))
+                tstart = jnp.maximum(n_list[p] - a + lo_list[p] + 1, 0)
+                trows.append(_dyn_window(rt_ref, p, tstart, R))
+            qb = jnp.concatenate(qrows, axis=0)
+            tb_band = jnp.concatenate(trows, axis=0)
+            sub_cost = jnp.where(qb == tb_band, 0, 1)
 
-        # -- gather band bases -------------------------------------------
-        # q[i-1] = qpad[i] for i = lo_a + w ; t[j-1] = rtpad[1 + n - j] =
-        # rtpad[1 + n - a + i]
-        qrows, trows = [], []
-        for p in range(P):
-            qrows.append(_dyn_window(q_ref, p, lo_list[p], R))
-            tstart = jnp.maximum(n_list[p] - a + lo_list[p] + 1, 0)
-            trows.append(_dyn_window(rt_ref, p, tstart, R))
-        qb = jnp.concatenate(qrows, axis=0).astype(jnp.int32)
-        tb_band = jnp.concatenate(trows, axis=0).astype(jnp.int32)
-        sub_cost = jnp.where(qb == tb_band, 0, 1)
+            def sel_shift(vsrc, shift_v, choices):
+                out = jnp.full((SUBLANES, LANES), inf, jnp.int32)
+                for d in choices:
+                    cand = _band_shift(vsrc, d) if d else vsrc
+                    valid = (w_idx + d >= 0) & (w_idx + d < W)
+                    cand = jnp.where(valid, cand, inf)
+                    out = jnp.where(shift_v == d, cand, out)
+                return out
 
-        # -- neighbor wavefronts with per-pair band shifts ----------------
-        def sel_shift(vsrc, shift_v, choices):
-            out = jnp.full((SUBLANES, LANES), inf, jnp.int32)
-            for d in choices:
-                cand = _band_shift(vsrc, d) if d else vsrc
-                valid = (w_idx + d >= 0) & (w_idx + d < W)
-                cand = jnp.where(valid, cand, inf)
-                out = jnp.where(shift_v == d, cand, out)
-            return out
+            diag = sel_shift(v2[...], s2_v - 1, (-1, 0, 1))
+            up = sel_shift(v1[...], s1_v - 1, (-1, 0))
+            left = sel_shift(v1[...], s1_v, (0, 1))
 
-        diag = sel_shift(v2[...], s2_v - 1, (-1, 0, 1))   # dp(i-1, j-1)
-        up = sel_shift(v1[...], s1_v - 1, (-1, 0))        # dp(i-1, j)
-        left = sel_shift(v1[...], s1_v, (0, 1))           # dp(i, j-1)
+            cd = diag + sub_cost
+            cu = up + 1
+            cl = left + 1
+            vnew = jnp.minimum(cd, jnp.minimum(cu, cl))
+            tb = jnp.where(vnew == cd, OP_DIAG,
+                           jnp.where(vnew == cu, OP_UP, OP_LEFT)).astype(jnp.int32)
 
-        cd = diag + sub_cost
-        cu = up + 1
-        cl = left + 1
-        vnew = jnp.minimum(cd, jnp.minimum(cu, cl))
-        tb = jnp.where(vnew == cd, OP_DIAG,
-                       jnp.where(vnew == cu, OP_UP, OP_LEFT)).astype(jnp.int32)
+            i_v = lo_v + w_idx
+            j_v = a - i_v
+            vnew = jnp.where(i_v == 0, j_v, vnew)
+            tb = jnp.where(i_v == 0, OP_LEFT, tb)
+            vnew = jnp.where(j_v == 0, i_v, vnew)
+            tb = jnp.where(j_v == 0, OP_UP, tb)
+            invalid = (i_v < 0) | (i_v > m_v) | (j_v < 0) | (j_v > n_v) | \
+                (w_idx >= W)
+            vnew = jnp.where(invalid, inf, vnew)
+            vnew = jnp.where(done_v > 0, v1[...], vnew)
 
-        i_v = lo_v + w_idx
-        j_v = a - i_v
-        vnew = jnp.where(i_v == 0, j_v, vnew)
-        tb = jnp.where(i_v == 0, OP_LEFT, tb)
-        vnew = jnp.where(j_v == 0, i_v, vnew)
-        tb = jnp.where(j_v == 0, OP_UP, tb)
-        tb = jnp.where((i_v == 0) & (j_v == 0), OP_DIAG, tb)
-        invalid = (i_v < 0) | (i_v > m_v) | (j_v < 0) | (j_v > n_v) | (w_idx >= W)
-        vnew = jnp.where(invalid, inf, vnew)
-        vnew = jnp.where(done_v > 0, v1[...], vnew)
+            tb_words = tb_words | (tb << (2 * s))
 
-        tb_words = tb_words | (tb << (2 * s))
+            for p in range(P):
+                at_end = (a == m_list[p] + n_list[p]) & (sc[2, p] == 0)
 
-        # -- completion: extract dist at cell (m, n) when a == m + n ------
-        for p in range(P):
-            at_end = (a == m_list[p] + n_list[p]) & (sc[2, p] == 0)
+                @pl.when(at_end)
+                def _fin(p=p, lo_a=lo_list[p], m=m_list[p], vnew=vnew):
+                    w_t = m - lo_a
+                    seg = vnew[p * R:(p + 1) * R, :]
+                    wseg = w_idx[p * R:(p + 1) * R, :]
+                    hit = jnp.min(jnp.where(wseg == w_t, seg, inf))
+                    sc[3, p] = hit
+                    sc[2, p] = 1
 
-            @pl.when(at_end)
-            def _fin(p=p, lo_a=lo_list[p], m=m_list[p]):
-                w_t = m - lo_a
-                seg = vnew[p * R:(p + 1) * R, :]
-                wseg = w_idx[p * R:(p + 1) * R, :]
-                hit = jnp.min(jnp.where(wseg == w_t, seg, inf))
-                sc[3, p] = hit
-                sc[2, p] = 1
+            v2[...] = v1[...]
+            v1[...] = vnew
 
-        v2[...] = v1[...]
-        v1[...] = vnew
-        lo_hist_cols.append(lo_list)
+        # the 16th transition (into the next word's first step) is recorded
+        # by that word's base, so 15 bits suffice; flush the word's outputs
+        tb_ref[pl.ds(wb, 1), :, :] = tb_words[None]
+        base_col = jnp.stack(first_lo).reshape(P, 1)
+        bits_col = jnp.stack(shift_bits).reshape(P, 1)
+        lo_block = jnp.where(lane_p == 0, base_col,
+                             jnp.where(lane_p == 1, bits_col, 0))
+        lo_ref[pl.ds(wb, 1), 0, :, :] = lo_block[None]
+        return 0
 
-    tb_ref[0, :, :] = tb_words
-    # (P, PACK) block of band offsets for these steps
-    lo_block = jnp.stack([jnp.stack(cols) for cols in lo_hist_cols], axis=1)
-    lo_ref[0, 0, :, :] = lo_block
+    jax.lax.fori_loop(0, CHUNK, word_body, 0)
 
-    @pl.when(at == n_at - 1)
+    @pl.when(c == n_ch - 1)
     def _out_stats():
         dist_col = jnp.stack([sc[3, p] for p in range(P)]).reshape(P, 1)
         reach_col = jnp.stack([sc[2, p] for p in range(P)]).reshape(P, 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
-        stats_ref[0, :, :] = jnp.where(col == 0, dist_col,
-                                       jnp.where(col == 1, reach_col, 0))
+        stats_ref[0, :, :] = jnp.where(lane_p == 0, dist_col,
+                                       jnp.where(lane_p == 1, reach_col, 0))
 
 
 @functools.partial(jax.jit, static_argnames=("R", "a_max", "interpret"))
@@ -233,49 +247,49 @@ def band_align_fwd(qpad: jax.Array, rtpad: jax.Array, mn: jax.Array,
                    R: int = 2, a_max: int = 4096, interpret: bool = False):
     """Forward banded DP over B pairs.
 
-    qpad:  (B, QP) int32 — query codes, sentinel 4 at [0], >=W+1 pad of 5 after
+    qpad:  (B, QP) int32 — query codes, sentinel 4 at [0], padded tail
     rtpad: (B, TP) int32 — reversed target codes, same scheme
     mn:    (B, 2) int32 — (m, n) per pair
-    Returns (tb_words (AT, B//P*8, 128), lo_hist (AT, B, PACK),
-             stats (B, 128) [dist, reached]).
+    Returns (tb_words (n_words, B//P*8, 128), lo_meta (n_words, B//P*P, 128),
+             stats (BT, P, 128) [dist, reached]).
     """
     B, QP = qpad.shape
     TP = rtpad.shape[1]
     P = SUBLANES // R
     assert B % P == 0, (B, P)
     BT = B // P
-    n_at = a_max // PACK
-    assert a_max % PACK == 0
+    assert a_max % STEPS_PER_GRID == 0, a_max
+    n_ch = a_max // STEPS_PER_GRID
+    n_words = a_max // PACK
 
     mn8 = jnp.zeros((B, 8), jnp.int32).at[:, :2].set(mn).reshape(BT, P, 8)
-    # pad sequence tiles to 8 sublane rows so VMEM blocks are (8, QP)
     q8 = jnp.zeros((BT, SUBLANES, QP), qpad.dtype).at[:, :P, :].set(
         qpad.reshape(BT, P, QP)).reshape(BT * SUBLANES, QP)
     rt8 = jnp.zeros((BT, SUBLANES, TP), rtpad.dtype).at[:, :P, :].set(
         rtpad.reshape(BT, P, TP)).reshape(BT * SUBLANES, TP)
-    kernel = functools.partial(_fwd_kernel, R=R, n_at=n_at)
+    kernel = functools.partial(_fwd_kernel, R=R, n_ch=n_ch)
     return pl.pallas_call(
         kernel,
-        grid=(BT, n_at),
+        grid=(BT, n_ch),
         in_specs=[
-            pl.BlockSpec((1, P, 8), lambda bt, at: (bt, 0, 0),
+            pl.BlockSpec((1, P, 8), lambda bt, c: (bt, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((SUBLANES, QP), lambda bt, at: (bt, 0),
+            pl.BlockSpec((SUBLANES, QP), lambda bt, c: (bt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, TP), lambda bt, at: (bt, 0),
+            pl.BlockSpec((SUBLANES, TP), lambda bt, c: (bt, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, SUBLANES, LANES), lambda bt, at: (at, bt, 0),
+            pl.BlockSpec((CHUNK, SUBLANES, LANES), lambda bt, c: (c, bt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P, PACK), lambda bt, at: (at, bt, 0, 0),
+            pl.BlockSpec((CHUNK, 1, P, LANES), lambda bt, c: (c, bt, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, 128), lambda bt, at: (bt, 0, 0),
+            pl.BlockSpec((1, P, 128), lambda bt, c: (bt, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_at, BT * SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((n_at, BT, P, PACK), jnp.int32),
+            jax.ShapeDtypeStruct((n_words, BT * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_words, BT, P, LANES), jnp.int32),
             jax.ShapeDtypeStruct((BT, P, 128), jnp.int32),
         ],
         scratch_shapes=[
@@ -290,18 +304,22 @@ def band_align_fwd(qpad: jax.Array, rtpad: jax.Array, mn: jax.Array,
     )(mn8, q8, rt8)
 
 
+def _popcount(x):
+    """SWAR popcount of a scalar int32 (Mosaic has no popcount primitive)."""
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
 def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
                R: int, n_chunk: int, chunk_words: int):
     """Walk packed traceback words back into per-pair op strings.
 
     Grid (BT, chunk); chunks visit anti-diagonals high -> low.
-    tb_ref:  (CW, 8, 128) int32; lo_ref: (CW, 1, P, PACK) int32
-    ops_ref: (P, CW*PACK/128, 128) int32 out: op stored at slot
-             (a - chunk_base) viewed row-major; OP_NONE where the path did
-             not step.
-    span_ref:(P, 128) int32 out: [0]=i_end(=0), [1]=a_end(=0), [2]=n_ops, [3]=ok
-    st:      (4, P) int32 SMEM: [i_cur, a_cur, state, n_ops]; state 1=walking,
-             2=band-miss error
+    tb_ref:  (CW, 8, 128) int32; lo_ref: (CW, P, 128) int32 (base/bits)
+    ops_ref: (P, CW*PACK/128, 128) int32 out; span_ref: (1, P, 128) out
+    st: (4, 8) int32 SMEM: [i_cur, a_cur, state, n_ops]
     """
     P = SUBLANES // R
     W = R * LANES
@@ -319,7 +337,7 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
     ops_ref[...] = jnp.full(ops_ref.shape, OP_NONE, jnp.int32)
     chunk_base = (n_chunk - 1 - c) * G
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
-    lane_pack = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, PACK), 3)
+    lane128_4 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANES), 3)
 
     def step(gi, _):
         g = G - 1 - gi
@@ -331,9 +349,12 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
             def _walk(p=p, g=g):
                 i = st[0, p]
                 wrow = g // PACK
-                shift = 2 * (g % PACK)
+                s_in = g % PACK
+                shift = 2 * s_in
                 lo_row = lo_ref[pl.ds(wrow, 1), pl.ds(0, 1), pl.ds(p, 1), :]
-                lo_a = jnp.sum(jnp.where(lane_pack == g % PACK, lo_row, 0))
+                base = jnp.sum(jnp.where(lane128_4 == 0, lo_row, 0))
+                bits = jnp.sum(jnp.where(lane128_4 == 1, lo_row, 0))
+                lo_a = base + _popcount(bits & ((1 << s_in) - 1))
                 w = i - lo_a
                 word = jnp.int32(0)
                 for rr in range(R):
@@ -358,14 +379,11 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
     @pl.when(c == n_chunk - 1)
     def _fin():
         cols = []
-        for k in range(4):
-            if k < 3:
-                cols.append(jnp.stack([st[k, p] for p in range(P)]).reshape(P, 1))
-            else:
-                cols.append(jnp.stack([
-                    jnp.where((st[2, p] == 1) & (st[1, p] == 0) &
-                              (st[0, p] == 0), 1, 0).astype(jnp.int32)
-                    for p in range(P)]).reshape(P, 1))
+        for k in range(3):
+            cols.append(jnp.stack([st[k, p] for p in range(P)]).reshape(P, 1))
+        cols.append(jnp.stack([
+            jnp.where((st[2, p] == 1) & (st[1, p] == 0) & (st[0, p] == 0),
+                      1, 0).astype(jnp.int32) for p in range(P)]).reshape(P, 1))
         col = jax.lax.broadcasted_iota(jnp.int32, (P, 128), 1)
         out = jnp.zeros((P, 128), jnp.int32)
         for k in range(4):
@@ -374,16 +392,17 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
 
 
 @functools.partial(jax.jit, static_argnames=("R", "a_max", "interpret"))
-def band_align_tb(tb_words: jax.Array, lo_hist: jax.Array, mn: jax.Array,
+def band_align_tb(tb_words: jax.Array, lo_meta: jax.Array, mn: jax.Array,
                   R: int = 2, a_max: int = 4096, interpret: bool = False):
-    """Traceback pass. Returns (ops (B, a_max) int32, span (B, 128) int32)."""
-    n_at = tb_words.shape[0]
+    """Traceback pass. Returns (ops (B, n_words/128*... , 128) int32 viewed
+    (B, a_max) by the wrapper, span (BT, P, 128) int32)."""
+    n_words = tb_words.shape[0]
     P = SUBLANES // R
     B = mn.shape[0]
     BT = B // P
-    chunk_words = n_at if n_at <= 128 else 128
-    assert n_at % chunk_words == 0
-    n_chunk = n_at // chunk_words
+    chunk_words = n_words if n_words <= 128 else 128
+    assert n_words % chunk_words == 0
+    n_chunk = n_words // chunk_words
     G = chunk_words * PACK
 
     mn8 = jnp.zeros((B, 8), jnp.int32).at[:, :2].set(mn).reshape(BT, P, 8)
@@ -398,7 +417,7 @@ def band_align_tb(tb_words: jax.Array, lo_hist: jax.Array, mn: jax.Array,
             pl.BlockSpec((chunk_words, SUBLANES, LANES),
                          lambda bt, ch: (n_chunk - 1 - ch, bt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk_words, 1, P, PACK),
+            pl.BlockSpec((chunk_words, 1, P, LANES),
                          lambda bt, ch: (n_chunk - 1 - ch, bt, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -418,17 +437,16 @@ def band_align_tb(tb_words: jax.Array, lo_hist: jax.Array, mn: jax.Array,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(mn8, tb_words, lo_hist)
+    )(mn8, tb_words, lo_meta)
 
 
 # ----------------------------------------------------------------------------
-# host-level wrapper
+# host-level wrappers
 
 
 def pad_for_align(seqs, max_len: int, W: int) -> np.ndarray:
-    """(B, 1 + max_len + W + PACK) int8: sentinel 4 at [0] (so buf[i] = s[i-1]),
-    tail sentinel 5 (distinct from q-vs-t so pads never fake-match... both use
-    5, but padded cells are masked invalid; sentinels only guard OOB slices)."""
+    """(B, QP) int32: sentinel 4 at [0] (so buf[i] = s[i-1]), tail sentinel 5;
+    QP is 128-aligned with >= W + 2*128 slack for the windowed loads."""
     B = len(seqs)
     QP = 1 + max_len + W + 2 * LANES
     QP = ((QP + LANES - 1) // LANES) * LANES
@@ -469,12 +487,12 @@ def band_align(queries: List[np.ndarray], targets: List[np.ndarray],
                R: int = 2, interpret: bool | None = None):
     """Globally align each (query, target) code-array pair.
 
-    Returns list of dicts {dist, reached, ok, ops} where ops is an int array
-    of OP_DIAG/OP_UP/OP_LEFT in alignment-column order (start -> end).
+    Returns list of dicts {dist, reached, ok, ops}; ops is an int array of
+    OP_DIAG/OP_UP/OP_LEFT in alignment-column order (start -> end).
 
-    On TPU this runs the Pallas wavefront kernel; elsewhere it falls back to
-    the native scalar aligner (same unit-cost semantics).  Pass
-    interpret=True to force the Pallas interpreter (kernel tests).
+    On TPU: the Pallas wavefront kernel.  Elsewhere: the native scalar
+    aligner (same unit-cost semantics).  interpret=True forces the Pallas
+    interpreter (kernel tests).
     """
     if interpret is None:
         if not _on_tpu():
@@ -489,7 +507,7 @@ def band_align(queries: List[np.ndarray], targets: List[np.ndarray],
     n = np.array([len(t) for t in targets], np.int32)
     W = R * LANES
     a_sz = int((m + n).max()) + 1
-    chunk = 128 * PACK  # keep G a multiple of 128 lanes for the tb kernel
+    chunk = max(STEPS_PER_GRID, 128 * PACK)
     a_max = ((a_sz + chunk - 1) // chunk) * chunk
     qpad = pad_for_align(queries, int(m.max()), W)
     rtpad = pad_for_align([np.asarray(t)[::-1] for t in targets], int(n.max()), W)

@@ -59,6 +59,7 @@ class Config:
     maxhan2: int = 500
     cns_min_span: int = 2000
     min_ctg_len: int = 1000
+    polish: bool = True
     raw: dict = field(default_factory=dict)
 
     @property

@@ -180,6 +180,24 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
                         get_read=lambda r: cns_store.get(r),
                         min_ctg_len=cfg.min_ctg_len)
     names = [f"ctg{i:06d}" for i in range(len(seqs))]
+    write_fasta(st.path("nd.asm.p.fasta"), list(zip(names, seqs)))
+
+    # ---- ctg_align + ctg_cns (polish) -----------------------------------
+    if cfg.polish and seqs:
+        from ..polish.driver import run_polish
+
+        # reference maps the raw seed reads back to contigs
+        # (ctg_align, nextDenovo:368-415); fall back to cns reads
+        if cfg.input_type == "raw":
+            seed_rids = np.nonzero(seed_mask)[0]
+            map_store = SeqStore.from_codes([store.get(int(r))
+                                             for r in seed_rids])
+        else:
+            map_store = cns_store
+        seqs = run_polish(seqs, map_store, read_type=cfg.read_type_code,
+                          interpret=interpret)
+        seqs = [s for s in seqs if len(s) >= cfg.min_ctg_len]
+        seqs.sort(key=len, reverse=True)
     write_fasta(st.path("nd.asm.fasta"), list(zip(names, seqs)))
     stats = stat_n50(np.array([len(s) for s in seqs])) if seqs else {}
     with open(st.path("nd.asm.stat"), "w") as fh:

@@ -1,0 +1,168 @@
+"""Contig polishing (ctg_align + ctg_cns equivalent).
+
+The reference maps seed reads back to contigs with minimap2 --step 3, sorts
+BAMs, and re-consensuses 5 Mb windows with the same tag-MSA machinery as
+correction plus SV detection (/root/reference/lib/ctg_cns.c:3399-3623
+ctg_cns_core; window stitching link_consensus :3121-3223).
+
+TPU-native redesign: no SAM/BAM round-trip at all —
+  1. coarse mapping via the minimizer engine (contigs indexed, reads queried);
+  2. per window: read segments are clipped by coordinate interpolation,
+     aligned to the window with the banded aligner (TPU or native), and fed
+     to the native tag-MSA consensus (nd_correct) with the window as seed;
+  3. windows overlap by STITCH bases and are spliced on an exact suffix
+     match, mirroring the reference's 50-base stitch (ctg_cns.c:3620).
+SV/gap-cluster machinery (set_satags/update_gap_cluster) is a later round.
+"""
+from __future__ import annotations
+
+import logging
+from typing import List
+
+import numpy as np
+
+from ..io.seqstore import SeqStore
+from ..native import correct_seed
+from ..ops import align as tpu_align
+from ..overlap.engine import build_index, find_overlaps
+
+log = logging.getLogger(__name__)
+
+STITCH = 50          # ctg_cns.c:3620-3621
+_TR = bytes.maketrans(b"ACGT", bytes([0, 1, 2, 3]))
+
+
+def _interp_read_interval(rec, ws, we):
+    """Clip a mapping record to window [ws, we) on the contig; return the
+    corresponding read interval by linear interpolation (exact base-level
+    clipping happens via re-alignment)."""
+    ts, te = rec["ts"], rec["te"]
+    qs, qe = rec["qs"], rec["qe"]
+    if te <= ws or ts >= we:
+        return None
+    f = (qe - qs) / max(1, te - ts)
+    cs, ce = max(ts, ws), min(te, we)
+    if rec["rev"]:
+        rqs = qs + int((te - ce) * f)
+        rqe = qe - int((cs - ts) * f)
+    else:
+        rqs = qs + int((cs - ts) * f)
+        rqe = qe - int((te - ce) * f)
+    return cs, ce, max(0, rqs - 32), rqe + 32
+
+
+def polish_contig(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
+                  window: int = 25000, min_cov: int = 3, read_type: int = 1,
+                  interpret=None) -> np.ndarray:
+    """Re-consensus one contig from its mapped reads."""
+    n = len(ctg)
+    out = ""
+    ws = 0
+    while ws < n:
+        we = min(n, ws + window)
+        wseq = ctg[ws:we]
+        sups, tss, tes, segs = [], [], [], []
+        for rec in recs:
+            iv = _interp_read_interval(rec, ws, we)
+            if iv is None:
+                continue
+            cs, ce, rqs, rqe = iv
+            if ce - cs < 200:
+                continue
+            seg = reads.subseq(rec["qname"], rqs, rqe, rc=bool(rec["rev"]))
+            if len(seg) < 100:
+                continue
+            segs.append(seg.astype(np.int8))
+            tss.append(cs - ws)
+            tes.append(ce - ws - 1)
+        if segs:
+            res = tpu_align.band_align(
+                segs, [ctg[ws + a : ws + b + 1].astype(np.int8)
+                       for a, b in zip(tss, tes)], interpret=interpret)
+            sup_ok, ts_ok, te_ok, ops_ok = [], [], [], []
+            for seg, a, b, r in zip(segs, tss, tes, res):
+                if r["reached"] and r["ok"]:
+                    sup_ok.append(seg.astype(np.uint8))
+                    ts_ok.append(a)
+                    te_ok.append(b)
+                    ops_ok.append(r["ops"].astype(np.uint8))
+            ln, ide, seq = correct_seed(
+                wseq, sup_ok, ts_ok, te_ok, ops_ok, min_len_aln=100,
+                max_cov_aln=100, min_cov=min_cov, max_lq_length=2000,
+                min_error_corrected_ratio=0.0, split=False,
+                read_type=read_type, keep_all=True)
+            wcons = seq.upper() if ln > (we - ws) * 0.5 else _codes_str(wseq)
+            # low-depth window edges: the consensus chain only spans covered
+            # columns; splice draft sequence for uncovered heads/tails (the
+            # reference's ld-region handling, ctg_cns.c:2696-2795)
+            if ln > (we - ws) * 0.5:
+                wstr = _codes_str(wseq)
+                wcons = _splice_uncovered(wstr, wcons)
+        else:
+            wcons = _codes_str(wseq)
+        # stitch on an exact STITCH-mer (link_consensus analogue)
+        if not out:
+            out = wcons
+        else:
+            key = out[-STITCH:]
+            pos = wcons.find(key, 0, max(len(wcons) // 4, 4 * STITCH))
+            if pos >= 0:
+                out = out + wcons[pos + STITCH:]
+            else:
+                out = out + wcons  # stitch miss: keep both (rare)
+        ws = we - STITCH if we < n else n
+    return np.frombuffer(out.encode().translate(_TR), np.uint8)
+
+
+def _splice_uncovered(draft: str, cons: str, k: int = 40) -> str:
+    """Re-attach draft head/tail that the consensus chain did not reach,
+    anchored on exact k-mer matches."""
+    if len(cons) < 2 * k:
+        return cons
+    head = cons[:k]
+    pos = draft.find(head, 0, max(len(draft) // 2, 4 * k))
+    if pos > 0:
+        cons = draft[:pos] + cons
+    tail = cons[-k:]
+    pos = draft.rfind(tail, min(len(draft) // 2, len(draft) - 4 * k))
+    if 0 <= pos and pos + k < len(draft):
+        cons = cons + draft[pos + k:]
+    return cons
+
+
+def _codes_str(codes: np.ndarray) -> str:
+    return np.frombuffer(b"ACGT", np.uint8)[np.asarray(codes, np.uint8) & 3
+                                            ].tobytes().decode()
+
+
+def run_polish(contigs: List[np.ndarray], reads: SeqStore,
+               k: int = 15, w: int = 10, read_type: int = 1,
+               min_cov: int = 3, window: int = 25000,
+               interpret=None) -> List[np.ndarray]:
+    """Polish every contig with the read set.  Returns polished contigs."""
+    if not contigs:
+        return []
+    # map reads against contigs: the engine indexes targets (contigs here);
+    # record coords place reads (query) onto contigs (target)
+    joint = SeqStore.from_codes(contigs + [reads.get(i) for i in range(len(reads))])
+    n_ctg = len(contigs)
+    rid_reads = np.arange(n_ctg, n_ctg + len(reads))
+    idx = build_index(joint, np.arange(n_ctg), k=k, w=w, max_occ=256)
+    ovl = find_overlaps(joint, rid_reads, idx, k=k, w=w, max_occ=8,
+                        min_cnt=4, min_span=500)
+    per_ctg: List[List[dict]] = [[] for _ in range(n_ctg)]
+    for i in range(len(ovl)):
+        t = int(ovl.tname[i])
+        if 0 <= t < n_ctg:
+            per_ctg[t].append(dict(
+                qname=int(ovl.qname[i]) - n_ctg, rev=int(ovl.rev[i]),
+                qs=int(ovl.qs[i]), qe=int(ovl.qe[i]),
+                ts=int(ovl.ts[i]), te=int(ovl.te[i])))
+    out = []
+    for ci, ctg in enumerate(contigs):
+        out.append(polish_contig(ctg, per_ctg[ci], reads, window=window,
+                                 min_cov=min_cov, read_type=read_type,
+                                 interpret=interpret))
+        log.info("polish: contig %d %d -> %d bp (%d reads)", ci, len(ctg),
+                 len(out[-1]), len(per_ctg[ci]))
+    return out

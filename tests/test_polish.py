@@ -1,0 +1,45 @@
+import numpy as np
+
+from nextdenovo_tpu.io.seqstore import SeqStore
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads, mutate_read
+from nextdenovo_tpu.polish.driver import run_polish, polish_contig
+
+
+def _kset(arr, k=31, stride=1):
+    a = np.asarray(arr, np.uint64)
+    if len(a) < k:
+        return set()
+    v = np.zeros(len(a) - k + 1, np.uint64)
+    for j in range(k):
+        v = (v << np.uint64(2)) | a[j : len(a) - k + 1 + j]
+    return set(v[::stride].tolist())
+
+
+def test_polish_fixes_draft_errors():
+    rng = np.random.default_rng(0)
+    g = simulate_genome(60_000, seed=1)
+    # draft contig = genome with ~2% residual error (typical pre-polish draft)
+    draft = mutate_read(g, 0.02, rng)
+    sim = simulate_reads(g, coverage=20, mean_len=12000, error_rate=0.08,
+                         seed=2, min_len=3000)
+    reads = SeqStore.from_codes(sim.reads)
+    out = run_polish([draft], reads, read_type=1)
+    assert len(out) == 1
+    pol = out[0]
+    assert abs(len(pol) - len(g)) < 0.03 * len(g)
+    gk = _kset(g)
+    before = sum(1 for v in _kset(draft, stride=7) if v in gk)
+    after = sum(1 for v in _kset(pol, stride=7) if v in gk)
+    nb = max(1, len(_kset(draft, stride=7)))
+    na = max(1, len(_kset(pol, stride=7)))
+    # polish must sharply raise exact-kmer identity
+    assert after / na > 0.9, (before / nb, after / na)
+    assert after / na > before / nb + 0.2
+
+
+def test_polish_no_reads_passthrough():
+    rng = np.random.default_rng(3)
+    draft = rng.integers(0, 4, 5000).astype(np.uint8)
+    reads = SeqStore.from_codes([rng.integers(0, 4, 2000).astype(np.uint8)])
+    out = run_polish([draft], reads)
+    assert len(out) == 1 and len(out[0]) >= 4500
