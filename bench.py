@@ -31,7 +31,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
-    R, W = 2, 2 * LANES
+    R, W = 1, LANES  # production fast path; R=2 retry is rare
     B, L = 64, 10_000
     ts = [rng.integers(0, 4, L).astype(np.int8) for _ in range(B)]
     qs = [mutate_read(t.astype(np.uint8), 0.12, rng).astype(np.int8) for t in ts]

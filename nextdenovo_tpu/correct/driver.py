@@ -94,7 +94,8 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
         for b0 in range(0, len(qs_list), align_batch):
             sl = slice(b0, min(len(qs_list), b0 + align_batch))
             res = tpu_align.band_align(qs_list[sl], t_pairs[sl],
-                                       R=2, interpret=interpret)
+                                       interpret=interpret,
+                                       hq=read_type == 3)
             for j, r in enumerate(res):
                 if r["reached"] and r["ok"]:
                     ops_all[b0 + j] = r["ops"].astype(np.uint8)

@@ -304,10 +304,28 @@ class StringGraph:
                             self._del_edge(e)
                 changed = True
 
+    def clip_z_edges(self):
+        """Z-branch clipping (rm_z_clip_lable/score, asg.c:771-940): an edge
+        whose tail ALSO branches out and whose head ALSO branches in forms a
+        'z' crossing two through-paths; cut it when it is the weakest
+        alternative at both ends."""
+        for e in list(self.edges):
+            if e.deleted or e.reduced:
+                continue
+            outs = self.out_edges(e.u)
+            ins = self.in_edges(e.v)
+            if len(outs) < 2 or len(ins) < 2:
+                continue
+            sco = e.sco * e.ide
+            if all(sco <= o.sco * o.ide for o in outs) and \
+                    all(sco <= i.sco * i.ide for i in ins):
+                self._del_edge(e)
+
     def clean(self):
         self.transitive_reduction()
         for _ in range(2):
             self.clip_tips()
+            self.clip_z_edges()
             self.pop_bubbles()
             self.drop_low_score_branches()
         self.clip_tips()
@@ -359,10 +377,11 @@ class StringGraph:
                 out.append(walk(v))
         return [p for p in out if p]
 
-    def contig_sequences(self, get_read) -> List[np.ndarray]:
+    def contig_sequences(self, get_read, with_paths: bool = False):
         """Emit contig base arrays.  get_read(rid) -> codes (fwd)."""
         seqs = []
-        for path in self.contigs():
+        all_paths = self.contigs()
+        for path in all_paths:
             parts = []
             v0, _ = path[0]
             r0 = self.reads[v0 // 2]
@@ -379,6 +398,8 @@ class StringGraph:
                 if hang > 0:
                     parts.append(s[-hang:])
             seqs.append(np.concatenate(parts) if parts else np.zeros(0, np.uint8))
+        if with_paths:
+            return seqs, all_paths
         return seqs
 
 
@@ -401,6 +422,8 @@ def assemble(ovl, read_lens: Dict[int, int], bl_info: Optional[dict] = None,
     g.clean()
     if get_read is None:
         return g, []
-    seqs = [s for s in g.contig_sequences(get_read) if len(s) >= min_ctg_len]
-    seqs.sort(key=len, reverse=True)
-    return g, seqs
+    seqs, paths = g.contig_sequences(get_read, with_paths=True)
+    keep = [(s, p) for s, p in zip(seqs, paths) if len(s) >= min_ctg_len]
+    keep.sort(key=lambda sp: len(sp[0]), reverse=True)
+    g.last_paths = [p for _, p in keep]
+    return g, [s for s, _ in keep]

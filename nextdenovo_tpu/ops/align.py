@@ -120,56 +120,94 @@ def _fwd_kernel(mn_ref, q_ref, rt_ref, tb_ref, lo_ref, stats_ref,
     def word_body(wb, _):
         a0 = (c * CHUNK + wb) * PACK
         tb_words = jnp.zeros((SUBLANES, LANES), jnp.int32)
-        base_lo = [sc[0, p] for p in range(P)]  # lo_{a0-1}; adjusted below
         shift_bits = [jnp.int32(0) for _ in range(P)]
         first_lo = [None] * P
 
-        for s in range(PACK):
-            a = a0 + s
-            lower = jnp.min(jnp.where(w_idx < W // 2, v1[...], inf), axis=1,
-                            keepdims=True)
-            upper = jnp.min(jnp.where(w_idx >= W // 2, v1[...], inf), axis=1,
-                            keepdims=True)
-            lo_list, s1_list, s2_list, m_list, n_list, done_list = \
-                [], [], [], [], [], []
-            for p in range(P):
-                m = mn_ref[0, p, 0]
-                n = mn_ref[0, p, 1]
-                lo_m1 = sc[0, p]
-                lo_m2 = sc[1, p]
-                lm = lower[p * R, 0]
-                um = upper[p * R, 0]
-                for rr in range(1, R):
-                    lm = jnp.minimum(lm, lower[p * R + rr, 0])
-                    um = jnp.minimum(um, upper[p * R + rr, 0])
-                s_ad = jnp.where(um < lm, 1, 0).astype(jnp.int32)
+        # ---- per-word band plan (amortizes the adaptive reductions that
+        # previously ran per step): shift budget from the wavefront argmin,
+        # per-step geometric clamps applied exactly -------------------------
+        vmask = jnp.where(w_idx < W, v1[...], inf)
+        rmin = jnp.min(vmask, axis=1, keepdims=True)
+        # argmin via min-equality (Mosaic argmin only lowers for f32)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+        rarg = jnp.min(jnp.where(vmask == rmin, lane_i, LANES), axis=1,
+                       keepdims=True)
+        plan = []           # per pair: list of PACK lo values
+        m_all, n_all, done_all = [], [], []
+        for p in range(P):
+            m = mn_ref[0, p, 0]
+            n = mn_ref[0, p, 1]
+            best_v = rmin[p * R, 0]
+            best_w = rarg[p * R, 0]
+            for rr in range(1, R):
+                better = rmin[p * R + rr, 0] < best_v
+                best_v = jnp.minimum(best_v, rmin[p * R + rr, 0])
+                best_w = jnp.where(better, rarg[p * R + rr, 0] + rr * LANES,
+                                   best_w)
+            s_total = jnp.clip(best_w - W // 2, 0, PACK)
+            s_total = jnp.where(best_v >= inf, 0, s_total)
+            lo_m1 = sc[0, p]
+            lo_m2 = sc[1, p]
+            los = []
+            for s in range(PACK):
+                a = a0 + s
+                s_ad = jnp.where(s_total > s, 1, 0).astype(jnp.int32)
                 lo_a = jnp.maximum(jnp.maximum(lo_m1 + s_ad, a - n), 0)
                 lo_a = jnp.minimum(jnp.minimum(lo_a, m), lo_m1 + 1)
-                sc[1, p] = lo_m1
-                sc[0, p] = lo_a
-                lo_list.append(lo_a)
+                los.append((lo_a, lo_m1, lo_m2))
                 if s == 0:
                     first_lo[p] = lo_a
                 else:
                     shift_bits[p] = shift_bits[p] | ((lo_a - lo_m1) << (s - 1))
-                s1_list.append(lo_a - lo_m1)
-                s2_list.append(lo_a - lo_m2)
-                m_list.append(m)
-                n_list.append(n)
-                done_list.append(sc[2, p])
+                lo_m2 = lo_m1
+                lo_m1 = lo_a
+            sc[0, p] = lo_m1
+            sc[1, p] = lo_m2
+            plan.append(los)
+            m_all.append(m)
+            n_all.append(n)
+            done_all.append(sc[2, p])
 
-            def rows(vals):
-                return jnp.stack([vals[r // R] for r in range(SUBLANES)]
-                                 ).reshape(SUBLANES, 1)
+        def rows(vals):
+            return jnp.stack([vals[r // R] for r in range(SUBLANES)]
+                             ).reshape(SUBLANES, 1)
 
+        m_v, n_v, done_v = rows(m_all), rows(n_all), rows(done_all)
+
+        # ---- hoisted sequence windows: one wide (R+1,128) gather per pair
+        # per word; per-step bands come from a single dynamic roll + select
+        lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        qwides, twides, tg0s = [], [], []
+        for p in range(P):
+            lo0 = plan[p][0][0]
+            qwides.append(_dyn_window(q_ref, p, lo0, R + 1))
+            tstart0 = jnp.maximum(n_all[p] - a0 + lo0 + 1, 0)
+            tg0 = jnp.maximum(tstart0 - (PACK - 1), 0)
+            tg0s.append((tg0, tstart0))
+            twides.append(_dyn_window(rt_ref, p, tg0, R + 1))
+
+        def funnel(wide, o):
+            """(R,128) rows r of wide starting at in-row offset o in [0,127]."""
+            rolled = pltpu.roll(wide, -o, axis=1)
+            hi = rolled[1 : R + 1, :]
+            lo_ = rolled[:R, :]
+            return jnp.where(lane1 < LANES - o, lo_, hi)
+
+        for s in range(PACK):
+            a = a0 + s
+            lo_list = [plan[p][s][0] for p in range(P)]
+            s1_list = [plan[p][s][0] - plan[p][s][1] for p in range(P)]
+            s2_list = [plan[p][s][0] - plan[p][s][2] for p in range(P)]
+            m_list, n_list = m_all, n_all
             lo_v, s1_v, s2_v = rows(lo_list), rows(s1_list), rows(s2_list)
-            m_v, n_v, done_v = rows(m_list), rows(n_list), rows(done_list)
 
             qrows, trows = [], []
             for p in range(P):
-                qrows.append(_dyn_window(q_ref, p, lo_list[p], R))
-                tstart = jnp.maximum(n_list[p] - a + lo_list[p] + 1, 0)
-                trows.append(_dyn_window(rt_ref, p, tstart, R))
+                d = lo_list[p] - plan[p][0][0]
+                qrows.append(funnel(qwides[p], d))
+                tg0, _ = tg0s[p]
+                tstart = jnp.maximum(n_all[p] - a + lo_list[p] + 1, 0)
+                trows.append(funnel(twides[p], tstart - tg0))
             qb = jnp.concatenate(qrows, axis=0)
             tb_band = jnp.concatenate(trows, axis=0)
             sub_cost = jnp.where(qb == tb_band, 0, 1)
@@ -460,17 +498,18 @@ def pad_for_align(seqs, max_len: int, W: int) -> np.ndarray:
 _B2C = np.frombuffer(b"ACGT", np.uint8)
 
 
-def band_align_native(queries, targets):
+def band_align_native(queries, targets, hq: bool = False):
     """Host fallback: the native O(ND) aligner (libndtpu nd_band_align, same
-    semantics as the reference's align.c).  Used off-TPU where Pallas
-    interpret mode would be orders of magnitude too slow."""
+    semantics as the reference's align.c, incl. the align_hq preset for
+    HiFi).  Used off-TPU where Pallas interpret mode would be orders of
+    magnitude too slow."""
     from ..native import band_align_cpu
 
     res = []
     for q, t in zip(queries, targets):
         qstr = _B2C[np.asarray(q, np.uint8) & 3].tobytes().decode()
         tstr = _B2C[np.asarray(t, np.uint8) & 3].tobytes().decode()
-        d, qa, ta = band_align_cpu(qstr, tstr)
+        d, qa, ta = band_align_cpu(qstr, tstr, hq=hq)
         if len(qa) <= 2 and (len(q) > 2 or len(t) > 2):
             res.append(dict(dist=1 << 28, reached=False, ok=False,
                             ops=np.zeros(0, np.int8)))
@@ -484,20 +523,36 @@ def band_align_native(queries, targets):
 
 
 def band_align(queries: List[np.ndarray], targets: List[np.ndarray],
-               R: int = 2, interpret: bool | None = None):
+               R: int | None = None, interpret: bool | None = None,
+               hq: bool = False):
     """Globally align each (query, target) code-array pair.
 
     Returns list of dicts {dist, reached, ok, ops}; ops is an int array of
     OP_DIAG/OP_UP/OP_LEFT in alignment-column order (start -> end).
 
-    On TPU: the Pallas wavefront kernel.  Elsewhere: the native scalar
-    aligner (same unit-cost semantics).  interpret=True forces the Pallas
+    On TPU: the Pallas wavefront kernel — narrow band (R=1, W=128) first,
+    with an automatic wide-band (R=2, W=256) retry for pairs whose traceback
+    missed the band (two-tier banding, like the reference's adaptive max_d).
+    Elsewhere: the native scalar aligner.  interpret=True forces the Pallas
     interpreter (kernel tests).
     """
     if interpret is None:
         if not _on_tpu():
-            return band_align_native(queries, targets)
+            return band_align_native(queries, targets, hq=hq)
         interpret = False
+    if R is None:
+        res = _band_align_R(queries, targets, 1, interpret)
+        bad = [i for i, r in enumerate(res) if not (r["ok"] and r["reached"])]
+        if bad:
+            retry = _band_align_R([queries[i] for i in bad],
+                                  [targets[i] for i in bad], 2, interpret)
+            for i, r in zip(bad, retry):
+                res[i] = r
+        return res
+    return _band_align_R(queries, targets, R, interpret)
+
+
+def _band_align_R(queries, targets, R: int, interpret: bool):
     P = SUBLANES // R
     B0 = len(queries)
     padB = (-B0) % P

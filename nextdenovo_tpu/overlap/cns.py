@@ -88,7 +88,7 @@ def realign_overlaps(store: SeqStore, cand: OvlBlock, ext: int = 64,
             qs_l.append((qs, qe))
             ts_l.append((ts, te))
         res = tpu_align.band_align([p[0] for p in pairs],
-                                   [p[1] for p in pairs], R=2,
+                                   [p[1] for p in pairs],
                                    interpret=interpret)
         for j, r in enumerate(res):
             i = sl.start + j

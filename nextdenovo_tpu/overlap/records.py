@@ -56,6 +56,23 @@ class OvlBlock:
         return OvlBlock({k: np.concatenate([b.data[k] for b in blocks])
                          for k in blocks[0].data})
 
+    # ---- text round-trip (ovl_cvt parity, util/ovl_cvt.c:8-50) ----
+    def to_text(self) -> str:
+        keys = FIELDS_I if "ide" in self.data else FIELDS
+        lines = ["\t".join(str(int(self.data[k][i])) for k in keys)
+                 for i in range(len(self))]
+        return "\n".join(lines) + ("\n" if lines else "")
+
+    @classmethod
+    def from_text(cls, text: str) -> "OvlBlock":
+        rows = [l.split("\t") for l in text.splitlines() if l.strip()]
+        if not rows:
+            return cls.empty()
+        keys = FIELDS_I if len(rows[0]) == len(FIELDS_I) else FIELDS
+        cols = {k: np.array([int(r[i]) for r in rows], np.int32)
+                for i, k in enumerate(keys)}
+        return cls(cols)
+
     def save(self, path: str):
         np.savez_compressed(path, **self.data)
 

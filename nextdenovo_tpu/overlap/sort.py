@@ -79,6 +79,59 @@ def _check_chimer(bins: np.ndarray) -> int:
     return lable
 
 
+def _check_chimer_hq(bins: np.ndarray, ovls) -> int:
+    """HiFi break detector (ovl_sort.c:287-315): an interior low-coverage bin
+    not spanned by any overlap marks a chimera."""
+    n = len(bins)
+    l = 0
+    while l < n and bins[l] < 2:
+        l += 1
+    r = n
+    while r > 0 and bins[r - 1] < 2:
+        r -= 1
+    flank = 15
+    for i in range(l + 1, r - 1):
+        if bins[i] <= 1:
+            s = (i - flank) << BIN_OFFSET if i > l + flank else l << BIN_OFFSET
+            e = (i + flank) << BIN_OFFSET if i + flank < r else r << BIN_OFFSET
+            if not any(o["qs"] < s and o["qe"] > e for o in ovls[1:]):
+                return i
+    return 0
+
+
+def _del_repeat_alns(ovls, qlen: int, max_flank_len: int, max_bin_cov: int):
+    """HiFi repeat-duplicate removal via endpoint break-point bins
+    (ovl_sort.c:386-431): interior overlaps whose both endpoints sit on hot
+    break bins are repeat-induced duplicates; then re-cap coverage."""
+    j = BIN_OFFSET + 1
+    offset = 1 + (qlen >> j)
+    ep = np.zeros(2 * offset + 4, np.int32)
+    for o in ovls[1:]:
+        ep[(o["qs"] + 10) >> j] += 1
+        ep[min(((o["qe"] - 10) >> j) + offset, len(ep) - 1)] += 1
+    median = 5
+    flank_len = max_flank_len * 3 if max_flank_len > 100 else 300
+    for o in ovls[1:]:
+        if o["qs"] <= flank_len and o["qe"] + flank_len >= qlen:
+            continue
+        s = (o["qs"] + 10) >> j
+        e = min(((o["qe"] - 10) >> j) + offset, len(ep) - 1)
+        if ep[s] >= median and ep[e] >= median:
+            o["qe"] = 0
+    bins = np.zeros((qlen >> BIN_OFFSET) + 3, np.int32)
+    for o in ovls[1:]:
+        if not o["qe"]:
+            continue
+        a = ((o["qs"] + 10) >> BIN_OFFSET) + 1
+        b = (o["qe"] - 10) >> BIN_OFFSET
+        seg = bins[a : b + 1]
+        seg += 1
+        if len(seg) and seg.min() > 2 * max_bin_cov:
+            seg -= 1
+            o["qe"] = 0
+    return bins
+
+
 def _check_chimer2(ovls, qlen: int) -> int:
     """Hot break-end detector (ovl_sort.c:337-375)."""
     j = BIN_OFFSET + 1
@@ -131,6 +184,35 @@ def _filter_seed_group(ovls, qlen: int, max_bin_cov: int, max_flank_len: int,
     pcount = 1
     prev_qs = prev_qe = -10**9
     accepted = []
+
+    if is_hq:
+        # HiFi accept path (encode_ovl_filter_hq, ovl_sort.c:616-654): no
+        # coverage-bin cap; everything within the qcov budget is kept, then
+        # repeat duplicates are removed by endpoint break-point analysis
+        qmaxlen *= 6
+        for o in ovls:
+            if qcov > qmaxlen or len(accepted) > 65000:
+                continue
+            prev_qs, prev_qe = o["qs"], o["qe"]
+            qcov += o["qe"] - o["qs"] + 1
+            if o["qname"] != o["tname"] and o["qs"] <= max_flank_len and \
+                    o["qe"] + max_flank_len >= qlen:
+                contained += 1
+            accepted.append(o)
+        bins_hq = _del_repeat_alns(accepted, qlen, max_flank_len, max_bin_cov)
+        chimera = _check_chimer_hq(bins_hq[:nbin], accepted)
+        kept = []
+        kept_contained = 0
+        for o in accepted:
+            if o["qe"]:
+                kept.append(o)
+                if o["qname"] != o["tname"] and o["qs"] <= max_flank_len and \
+                        o["qe"] + max_flank_len >= qlen and \
+                        o["match"] >= (o["qe"] - o["qs"] + 1) * 0.9:
+                    kept_contained += 1
+        mark = "c" if kept_contained >= MIN_CONTAINED_COUNT else \
+            ("k" if chimera else None)
+        return kept, mark
 
     for o in ovls:
         if qcov > qmaxlen or len(accepted) > 65000:

@@ -180,7 +180,14 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
                         get_read=lambda r: cns_store.get(r),
                         min_ctg_len=cfg.min_ctg_len)
     names = [f"ctg{i:06d}" for i in range(len(seqs))]
-    write_fasta(st.path("nd.asm.p.fasta"), list(zip(names, seqs)))
+    paths = getattr(sg, "last_paths", [None] * len(seqs))
+    from ..graph.output import (stat_table, write_ctg_fasta, write_ctg_gfa,
+                                write_ctg_paths, write_graphml)
+    write_ctg_fasta(st.path("nd.asm.p.fasta"), sg, seqs, paths,
+                    min_len=cfg.min_ctg_len)
+    write_ctg_gfa(st.path("nd.asm.p.gfa"), sg, seqs, paths)
+    write_graphml(st.path("nd.asm.p.graphml"), sg)
+    write_ctg_paths(st.path("nd.asm.p.path"), sg, paths)
 
     # ---- ctg_align + ctg_cns (polish) -----------------------------------
     if cfg.polish and seqs:
@@ -201,7 +208,8 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
     write_fasta(st.path("nd.asm.fasta"), list(zip(names, seqs)))
     stats = stat_n50(np.array([len(s) for s in seqs])) if seqs else {}
     with open(st.path("nd.asm.stat"), "w") as fh:
-        fh.write(json.dumps(stats, indent=1, default=int))
+        fh.write(stat_table(seqs, cfg.genome_size or None))
+        fh.write("\n" + json.dumps(stats, indent=1, default=int))
     st.mark()
     log.info("assembly: %d contigs, N50=%s, total=%s (%.1fs)",
              len(seqs), stats.get("N50", (0,))[0] if stats else 0,

@@ -1,0 +1,60 @@
+"""Extra end-to-end scenarios: circular genomes and corrected input."""
+import numpy as np
+
+from nextdenovo_tpu.io.fastx import write_fasta
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+from nextdenovo_tpu.pipeline.config import load_config
+from nextdenovo_tpu.pipeline.run import run_pipeline
+
+
+def test_circular_genome_assembles(tmp_path):
+    glen = 50_000
+    g = simulate_genome(glen, seed=70)
+    sim = simulate_reads(g, coverage=22, mean_len=9000, error_rate=0.09,
+                         seed=71, min_len=2500, circular=True)
+    write_fasta(str(tmp_path / "reads.fa"),
+                [(f"r{i}", r) for i, r in enumerate(sim.reads)])
+    (tmp_path / "input.fofn").write_text("reads.fa\n")
+    (tmp_path / "run.cfg").write_text(f"""
+task = all
+input_type = raw
+read_type = ont
+input_fofn = ./input.fofn
+workdir = ./rundir
+read_cutoff = 1k
+genome_size = {glen}
+seed_depth = 12
+""")
+    cfg = load_config(str(tmp_path / "run.cfg"))
+    out = run_pipeline(cfg)
+    total = sum(len(c) for c in out["contigs"])
+    # a circular genome has no coverage taper: expect near-complete assembly
+    assert total > 0.9 * glen, total
+    assert len(out["contigs"][0]) > 0.7 * glen
+
+
+def test_corrected_input_skips_correction(tmp_path):
+    glen = 60_000
+    g = simulate_genome(glen, seed=80)
+    # corrected reads: ~0.5% residual error
+    sim = simulate_reads(g, coverage=14, mean_len=12000, error_rate=0.005,
+                         seed=81, min_len=3000)
+    write_fasta(str(tmp_path / "reads.fa"),
+                [(f"r{i}", r) for i, r in enumerate(sim.reads)])
+    (tmp_path / "input.fofn").write_text("reads.fa\n")
+    (tmp_path / "run.cfg").write_text(f"""
+task = assemble
+input_type = corrected
+read_type = ont
+input_fofn = ./input.fofn
+workdir = ./rundir
+read_cutoff = 1k
+genome_size = {glen}
+""")
+    cfg = load_config(str(tmp_path / "run.cfg"))
+    out = run_pipeline(cfg)
+    assert len(out["contigs"]) >= 1
+    assert len(out["contigs"][0]) > 0.6 * glen
+    # correction stage must not have run
+    import os
+    assert not os.path.exists(str(tmp_path / "rundir" / "03.seed_cns" / ".done"))
