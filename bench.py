@@ -24,8 +24,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from nextdenovo_tpu.io.simulate import mutate_read
-    from nextdenovo_tpu.ops.align import (LANES, band_align_fwd, band_align_tb,
-                                          pad_for_align)
+    from nextdenovo_tpu.ops.align import (LANES, T_FRONT, band_align_fwd_fast,
+                                          band_align_tb, pad_for_align)
     from nextdenovo_tpu.native import band_align_cpu
     from nextdenovo_tpu.io.fastx import codes_to_str
 
@@ -39,17 +39,18 @@ def main():
     n = np.array([len(t) for t in ts], np.int32)
     a_max = ((int((m + n).max()) + 2047) // 2048 + 1) * 2048
     qpad = jnp.asarray(pad_for_align(qs, int(m.max()), W))
-    rtpad = jnp.asarray(pad_for_align([t[::-1] for t in ts], int(n.max()), W))
+    rtpad = jnp.asarray(pad_for_align([t[::-1] for t in ts], int(n.max()), W,
+                                      front=T_FRONT))
     mn = jnp.asarray(np.stack([m, n], 1))
 
-    # --- TPU kernel (fwd + traceback = the full alignment service) -------
-    tb, lo, stats = band_align_fwd(qpad, rtpad, mn, R=R, a_max=a_max)
+    # --- TPU kernels (fixed-cadence fwd + traceback) ---------------------
+    tb, lo, stats = band_align_fwd_fast(qpad, rtpad, mn, a_max=a_max)
     ops, span = band_align_tb(tb, lo, mn, R=R, a_max=a_max)
     _ = np.asarray(span)  # force
     reps = 3
     t0 = time.time()
     for _i in range(reps):
-        tb, lo, stats = band_align_fwd(qpad, rtpad, mn, R=R, a_max=a_max)
+        tb, lo, stats = band_align_fwd_fast(qpad, rtpad, mn, a_max=a_max)
         ops, span = band_align_tb(tb, lo, mn, R=R, a_max=a_max)
         _ = np.asarray(span)  # tunnel-safe sync
     dt = (time.time() - t0) / reps

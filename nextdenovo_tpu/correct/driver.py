@@ -40,9 +40,7 @@ def iter_seed_jobs(sorted_blk, blacklist: Dict[int, str], lens: np.ndarray,
     q = np.asarray(sorted_blk.qname)
     if len(q) == 0:
         return
-    seeds, starts = np.unique(q, return_index=True)
-    order = np.argsort(starts)
-    bounds = np.searchsorted(q, seeds, "left").tolist() + [len(q)]
+    seeds = np.unique(q)
     for si in range(len(seeds)):
         seed = int(seeds[si])
         if seed in blacklist:
@@ -119,19 +117,43 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
 def run_correction(store: SeqStore, sorted_blk, blacklist: Dict[int, str],
                    read_type: int = 1, min_len_seed: int = 1000,
                    min_error_corrected_ratio: float = 0.8, split: bool = True,
-                   interpret: bool | None = None, **kw):
+                   interpret: bool | None = None, resume_path: str | None = None,
+                   **kw):
     """Full correction pass -> (corrected SeqStore, names).
 
     split=True mirrors the driver's `-s` behavior: corrected seeds are split
-    at uncorrected (lowercase) regions (nextcorrect.py:237-247)."""
+    at uncorrected (lowercase) regions (nextcorrect.py:237-247).
+    resume_path: jsonl progress file — completed seeds are appended as they
+    finish and skipped on re-run (the reference's truncate-and-continue,
+    nextcorrect.py:156-181, without the truncation dance)."""
+    import json
+    import os
+
     lens = np.asarray(store.length)
     jobs = list(iter_seed_jobs(sorted_blk, blacklist, lens,
                                min_len_seed=min_len_seed, **{
                                    k: v for k, v in kw.items()
                                    if k in ("min_len_aln", "min_cov_seed",
                                             "max_cov_aln")}))
+    done: Dict[int, list] = {}
+    if resume_path and os.path.exists(resume_path):
+        with open(resume_path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                    done[int(rec["seed"])] = rec["pieces"]
+                except Exception:
+                    break  # partial last line: ignore (re-done below)
+        if done:
+            log.info("correction: resuming, %d seeds already done", len(done))
+    jobs = [j for j in jobs if j.seed not in done]
+    prog = open(resume_path, "a") if resume_path else None
     log.info("correction: %d seed jobs", len(jobs))
     out_seqs, out_names = [], []
+    for pieces in done.values():
+        for name, seq in pieces:
+            out_names.append(name)
+            out_seqs.append(np.frombuffer(seq.encode().translate(_TR), np.uint8))
     n_fail = 0
     for seed, ln, ide, seq in correct_seeds(
             store, jobs, read_type=read_type, interpret=interpret,
@@ -140,11 +162,11 @@ def run_correction(store: SeqStore, sorted_blk, blacklist: Dict[int, str],
             **{k: v for k, v in kw.items()
                if k in ("min_len_aln", "max_cov_aln", "min_cov",
                         "max_lq_length")}):
+        pieces = []
         if ln < min_len_seed or ide < min_error_corrected_ratio:
             if ln == 3:
                 n_fail += 1
-            continue
-        if split:
+        elif split:
             # keep uppercase (corrected) runs only
             runs = []
             cur = []
@@ -159,13 +181,17 @@ def run_correction(store: SeqStore, sorted_blk, blacklist: Dict[int, str],
                 runs.append("".join(cur))
             for i, r in enumerate(runs):
                 if len(r) >= min_len_seed:
-                    out_names.append(f"{seed}_{i+1}")
-                    out_seqs.append(np.frombuffer(
-                        r.encode().translate(_TR), np.uint8))
+                    pieces.append((f"{seed}_{i+1}", r))
         else:
-            out_names.append(str(seed))
-            out_seqs.append(np.frombuffer(
-                seq.upper().encode().translate(_TR), np.uint8))
+            pieces.append((str(seed), seq.upper()))
+        for name, r in pieces:
+            out_names.append(name)
+            out_seqs.append(np.frombuffer(r.encode().translate(_TR), np.uint8))
+        if prog is not None:
+            prog.write(json.dumps(dict(seed=int(seed), pieces=pieces)) + "\n")
+            prog.flush()
+    if prog is not None:
+        prog.close()
     log.info("correction: %d corrected sequences (%d failures)",
              len(out_seqs), n_fail)
     return SeqStore.from_codes(out_seqs, names=out_names)

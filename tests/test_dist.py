@@ -1,0 +1,77 @@
+"""Distributed overlap step on a virtual 8-device mesh: the all_to_all
+routing + sharded lookup must find true overlaps."""
+import numpy as np
+
+
+def test_dryrun_multichip_finds_true_overlaps():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", __file__.rsplit("/tests/", 1)[0] + "/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)   # asserts internally + prints record count
+
+
+def test_distributed_matches_local_records():
+    import jax
+    import jax.numpy as jnp
+    from nextdenovo_tpu.parallel.mesh import make_mesh, shard_rows
+    from nextdenovo_tpu.parallel.dist_overlap import distributed_overlap_step
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.ops.sketch import sketch
+
+    n_dev = 8
+    mesh = make_mesh(n_dev)
+    g = simulate_genome(20_000, seed=5)
+    sim = simulate_reads(g, coverage=2 * n_dev, mean_len=4000,
+                         error_rate=0.03, seed=6, min_len=2500)
+    store = SeqStore.from_codes(sim.reads)
+    B, L = n_dev, 8192
+    codes = np.zeros((B, L), np.int32)
+    lens = np.zeros(B, np.int32)
+    for i in range(B):
+        c = store.get(i % len(store))
+        codes[i, : min(L, len(c))] = c[:L]
+        lens[i] = min(L, len(c))
+    rid_base = np.arange(B, dtype=np.int32)
+    k, w = 15, 5
+    allc = np.zeros((len(store), 8192), np.int32)
+    alll = np.zeros(len(store), np.int32)
+    for i in range(len(store)):
+        c = store.get(i)
+        allc[i, : min(8192, len(c))] = c[:8192]
+        alll[i] = min(8192, len(c))
+    m = sketch(jnp.asarray(allc), jnp.asarray(alll), k=k, w=w, cap=16384)
+    n = int(m.n)
+    h = np.asarray(m.hash[:n]); rid = np.asarray(m.rid[:n])
+    pos = np.asarray(m.pos[:n]); strand = np.asarray(m.strand[:n])
+    shift_bits = 32 - max(1, (n_dev - 1).bit_length())
+    owner = (h >> shift_bits) % n_dev
+    H = 2048
+    ih = np.full((n_dev, H), 0xFFFFFFFF, np.uint32)
+    irid = np.full((n_dev, H), -1, np.int32)
+    ipos = np.zeros((n_dev, H), np.int32)
+    istr = np.zeros((n_dev, H), np.int32)
+    for d in range(n_dev):
+        sel = np.nonzero(owner == d)[0]
+        order = sel[np.argsort(h[sel])][:H]
+        ih[d, : len(order)] = h[order]
+        irid[d, : len(order)] = rid[order]
+        ipos[d, : len(order)] = pos[order]
+        istr[d, : len(order)] = strand[order]
+    args = [codes, lens, rid_base, ih.reshape(-1), irid.reshape(-1),
+            ipos.reshape(-1), istr.reshape(-1)]
+    args = [shard_rows(mesh, jnp.asarray(a)) for a in args]
+    out = distributed_overlap_step(
+        *args, k=k, w=w, cap_mini=4096, max_occ=8, diag_shift=8,
+        cap_out=128, mesh=mesh, n_shards=n_dev)
+    qn, tn = np.asarray(out[0]).ravel(), np.asarray(out[1]).ravel()
+    found = {(int(a), int(b)) for a, b in zip(qn, tn) if a >= 0 and b >= 0}
+    assert len(found) > 0
+    # precision: all found pairs must truly overlap by >= 300bp
+    for a, b in found:
+        s = max(sim.start[a], sim.start[b])
+        e = min(sim.end[a], sim.end[b])
+        assert e - s >= 300, (a, b, e - s)

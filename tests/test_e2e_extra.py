@@ -58,3 +58,37 @@ genome_size = {glen}
     # correction stage must not have run
     import os
     assert not os.path.exists(str(tmp_path / "rundir" / "03.seed_cns" / ".done"))
+
+
+def test_correction_intra_stage_resume(tmp_path):
+    """Progress-file resume: a second run must skip completed seeds."""
+    import json
+    import numpy as np
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+    from nextdenovo_tpu.overlap.sort import sort_filter_overlaps
+    from nextdenovo_tpu.correct.driver import run_correction
+
+    g = simulate_genome(40_000, seed=90)
+    sim = simulate_reads(g, coverage=16, mean_len=9000, error_rate=0.10,
+                         seed=91, min_len=2500)
+    store = SeqStore.from_codes(sim.reads)
+    rids = np.arange(len(store))
+    idx = build_index(store, rids, k=15, w=5)
+    ovl = find_overlaps(store, rids, idx, k=15, w=5)
+    lens = np.asarray(store.length)
+    is_seed = lens >= np.quantile(lens, 0.5)
+    res = sort_filter_overlaps(ovl, is_seed, lens, max_bin_cov=12)
+    prog = str(tmp_path / "prog.jsonl")
+    cns1 = run_correction(store, res.block, res.blacklist, resume_path=prog,
+                          min_len_seed=2000, min_cov_seed=4)
+    n_lines = sum(1 for _ in open(prog))
+    assert n_lines > 0
+    # truncate the progress file to half: resume must redo only the rest
+    lines = open(prog).readlines()
+    open(prog, "w").writelines(lines[: len(lines) // 2])
+    cns2 = run_correction(store, res.block, res.blacklist, resume_path=prog,
+                          min_len_seed=2000, min_cov_seed=4)
+    assert sorted(cns2.names) == sorted(cns1.names)
+    assert cns2.total_bases == cns1.total_bases
