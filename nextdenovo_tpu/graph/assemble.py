@@ -321,6 +321,32 @@ class StringGraph:
                     all(sco <= i.sco * i.ide for i in ins):
                 self._del_edge(e)
 
+    def break_short_loops(self, max_loop: int = 5):
+        """Short-loop removal (rm_sht_loop, asg.c:941): a cycle of <=
+        max_loop nodes hanging off a through-path is cut at its weakest
+        edge."""
+        for e in list(self.edges):
+            if e.deleted or e.reduced:
+                continue
+            # walk from e.v unambiguously; if we come back to e.u quickly and
+            # e.u has another continuation, this is a short loop
+            cur = e.v
+            path = [e]
+            for _ in range(max_loop):
+                oes = self.out_edges(cur)
+                if len(oes) != 1:
+                    path = None
+                    break
+                path.append(oes[0])
+                cur = oes[0].v
+                if cur == e.u:
+                    break
+            if not path or cur != e.u:
+                continue
+            if len(self.out_edges(e.u)) > 1 or len(self.in_edges(e.u)) > 1:
+                weakest = min(path, key=lambda x: x.sco * x.ide)
+                self._del_edge(weakest)
+
     def clean(self):
         self.transitive_reduction()
         for _ in range(2):
@@ -328,6 +354,7 @@ class StringGraph:
             self.clip_z_edges()
             self.pop_bubbles()
             self.drop_low_score_branches()
+        self.break_short_loops()
         self.clip_tips()
         self.pop_bubbles()
 
