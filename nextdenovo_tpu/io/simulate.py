@@ -8,7 +8,7 @@ long reads with CLR/ONT-style error profiles (mismatch/insert/delete mix).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

@@ -16,7 +16,7 @@ import numpy as np
 
 from ..io.seqstore import SeqStore
 from ..ops import align as tpu_align
-from .engine import MiniIndex, build_index, find_overlaps
+from .engine import build_index, find_overlaps
 from .records import OvlBlock
 
 EDGEBACKLEN = 10   # lib/ovl.h:12

@@ -28,7 +28,7 @@ import numpy as np
 from ..io.seqstore import SeqStore
 from ..ops.segment import (segment_argmax, segment_max, segment_min,
                            segment_starts, segment_sum)
-from ..ops.sketch import Minimizers, sketch
+from ..ops.sketch import sketch
 from .records import OvlBlock
 
 I32MAX = np.int32(2**31 - 1)

@@ -19,7 +19,7 @@ Constants mirror util/ovl_sort.h:3-12 and ovl_sort.c:24-26.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -18,16 +18,15 @@ remains the default until multi-chip hardware is attached.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.segment import segment_argmax, segment_max, segment_min, \
     segment_starts, segment_sum
-from ..ops.sketch import sketch, kmer_pack, hash_kmer, sliding_min_pair
+from ..ops.sketch import sketch
 from .mesh import AXIS
 
 I32MAX = jnp.int32(2**31 - 1)

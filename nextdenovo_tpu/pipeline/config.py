@@ -9,7 +9,6 @@ from __future__ import annotations
 import os
 import re
 from dataclasses import dataclass, field
-from typing import Optional
 
 _UNIT = {"k": 1e3, "m": 1e6, "g": 1e9}
 
