@@ -1,12 +1,14 @@
-"""Benchmark: banded-alignment DP throughput on the TPU chip.
+"""Benchmark: alignment-DP throughput on the TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-metric = giga cell-updates/s of the wavefront alignment kernel (band cells)
-on a realistic correction workload (noisy ~10kb read pairs @ 12% error).
-vs_baseline = speedup over the reference-equivalent scalar O(ND) aligner
-(libndtpu nd_band_align, same algorithm/semantics as align.c) on one host
-core, measured in aligned pairs/s on the identical pair set.
+metric = giga cell-updates/s (band cells) of the ksw2-class affine-gap
+extension kernel (ops/extend.py) — the BASELINE.json headline metric
+("GCUPS/chip on ksw2-extend DP") — on a realistic mapping workload
+(noisy ~10 kb read pairs @ 12% error, batch 512).
+vs_baseline = TPU pairs/s over the reference-equivalent scalar banded
+affine DP (libndtpu nd_affine_extend: same band, same semantics as the
+kernel; the role ksw2_extz2_sse plays in the reference) on one host core.
 """
 from __future__ import annotations
 
@@ -24,51 +26,59 @@ def main():
     import jax
     import jax.numpy as jnp
     from nextdenovo_tpu.io.simulate import mutate_read
-    from nextdenovo_tpu.ops.align import (LANES, T_FRONT, band_align_fwd_fast,
-                                          band_align_tb, pad_for_align)
-    from nextdenovo_tpu.native import band_align_cpu
-    from nextdenovo_tpu.io.fastx import codes_to_str
+    from nextdenovo_tpu.native import affine_extend_cpu
+    from nextdenovo_tpu.ops.extend import (QF, TF, affine_extend_fwd,
+                                           pad_for_extend)
 
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
-    R, W = 1, LANES  # production fast path; R=2 retry is rare
-    B, L = 64, 10_000
+    B, L, ROWS = 512, 10_000, 64
     ts = [rng.integers(0, 4, L).astype(np.int8) for _ in range(B)]
-    qs = [mutate_read(t.astype(np.uint8), 0.12, rng).astype(np.int8) for t in ts]
+    qs = [mutate_read(t.astype(np.uint8), 0.12, rng).astype(np.int8)
+          for t in ts]
     m = np.array([len(q) for q in qs], np.int32)
     n = np.array([len(t) for t in ts], np.int32)
-    a_max = ((int((m + n).max()) + 2047) // 2048 + 1) * 2048
-    qpad = jnp.asarray(pad_for_align(qs, int(m.max()), W))
-    rtpad = jnp.asarray(pad_for_align([t[::-1] for t in ts], int(n.max()), W,
-                                      front=T_FRONT))
+    a_max = ((int((m + n).max()) + 1 + 1023) // 1024) * 1024
+
+    def bucket(x, q=2048):
+        return ((int(x) + q - 1) // q) * q
+
+    m_max, n_max = bucket(m.max()), bucket(n.max())
+    tf = ((TF + max(0, (m_max - n_max + 1) // 2)) + 7) // 8 * 8
+    qpad = jnp.asarray(pad_for_extend(qs, m_max, QF))
+    TP = ((tf + n_max + 3 * 128 + 127) // 128) * 128
+    rt = np.full((B, TP), 4, np.int32)
+    for b, t in enumerate(ts):
+        t = np.asarray(t)[::-1]
+        rt[b, tf + n_max - len(t): tf + n_max] = t
+    rt[:, tf + n_max:] = 5
+    rtpad = jnp.asarray(rt)
     mn = jnp.asarray(np.stack([m, n], 1))
 
-    # --- TPU kernels (fixed-cadence fwd + traceback) ---------------------
-    tb, lo, stats = band_align_fwd_fast(qpad, rtpad, mn, a_max=a_max)
-    ops, span = band_align_tb(tb, lo, mn, R=R, a_max=a_max)
-    _ = np.asarray(span)  # force
+    # --- TPU kernel -------------------------------------------------------
+    out = affine_extend_fwd(qpad, rtpad, mn, a_max=a_max, n_max=n_max,
+                            tf=tf, rows=ROWS)
+    _ = np.asarray(out)  # tunnel-safe sync
     reps = 3
     t0 = time.time()
     for _i in range(reps):
-        tb, lo, stats = band_align_fwd_fast(qpad, rtpad, mn, a_max=a_max)
-        ops, span = band_align_tb(tb, lo, mn, R=R, a_max=a_max)
-        _ = np.asarray(span)  # tunnel-safe sync
+        out = affine_extend_fwd(qpad, rtpad, mn, a_max=a_max, n_max=n_max,
+                                tf=tf, rows=ROWS)
+        _ = np.asarray(out)
     dt = (time.time() - t0) / reps
-    cells = float(B) * a_max * W
+    cells = float(B) * a_max * 128
     gcups = cells / dt / 1e9
     tpu_pairs_s = B / dt
 
-    # --- reference-equivalent CPU aligner baseline (subset, 1 core) ------
+    # --- reference-equivalent CPU baseline (subset, 1 core) ---------------
     nb = 8
     t0 = time.time()
     for i in range(nb):
-        qstr = codes_to_str(qs[i].astype(np.uint8))
-        tstr = codes_to_str(ts[i].astype(np.uint8))
-        band_align_cpu(qstr, tstr)
+        affine_extend_cpu(qs[i].astype(np.uint8), ts[i].astype(np.uint8))
     cpu_pairs_s = nb / (time.time() - t0)
 
     print(json.dumps(dict(
-        metric="band_align_gcups" if on_tpu else "band_align_gcups_cpu",
+        metric="ksw2_extend_gcups" if on_tpu else "ksw2_extend_gcups_cpu",
         value=round(gcups, 3),
         unit="Gcells/s",
         vs_baseline=round(tpu_pairs_s / cpu_pairs_s, 3),

@@ -1,0 +1,232 @@
+"""Ablation harness for the affine-extend kernel (perf experiments only).
+
+Usage: python experiments/ext_ablate.py MODE [MODE...]
+MODEs: full, nobest, nomask, nobound, nowin, noshift, nodp, empty
+Each strips one section of the per-step body to localize cost.
+"""
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+from nextdenovo_tpu.ops.align import LANES, PACK, SUBLANES  # noqa: E402
+from nextdenovo_tpu.ops.extend import (HALF, NINF, QF, TF,  # noqa: E402
+                                       _tile_window, pad_for_extend)
+
+CHUNK = 64
+
+
+def make_kernel(mode, n_ch, n_max, tf):
+    match, mism, gapo, gape = 2, 4, 4, 2
+
+    def kern(mnv_ref, q_ref, rt_ref, out_ref, h1, h2, ev, fv, best, besta,
+             endv):
+        c = pl.program_id(1)
+        ninf = jnp.int32(NINF)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+        goe = jnp.int32(gapo + gape)
+        ge = jnp.int32(gape)
+
+        @pl.when(c == 0)
+        def _init():
+            full = jnp.full((SUBLANES, LANES), ninf, jnp.int32)
+            h1[...] = full
+            h2[...] = full
+            ev[...] = full
+            fv[...] = full
+            best[...] = full
+            endv[...] = full
+            besta[...] = jnp.zeros((SUBLANES, LANES), jnp.int32)
+
+        mnv = mnv_ref[...]
+        m_col = mnv[:, 0:1]
+        n_col = mnv[:, 1:2]
+        QP = q_ref.shape[1]
+        TP = rt_ref.shape[1]
+
+        def word_body(wb, _):
+            a0 = (c * CHUNK + wb) * PACK
+            lo0 = a0 // 2 - HALF
+            if mode == "noload":
+                QW0 = QW1 = jnp.full((SUBLANES, LANES), 1, jnp.int32)
+                TW0 = TW1 = jnp.full((SUBLANES, LANES), 2, jnp.int32)
+            elif mode == "alignedload":
+                a0q = pl.multiple_of(jnp.clip(QF + lo0 - 1, 0,
+                                              QP - 2 * LANES) // LANES
+                                     * LANES, LANES)
+                QW0 = q_ref[:, pl.ds(a0q, LANES)]
+                QW1 = q_ref[:, pl.ds(a0q + LANES, LANES)]
+                a0t = pl.multiple_of(jnp.clip(tf + n_max - a0 + lo0 - 8, 0,
+                                              TP - 2 * LANES) // LANES
+                                     * LANES, LANES)
+                TW0 = rt_ref[:, pl.ds(a0t, LANES)]
+                TW1 = rt_ref[:, pl.ds(a0t + LANES, LANES)]
+            else:
+                QW0, QW1 = _tile_window(q_ref, jnp.clip(QF + lo0 - 1, 0,
+                                                        QP - 2 * LANES))
+                TW0, TW1 = _tile_window(rt_ref,
+                                        jnp.clip(tf + n_max - a0 + lo0 - 8,
+                                                 0, TP - 2 * LANES))
+            h1v, h2v, evv, fvv = h1[...], h2[...], ev[...], fv[...]
+            bestv, bestav, endvv = best[...], besta[...], endv[...]
+            i_v = lo0 + lane
+            j_v = a0 - i_v
+
+            for s in range(PACK):
+                d1 = 1 if s % 2 else 0
+                off_q = (s + 1) // 2
+                off_t = 8 + (s + 1) // 2 - s
+                if mode == "nowin":
+                    qb, tb = QW0, TW0
+                else:
+                    qb = jnp.where(lane < LANES - off_q,
+                                   jnp.roll(QW0, -off_q, axis=1) if off_q else QW0,
+                                   jnp.roll(QW1, -off_q, axis=1) if off_q else QW1)
+                    tb = jnp.where(lane < LANES - off_t,
+                                   jnp.roll(TW0, -off_t, axis=1),
+                                   jnp.roll(TW1, -off_t, axis=1))
+                if s > 0:
+                    i_v = i_v + d1
+                    j_v = j_v + (1 - d1)
+                if mode == "noshift":
+                    h_up, f_up, h_left, e_left = h1v, fvv, h1v, evv
+                elif d1 == 0:
+                    h_up = jnp.where(lane == 0, ninf, jnp.roll(h1v, 1, axis=1))
+                    f_up = jnp.where(lane == 0, ninf, jnp.roll(fvv, 1, axis=1))
+                    h_left, e_left = h1v, evv
+                else:
+                    h_left = jnp.where(lane == LANES - 1, ninf,
+                                       jnp.roll(h1v, -1, axis=1))
+                    e_left = jnp.where(lane == LANES - 1, ninf,
+                                       jnp.roll(evv, -1, axis=1))
+                    h_up, f_up = h1v, fvv
+
+                if mode == "nodp":
+                    h_new = h1v + 1
+                    e_new, f_new = evv, fvv
+                else:
+                    e_new = jnp.maximum(h_left - goe, e_left - ge)
+                    f_new = jnp.maximum(h_up - goe, f_up - ge)
+                    sub = jnp.where(qb == tb, jnp.int32(match),
+                                    jnp.int32(-mism))
+                    if mode != "nobound":
+                        i0 = i_v == 0
+                        j0 = j_v == 0
+                        diag = jnp.where(i0 | j0, ninf, h2v + sub)
+                        e_new = jnp.where(j0, ninf, e_new)
+                        f_new = jnp.where(i0, ninf, f_new)
+                    else:
+                        diag = h2v + sub
+                    h_new = jnp.maximum(diag, jnp.maximum(e_new, f_new))
+                    if mode != "nobound":
+                        h_new = jnp.where(i0 & j0, 0, h_new)
+                    if mode != "nomask":
+                        invalid = (i_v < 0) | (i_v > m_col) | (j_v < 0) | \
+                                  (j_v > n_col)
+                        h_new = jnp.where(invalid, ninf, h_new)
+                        e_new = jnp.where(invalid, ninf, e_new)
+                        f_new = jnp.where(invalid, ninf, f_new)
+
+                if mode != "nobest":
+                    upd = h_new > bestv
+                    bestv = jnp.where(upd, h_new, bestv)
+                    bestav = jnp.where(upd, i_v + j_v, bestav)
+                    endvv = jnp.where((i_v == m_col) & (j_v == n_col),
+                                      h_new, endvv)
+                h2v = h1v
+                h1v = h_new
+                evv = e_new
+                fvv = f_new
+
+            h1[...] = h1v
+            h2[...] = h2v
+            ev[...] = evv
+            fv[...] = fvv
+            best[...] = bestv
+            besta[...] = bestav
+            endv[...] = endvv
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, word_body, 0)
+
+        @pl.when(c == n_ch - 1)
+        def _out():
+            out_ref[0, 0, :, :] = best[...]
+            out_ref[0, 1, :, :] = besta[...]
+            out_ref[0, 2, :, :] = endv[...]
+            out_ref[0, 3, :, :] = jnp.zeros((SUBLANES, LANES), jnp.int32)
+
+    return kern
+
+
+def run(mode, qpad, rtpad, mnv, a_max, n_max, tf):
+    B, QP = qpad.shape
+    TP = rtpad.shape[1]
+    BT = B // SUBLANES
+    n_ch = a_max // (PACK * CHUNK)
+    kern = make_kernel(mode, n_ch, n_max, tf)
+    f = pl.pallas_call(
+        kern,
+        grid=(BT, n_ch),
+        in_specs=[
+            pl.BlockSpec((SUBLANES, 128), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, QP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, TP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, SUBLANES, LANES),
+                               lambda bt, c: (bt, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BT, 4, SUBLANES, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((SUBLANES, LANES), jnp.int32)
+                        for _ in range(7)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )
+    jf = jax.jit(f)
+    out = jf(mnv, qpad, rtpad)
+    _ = np.asarray(out)
+    reps = 5
+    t0 = time.time()
+    for _ in range(reps):
+        _ = np.asarray(jf(mnv, qpad, rtpad))
+    dt = (time.time() - t0) / reps
+    cells = B * a_max * 128
+    print(f"{mode:10s} {cells/dt/1e9:7.2f} Gcells/s   "
+          f"{dt/a_max*1e9/(B//8):6.1f} ns/tile-step")
+
+
+def main():
+    rng = np.random.default_rng(0)
+    B, L = 64, 10_000
+    ts = [rng.integers(0, 4, L).astype(np.int8) for _ in range(B)]
+    qs = [t.copy() for t in ts]
+    m = np.array([len(q) for q in qs], np.int32)
+    n = np.array([len(t) for t in ts], np.int32)
+    a_max = ((int((m + n).max()) + 1 + 1023) // 1024) * 1024
+    n_max = ((int(n.max()) + 2047) // 2048) * 2048
+    m_max = ((int(m.max()) + 2047) // 2048) * 2048
+    tf = ((TF + max(0, (m_max - n_max + 1) // 2)) + 7) // 8 * 8
+    qpad = jnp.asarray(pad_for_extend(qs, m_max, QF))
+    TP = ((tf + n_max + 3 * 128 + 127) // 128) * 128
+    rt = np.full((B, TP), 4, np.int32)
+    for b, t in enumerate(ts):
+        t = np.asarray(t)[::-1]
+        rt[b, tf + n_max - len(t): tf + n_max] = t
+    rt[:, tf + n_max:] = 5
+    rtpad = jnp.asarray(rt)
+    mnv = jnp.zeros((B, 128), jnp.int32).at[:, 0].set(m).at[:, 1].set(n)
+    for mode in sys.argv[1:] or ["full", "noload", "alignedload", "nodp"]:
+        run(mode, qpad, rtpad, mnv, a_max, n_max, tf)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,10 @@ def _load():
     lib.nd_poa.restype = ctypes.c_void_p
     lib.nd_poa.argtypes = [ctypes.POINTER(ctypes.c_char_p), i32p, ctypes.c_int32]
     lib.nd_free_str.argtypes = [ctypes.c_void_p]
+    lib.nd_affine_extend.restype = None
+    lib.nd_affine_extend.argtypes = [
+        u8p, ctypes.c_int32, u8p, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p]
     return lib
 
 
@@ -108,6 +112,21 @@ def poa(seqs: List[str]) -> str:
     out = ctypes.string_at(p).decode()
     L.nd_free_str(p)
     return out
+
+
+def affine_extend_cpu(q: np.ndarray, t: np.ndarray, match: int = 2,
+                      mism: int = 4, gapo: int = 4, gape: int = 2):
+    """Scalar banded affine extension (the ksw2-equivalent CPU baseline;
+    identical band/semantics to ops/extend.py).  Returns a dict matching
+    ops.extend.affine_extend's per-pair output."""
+    L = lib()
+    qa, qp = _u8arr(np.asarray(q))
+    ta, tp = _u8arr(np.asarray(t))
+    out = (ctypes.c_int32 * 4)()
+    L.nd_affine_extend(qp, len(qa), tp, len(ta), match, mism, gapo, gape, out)
+    ninf32 = -(1 << 31)
+    return dict(score=int(out[0]), qe=int(out[1]), te=int(out[2]),
+                score_end=int(out[3]), reached=out[3] != ninf32)
 
 
 def band_align_cpu(q: str, t: str, hq: bool = False):

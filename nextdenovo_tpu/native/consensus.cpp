@@ -1296,6 +1296,63 @@ int32_t nd_band_align(const char *q, int32_t ql, const char *t, int32_t tl,
   return d;
 }
 
+// Scalar banded affine-gap extension DP — the CPU reference point for the
+// TPU ksw2-class kernel (ops/extend.py).  Same semantics and the same
+// 128-wide anti-diagonal band (lo(a) = (a+1)/2 - 64) as the TPU kernel, so
+// pairs/s comparisons are apples-to-apples.  Mirrors the role of the
+// reference's ksw2_extz2_sse (minimap2/ksw2_extz2_sse.c).
+// out[0]=best score, out[1]=qe, out[2]=te, out[3]=score at (m,n) or INT32_MIN.
+void nd_affine_extend(const uint8_t *q, int32_t m, const uint8_t *t,
+                      int32_t n, int32_t match, int32_t mism, int32_t gapo,
+                      int32_t gape, int32_t *out) {
+  const int W = 128, HALF = 64;
+  const int64_t NINF = INT64_MIN / 4;
+  // three rolling wavefronts of H plus E/F on the previous wavefront,
+  // indexed by lane (i - lo(a))
+  std::vector<int64_t> h1(W + 2, NINF), h2(W + 2, NINF), e1(W + 2, NINF),
+      f1(W + 2, NINF), hn(W + 2, NINF), en(W + 2, NINF), fn(W + 2, NINF);
+  int64_t best = NINF, send = NINF;
+  int32_t bi = 0, bj = 0;
+  for (int a = 0; a <= m + n; a++) {
+    int lo = (a + 1) / 2 - HALF;
+    int d1 = a & 1;  // lo(a) - lo(a-1)
+    for (int lane = 0; lane < W; lane++) {
+      int i = lo + lane, j = a - i;
+      if (i < 0 || i > m || j < 0 || j > n) {
+        hn[lane] = en[lane] = fn[lane] = NINF;
+        continue;
+      }
+      // sources: left (i,j-1) at lane+d1 on a-1; up (i-1,j) at lane+d1-1;
+      // diag (i-1,j-1) at same lane on a-2
+      int ll = lane + d1, lu = lane + d1 - 1;
+      int64_t hl = (ll >= 0 && ll < W) ? h1[ll] : NINF;
+      int64_t el = (ll >= 0 && ll < W) ? e1[ll] : NINF;
+      int64_t hu = (lu >= 0 && lu < W) ? h1[lu] : NINF;
+      int64_t fu = (lu >= 0 && lu < W) ? f1[lu] : NINF;
+      int64_t e = j > 0 ? std::max(hl - gapo - gape, el - gape) : NINF;
+      int64_t f = i > 0 ? std::max(hu - gapo - gape, fu - gape) : NINF;
+      int64_t d = (i > 0 && j > 0)
+                      ? h2[lane] + (q[i - 1] == t[j - 1] ? match : -mism)
+                      : NINF;
+      int64_t h = std::max(d, std::max(e, f));
+      if (i == 0 && j == 0) h = 0;
+      hn[lane] = h;
+      en[lane] = e;
+      fn[lane] = f;
+      if (h > best) { best = h; bi = i; bj = j; }
+      if (i == m && j == n) send = h;
+    }
+    std::swap(h2, h1);
+    std::swap(h1, hn);
+    std::swap(e1, en);
+    std::swap(f1, fn);
+  }
+  out[0] = (int32_t)best;
+  out[1] = bi;
+  out[2] = bj;
+  out[3] = send <= NINF ? INT32_MIN : (int32_t)send;
+}
+
 char *nd_poa(const char *const *seqs, const int32_t *lens, int32_t n) {
   std::vector<std::pair<const char *, int>> ps;
   for (int i = 0; i < n; i++) ps.push_back({seqs[i], lens[i]});

@@ -1,0 +1,366 @@
+"""Batched affine-gap (ksw2-class) extension DP on TPU.
+
+TPU-native replacement for the reference's ksw2 SSE kernels
+(/root/reference/minimap2/ksw2_extz2_sse.c, dispatched from
+ksw2_dispatch.c), used by minimap2-nd --step 3 for base-level mapping.
+Semantics are Gotoh affine-gap extension alignment:
+
+  H(i,j) = max(H(i-1,j-1) + s(q_i, t_j), E(i,j), F(i,j))
+  E(i,j) = max(H(i,j-1) - (gapo+gape), E(i,j-1) - gape)   # gap in query
+  F(i,j) = max(H(i-1,j) - (gapo+gape), F(i-1,j) - gape)   # gap in target
+  H(0,0) = 0;  H(i,0)/H(0,j) = leading-gap penalties
+
+banded to diagonals j - i within ~[-126, +128] of the main diagonal
+(ksw2's static band, -w).  Like ksw2_extz we report both the best
+extension endpoint (max H over the matrix) and the global score at
+(m, n).  zdrop early-exit is deliberately absent: it exists to save
+CPU work on bad extensions, but on TPU the batch runs a fixed grid, so
+dropped pairs save nothing — callers drop low-score pairs afterwards.
+
+Kernel design (see ops/align.py for the shared layout machinery):
+  * anti-diagonal wavefront a = i + j; cells on a depend only on a-1
+    (E/F/H) and a-2 (diag H), so a whole band row is one VPU step;
+  * 8 pairs ride the 8 sublanes of an (8, 128) tile; the 128 lanes hold
+    the band (i = lo(a) + lane);
+  * the band start follows the FIXED schedule lo(a) = (a+1)//2 - 64 —
+    unlike edit-distance banding there is no adaptive re-centering in
+    ksw2, so every neighbor access has a static +-1 lane shift and the
+    per-word scalar section reduces to two clamped window loads;
+  * because lo advances exactly once per two steps, the diagonal source
+    (i-1, j-1) on a-2 is always the SAME lane — no shift at all;
+  * best-endpoint tracking is per-lane (no cross-lane reduction in the
+    hot loop): best_v/besta_v planes are reduced once on the host.
+
+Scores are int32; match/mismatch/gap costs are compile-time constants
+(presets, like minimap2's -x).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .align import LANES, PACK, STEPS_PER_GRID, SUBLANES, _on_tpu
+
+NINF = -(1 << 28)
+HALF = 64                 # band: i in [a//2 - HALF, a//2 - HALF + 127]
+QF = 72                   # front pad: QF + lo_base - 1 >= 0 (lo_base >= -64)
+TF = 192                  # front pad: >= 136 keeps every window with a valid
+CHUNK = 64                # cell in-bounds (see window-start derivation below)
+
+
+def _lo_base(a0):
+    return a0 // 2 - HALF   # a0 is even (word-aligned); lo(a0)=(a0+1)//2-64
+
+
+def _tile_window(ref, start, nrows):
+    """(nrows, 256) window ref[:, start : start + 256] for a traced unaligned
+    start, loaded as whole-tile aligned blocks + funnel shift (one load set
+    for ALL pair rows — the window start is pair-independent by layout)."""
+    a0 = pl.multiple_of((start // LANES) * LANES, LANES)
+    r = start % LANES
+    loads = [ref[:, pl.ds(a0 + k * LANES, LANES)] for k in range(3)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 1)
+    rows = []
+    for k in range(2):
+        lo = pltpu.roll(loads[k], -r, axis=1)
+        hi = pltpu.roll(loads[k + 1], -r, axis=1)
+        rows.append(jnp.where(lane < LANES - r, lo, hi))
+    return rows[0], rows[1]
+
+
+def _ext_kernel(mnv_ref, q_ref, rt_ref, out_ref,
+                h1, h2, ev, fv, best, besta, endv, *, n_ch: int,
+                match: int, mism: int, gapo: int, gape: int, n_max: int,
+                tf: int, rows: int):
+    """One grid step = STEPS_PER_GRID anti-diagonals for `rows` pairs.
+
+    `rows` = G*8 pairs ride G stacked (8,128) vregs; every per-step op acts
+    on all G vregs, so G independent DP chains overlap in the VPU pipeline
+    (the kernel is latency-bound at G=1 — see KERNEL_NOTES).
+
+    mnv_ref: (rows, 128) int32: lane0 = m, lane1 = n per pair row
+    q_ref:   (rows, QP) int32: q[x] at buf[QF + x]
+    rt_ref:  (rows, TP) int32: t[n-1-k] at buf[tf + (n_max - n) + k], i.e.
+             all rows right-aligned so t[j-1] sits at buf[tf + n_max - j] —
+             the window start is then shared by all pairs
+    out_ref: (4, rows, 128) int32: [0] best H per lane, [1] a of best,
+             [2] score at (m, n) per lane (NINF off-band)
+    """
+    c = pl.program_id(1)
+    ninf = jnp.int32(NINF)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    goe = jnp.int32(gapo + gape)
+    ge = jnp.int32(gape)
+
+    @pl.when(c == 0)
+    def _init():
+        full = jnp.full((rows, LANES), ninf, jnp.int32)
+        h1[...] = full
+        h2[...] = full
+        ev[...] = full
+        fv[...] = full
+        best[...] = full
+        endv[...] = full
+        besta[...] = jnp.zeros((rows, LANES), jnp.int32)
+
+    mnv = mnv_ref[...]
+    m_col = mnv[:, 0:1]
+    n_col = mnv[:, 1:2]
+    QP = q_ref.shape[1]
+    TP = rt_ref.shape[1]
+
+    def word_body(wb, _):
+        a0 = (c * CHUNK + wb) * PACK
+        lo0 = _lo_base(a0)
+
+        # hoisted wide windows (2x128, shared across the 8 pairs); starts
+        # clamped into the buffer — a clamp can only fire on words where
+        # every cell is invalid (masked to -INF below)
+        QW0, QW1 = _tile_window(q_ref, jnp.clip(QF + lo0 - 1, 0,
+                                                QP - 2 * LANES), rows)
+        TW0, TW1 = _tile_window(rt_ref, jnp.clip(tf + n_max - a0 + lo0 - 8,
+                                                 0, TP - 2 * LANES), rows)
+
+        h1v, h2v, evv, fvv = h1[...], h2[...], ev[...], fv[...]
+        bestv, bestav, endvv = best[...], besta[...], endv[...]
+        i_v = lo0 + lane
+        j_v = a0 - i_v
+
+        for s in range(PACK):
+            a = a0 + s
+            d1 = 1 if s % 2 else 0          # lo(a) - lo(a-1)
+            off_q = (s + 1) // 2
+            off_t = 8 + (s + 1) // 2 - s
+            qb = jnp.where(lane < LANES - off_q,
+                           jnp.roll(QW0, -off_q, axis=1) if off_q else QW0,
+                           jnp.roll(QW1, -off_q, axis=1) if off_q else QW1)
+            tb = jnp.where(lane < LANES - off_t,
+                           jnp.roll(TW0, -off_t, axis=1),
+                           jnp.roll(TW1, -off_t, axis=1))
+            if s > 0:
+                i_v = i_v + d1
+                j_v = j_v + (1 - d1)
+            if d1 == 0:       # up/F source shifts -1; left/E source in place
+                h_up = jnp.where(lane == 0, ninf, jnp.roll(h1v, 1, axis=1))
+                f_up = jnp.where(lane == 0, ninf, jnp.roll(fvv, 1, axis=1))
+                h_left, e_left = h1v, evv
+            else:             # left/E source shifts +1; up/F in place
+                h_left = jnp.where(lane == LANES - 1, ninf,
+                                   jnp.roll(h1v, -1, axis=1))
+                e_left = jnp.where(lane == LANES - 1, ninf,
+                                   jnp.roll(evv, -1, axis=1))
+                h_up, f_up = h1v, fvv
+
+            e_new = jnp.maximum(h_left - goe, e_left - ge)
+            f_new = jnp.maximum(h_up - goe, f_up - ge)
+            sub = jnp.where(qb == tb, jnp.int32(match), jnp.int32(-mism))
+            i0 = i_v == 0
+            j0 = j_v == 0
+            diag = jnp.where(i0 | j0, ninf, h2v + sub)
+            e_new = jnp.where(j0, ninf, e_new)
+            f_new = jnp.where(i0, ninf, f_new)
+            h_new = jnp.maximum(diag, jnp.maximum(e_new, f_new))
+            h_new = jnp.where(i0 & j0, 0, h_new)
+            invalid = (i_v < 0) | (i_v > m_col) | (j_v < 0) | (j_v > n_col)
+            h_new = jnp.where(invalid, ninf, h_new)
+            e_new = jnp.where(invalid, ninf, e_new)
+            f_new = jnp.where(invalid, ninf, f_new)
+
+            upd = h_new > bestv
+            bestv = jnp.where(upd, h_new, bestv)
+            # a = i + j as a vector: avoids a per-step scalar->vector
+            # materialization of the traced step counter (see KERNEL_NOTES)
+            bestav = jnp.where(upd, i_v + j_v, bestav)
+            endvv = jnp.where((i_v == m_col) & (j_v == n_col), h_new, endvv)
+            h2v = h1v
+            h1v = h_new
+            evv = e_new
+            fvv = f_new
+
+        h1[...] = h1v
+        h2[...] = h2v
+        ev[...] = evv
+        fv[...] = fvv
+        best[...] = bestv
+        besta[...] = bestav
+        endv[...] = endvv
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, word_body, 0)
+
+    @pl.when(c == n_ch - 1)
+    def _out():
+        out_ref[0, 0, :, :] = best[...]
+        out_ref[0, 1, :, :] = besta[...]
+        out_ref[0, 2, :, :] = endv[...]
+        out_ref[0, 3, :, :] = jnp.zeros((rows, LANES), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "a_max", "match", "mism", "gapo", "gape", "n_max", "tf", "rows",
+    "interpret"))
+def affine_extend_fwd(qpad: jax.Array, rtpad: jax.Array, mn: jax.Array,
+                      a_max: int = 4096, match: int = 2, mism: int = 4,
+                      gapo: int = 4, gape: int = 2, n_max: int = 0,
+                      tf: int = TF, rows: int = 32, interpret: bool = False):
+    """Score-only affine extension over B pairs (B % rows == 0).
+
+    qpad:  (B, QP) int32 — q[x] at column QF + x, sentinel 4/5 padding
+    rtpad: (B, TP) int32 — t[n-1-k] at column tf + (n_max - n) + k
+    mn:    (B, 2) int32 — (m, n) per pair
+    Returns out (BT, 4, rows, 128): planes [best_h, best_a, end_h, 0].
+    """
+    B, QP = qpad.shape
+    TP = rtpad.shape[1]
+    assert B % rows == 0 and rows % SUBLANES == 0
+    BT = B // rows
+    assert a_max % STEPS_PER_GRID == 0
+    n_ch = a_max // STEPS_PER_GRID
+
+    mnv = jnp.zeros((B, 128), jnp.int32)
+    mnv = mnv.at[:, 0].set(mn[:, 0]).at[:, 1].set(mn[:, 1])
+    kernel = functools.partial(_ext_kernel, n_ch=n_ch, match=match,
+                               mism=mism, gapo=gapo, gape=gape, n_max=n_max,
+                               tf=tf, rows=rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(BT, n_ch),
+        in_specs=[
+            pl.BlockSpec((rows, 128), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, QP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, TP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, rows, LANES),
+                               lambda bt, c: (bt, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BT, 4, rows, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.int32)
+                        for _ in range(7)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(mnv, qpad, rtpad)
+
+
+def pad_for_extend(seqs, max_len: int, front: int) -> np.ndarray:
+    """(B, P) int32 buffer with s[x] at column front + x; sentinel 5 tail,
+    sentinel 4 head (never equal, so padded cells never 'match')."""
+    B = len(seqs)
+    P = front + max_len + 3 * LANES
+    P = ((P + LANES - 1) // LANES) * LANES
+    out = np.full((B, P), 5, np.int32)
+    out[:, :front] = 4
+    for b, s in enumerate(seqs):
+        out[b, front : front + len(s)] = s
+    return out
+
+
+def affine_extend(queries: List[np.ndarray], targets: List[np.ndarray],
+                  match: int = 2, mism: int = 4, gapo: int = 4,
+                  gape: int = 2, rows: int = 32,
+                  interpret: bool | None = None):
+    """ksw2_extz-equivalent batched extension alignment.
+
+    Returns a list of dicts per pair:
+      score     best extension score (max H over the banded matrix)
+      qe, te    1-based end coordinates of the best extension
+      score_end global score at (m, n) (NINF if outside the band)
+      reached   whether (m, n) was inside the band
+    """
+    if interpret is None:
+        if not _on_tpu():
+            return _affine_extend_cpu(queries, targets, match, mism,
+                                      gapo, gape)
+        interpret = False
+    B0 = len(queries)
+    padB = (-B0) % rows
+    queries = list(queries) + [np.zeros(1, np.int8)] * padB
+    targets = list(targets) + [np.zeros(1, np.int8)] * padB
+    m = np.array([len(q) for q in queries], np.int32)
+    n = np.array([len(t) for t in targets], np.int32)
+
+    def _bucket(x, q=2048):
+        return ((int(x) + q - 1) // q) * q
+
+    a_max = ((int((m + n).max()) + 1 + STEPS_PER_GRID - 1)
+             // STEPS_PER_GRID) * STEPS_PER_GRID
+    m_max, n_max = _bucket(m.max()), _bucket(n.max())
+    # tf large enough that any window containing a valid cell starts >= 0
+    tf = TF + max(0, (m_max - n_max + 1) // 2)
+    tf = (tf + 7) // 8 * 8
+    qpad = pad_for_extend(queries, m_max, QF)
+    # right-aligned reversed targets: t[n-1-k] at column tf + (n_max - n) + k
+    TP = ((tf + n_max + 3 * LANES + LANES - 1) // LANES) * LANES
+    rtpad = np.full((len(targets), TP), 5, np.int32)
+    rtpad[:, :tf] = 4
+    for b, t in enumerate(targets):
+        t = np.asarray(t)[::-1]
+        rtpad[b, tf + n_max - len(t) : tf + n_max] = t
+        rtpad[b, : tf + n_max - len(t)] = 4
+    mn = np.stack([m, n], axis=1)
+    out = np.asarray(affine_extend_fwd(
+        jnp.asarray(qpad), jnp.asarray(rtpad), jnp.asarray(mn), a_max=a_max,
+        match=match, mism=mism, gapo=gapo, gape=gape, n_max=n_max, tf=tf,
+        rows=rows, interpret=interpret))
+    # (BT, 4, rows, 128): plane axis 1, pair row axis 2
+    out = out.transpose(0, 2, 1, 3).reshape(len(queries), 4, 128)
+    res = []
+    for b in range(B0):
+        bh, ba, endh = out[b, 0], out[b, 1], out[b, 2]
+        sc = int(bh.max())
+        # deterministic tie-break: earliest anti-diagonal, then lowest lane
+        # (matches the scalar oracles' (a, lane) scan order)
+        cand = np.nonzero(bh == sc)[0]
+        lane = int(cand[np.argmin(ba[cand])])
+        a = int(ba[lane])
+        i = (a + 1) // 2 - HALF + lane
+        sc_end = int(endh.max())
+        res.append(dict(score=sc, qe=i, te=a - i,
+                        score_end=sc_end, reached=sc_end > NINF))
+    return res
+
+
+def _affine_extend_cpu(queries, targets, match, mism, gapo, gape):
+    """Banded scalar oracle with identical semantics (same band)."""
+    res = []
+    for q, t in zip(queries, targets):
+        q = np.asarray(q, np.int64)
+        t = np.asarray(t, np.int64)
+        m, n = len(q), len(t)
+        H = np.full((m + 1, n + 1), NINF, np.int64)
+        E = np.full((m + 1, n + 1), NINF, np.int64)
+        F = np.full((m + 1, n + 1), NINF, np.int64)
+        H[0, 0] = 0
+        best, bi, bj = NINF, 0, 0
+        for a in range(1, m + n + 1):
+            lo = (a + 1) // 2 - HALF
+            for lanei in range(LANES):
+                i = lo + lanei
+                j = a - i
+                if i < 0 or i > m or j < 0 or j > n or (i == 0 and j == 0):
+                    continue
+                e = max(H[i, j - 1] - gapo - gape,
+                        E[i, j - 1] - gape) if j > 0 else NINF
+                f = max(H[i - 1, j] - gapo - gape,
+                        F[i - 1, j] - gape) if i > 0 else NINF
+                d = (H[i - 1, j - 1]
+                     + (match if q[i - 1] == t[j - 1] else -mism)) \
+                    if (i > 0 and j > 0) else NINF
+                h = max(d, e, f)
+                E[i, j], F[i, j], H[i, j] = e, f, h
+                if h > best:
+                    best, bi, bj = h, i, j
+        res.append(dict(score=int(best), qe=bi, te=bj,
+                        score_end=int(H[m, n]),
+                        reached=H[m, n] > NINF))
+    return res

@@ -1,0 +1,83 @@
+"""Affine-gap (ksw2-class) extension kernel vs oracles.
+
+The reference uses ksw2_extz2_sse (minimap2/ksw2_extz2_sse.c) for base-level
+step-3 mapping; ops/extend.py is the TPU equivalent.  Three-way agreement is
+checked: Pallas kernel (interpret mode) == numpy banded oracle == native C++
+scalar baseline."""
+import numpy as np
+import pytest
+
+from nextdenovo_tpu.io.simulate import mutate_read
+from nextdenovo_tpu.native import affine_extend_cpu
+from nextdenovo_tpu.ops.extend import NINF, _affine_extend_cpu, affine_extend
+
+
+def _pairs(rng, n=8, err=0.12):
+    qs, ts = [], []
+    for i in range(n):
+        L = int(rng.integers(60, 320))
+        t = rng.integers(0, 4, L).astype(np.int8)
+        q = mutate_read(t.astype(np.uint8), err, rng).astype(np.int8)
+        if i % 4 == 2:  # diverged tail: best endpoint < (m, n)
+            q = np.concatenate([q[: L // 2],
+                                rng.integers(0, 4, L // 2).astype(np.int8)])
+        if i % 5 == 3:  # short query: extension stops early
+            q = q[: max(20, L // 3)]
+        qs.append(q)
+        ts.append(t)
+    return qs, ts
+
+
+def test_extend_kernel_matches_oracle():
+    rng = np.random.default_rng(11)
+    qs, ts = _pairs(rng, 8)
+    got = affine_extend(qs, ts, rows=8, interpret=True)
+    want = _affine_extend_cpu(qs, ts, 2, 4, 4, 2)
+    for g, w in zip(got, want):
+        assert g["score"] == w["score"]
+        assert (g["qe"], g["te"]) == (w["qe"], w["te"])
+        assert g["reached"] == w["reached"]
+        if w["reached"]:
+            assert g["score_end"] == w["score_end"]
+
+
+def test_extend_native_matches_oracle():
+    rng = np.random.default_rng(12)
+    qs, ts = _pairs(rng, 6)
+    want = _affine_extend_cpu(qs, ts, 2, 4, 4, 2)
+    for q, t, w in zip(qs, ts, want):
+        g = affine_extend_cpu(q.astype(np.uint8), t.astype(np.uint8))
+        assert g["score"] == w["score"]
+        assert (g["qe"], g["te"]) == (w["qe"], w["te"])
+        if w["reached"]:
+            assert g["score_end"] == w["score_end"]
+
+
+def test_extend_perfect_match_score():
+    # exact repeat: score = m * match, endpoint at (m, n)
+    rng = np.random.default_rng(13)
+    t = rng.integers(0, 4, 200).astype(np.int8)
+    got = affine_extend([t.copy()], [t], rows=8, interpret=True)[0]
+    assert got["score"] == 2 * 200
+    assert (got["qe"], got["te"]) == (200, 200)
+    assert got["reached"] and got["score_end"] == 400
+
+
+def test_extend_rows_grouping_consistent():
+    # the rows (vreg-stacking) parameter must not change results
+    rng = np.random.default_rng(14)
+    qs, ts = _pairs(rng, 8)
+    a = affine_extend(qs, ts, rows=8, interpret=True)
+    b = affine_extend(qs, ts, rows=16, interpret=True)
+    for x, y in zip(a, b):
+        assert x == y
+
+
+def test_extend_off_band_unreached():
+    # length difference far beyond the band: (m, n) unreachable
+    rng = np.random.default_rng(15)
+    t = rng.integers(0, 4, 600).astype(np.int8)
+    q = t[:100].copy()
+    got = affine_extend([q], [t], rows=8, interpret=True)[0]
+    assert not got["reached"]
+    assert got["score"] >= 2 * 90  # still extends along the prefix
