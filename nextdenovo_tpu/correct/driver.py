@@ -77,7 +77,7 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
                   min_cov: int = 4, max_lq_length: int = 10000,
                   min_error_corrected_ratio: float = 0.8, split: bool = False,
                   min_len_seed: int = 1000, interpret: bool | None = None,
-                  align_batch: int = 48):
+                  align_batch: int = 48, fast: bool = False):
     """Run correction for the given jobs.  Yields (seed, len, ide, seq-str)."""
     for job in jobs:
         seed_codes = store.get(job.seed)
@@ -110,7 +110,7 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
             max_cov_aln=max_cov_aln, min_cov=min_cov,
             max_lq_length=min(max_lq_length, job.seed_len // 2 or 1),
             min_error_corrected_ratio=min_error_corrected_ratio, split=split,
-            read_type=read_type)
+            read_type=read_type, fast=fast)
         yield job.seed, ln, ide, seq
 
 
@@ -118,7 +118,7 @@ def run_correction(store: SeqStore, sorted_blk, blacklist: Dict[int, str],
                    read_type: int = 1, min_len_seed: int = 1000,
                    min_error_corrected_ratio: float = 0.8, split: bool = True,
                    interpret: bool | None = None, resume_path: str | None = None,
-                   **kw):
+                   fast: bool = False, **kw):
     """Full correction pass -> (corrected SeqStore, names).
 
     split=True mirrors the driver's `-s` behavior: corrected seeds are split
@@ -158,7 +158,7 @@ def run_correction(store: SeqStore, sorted_blk, blacklist: Dict[int, str],
     for seed, ln, ide, seq in correct_seeds(
             store, jobs, read_type=read_type, interpret=interpret,
             min_error_corrected_ratio=min_error_corrected_ratio,
-            split=split,
+            split=split, fast=fast,
             **{k: v for k, v in kw.items()
                if k in ("min_len_aln", "max_cov_aln", "min_cov",
                         "max_lq_length")}):

@@ -8,9 +8,12 @@ blacklist info, dovetail edge construction with identity/score-ratio voting
 simple bubble popping, and unambiguous-path contig extraction
 (ctg.c:67-295 generate_ctg).
 
-Round-1 scope: the passes that determine correctness on clean data — the
-z-branch/complex-path/chimeric-BFS heuristics (asg.c:771+,1106+,1745+) land
-in a later revision, in the reference's pass order (ng/main.c:191-279).
+The full pass set runs in the reference's order (ng/main.c:191-279): chimeric
+-node marking (bounded BFS, asg.c:1040-1206), transitive reduction, tip/spur
+clipping, identity/score-ratio branch cuts, z-branch clipping, superbubble /
+compound-path resolution (clean_complex_* asg.c:2177+, rm_long_bubble :3403),
+short/end loop breaking (:941,:1008), and triangle-count chimeric-edge sweeps
+(calc_edge_tc/rm_edge_chim/rm_edge_ltc :1207-1347).
 
 Vertex encoding: v = rid*2 + dir (dir 0 = read forward).  Every edge has a
 complement (t^1 -> q^1); all mutations keep the pair symmetric.
@@ -26,7 +29,8 @@ import numpy as np
 DEFAULTS = dict(
     fuzz_len=1000, min_ide=0.001, min_ide_ratio=0.7, min_sco_ratio=0.4,
     max_sco_ratio=0.5, max_hang_len=500, min_node_count=2, min_con_count=2,
-    sbranch_len=15, bubble_len=500, out_ctg_len=1000,
+    sbranch_len=15, bubble_len=500, out_ctg_len=1000, min_edge_cov=3,
+    end_loop_len=50, bfs_depth=2, sloop_len=5,
 )
 
 
@@ -57,6 +61,7 @@ class Edge:
     ide: int         # identity x10000
     deleted: bool = False
     reduced: bool = False
+    chim: bool = False   # MFLAG_CN: touches a chimeric-marked node
 
 
 class StringGraph:
@@ -321,6 +326,364 @@ class StringGraph:
                     all(sco <= i.sco * i.ide for i in ins):
                 self._del_edge(e)
 
+    # ---------- chimeric-node detection (mark_node_chim, asg.c:1040-1206) --
+    def mark_chimeric_nodes(self, bfs_depth: int = 2,
+                            max_deg: Optional[int] = None):
+        """Bounded-BFS chimeric-node test.  A candidate node v (both in- and
+        out-degree, some in-neighbor that branches out and some out-neighbor
+        that merges in, and no triangle bypassing v) is chimeric if, with v
+        removed, its in-side cannot reach its out-side within `bfs_depth`
+        steps.  Like the reference, this only MARKS the node's edges
+        (MFLAG_CN); removal happens in clip_z_labeled, which cuts a marked
+        chain only when both of its endpoints keep other support — a lone
+        spanning read over a coverage dip is never disconnected.
+        """
+        verts = {e.u for e in self.edges if not (e.deleted or e.reduced)}
+        if max_deg is None:
+            # reference: md = median out-degree, maxd = md * bfs_depth_multi
+            degs = sorted(len(self.out_edges(v)) for v in verts)
+            med = degs[len(degs) // 2] if degs else 1
+            max_deg = max(2, med * 2)
+        cands = []
+        for v in verts:
+            ins = self.in_edges(v)
+            outs = self.out_edges(v)
+            if not ins or not outs:
+                continue
+            out_nbrs = {e.v for e in outs}
+            merges = any(self.degree(e.v)[0] >= 2 for e in outs)
+            branches = any(len(self.out_edges(e.u)) >= 2 for e in ins)
+            bypass = any(e2.v in out_nbrs
+                         for e in ins for e2 in self.out_edges(e.u))
+            if merges and branches and not bypass:
+                cands.append(v)
+        n_chim = 0
+        for v in cands:
+            # forward BFS from in-neighbors, avoiding v and high-degree hubs
+            seen = set()
+            frontier = [e.u for e in self.in_edges(v)]
+            seen.update(frontier)
+            for _ in range(bfs_depth):
+                nxt = []
+                for u in frontier:
+                    for e in self.out_edges(u):
+                        if e.v == v or e.v in seen:
+                            continue
+                        if len(self.out_edges(e.v)) >= max_deg:
+                            continue
+                        seen.add(e.v)
+                        nxt.append(e.v)
+                frontier = nxt
+                if not frontier:
+                    break
+            out_nbrs = [e.v for e in self.out_edges(v)]
+            connected = any(w in seen for w in out_nbrs)
+            if not connected:
+                # backward BFS from out-neighbors, intersect
+                seen2 = set(out_nbrs)
+                frontier = list(out_nbrs)
+                for _ in range(bfs_depth):
+                    nxt = []
+                    for u in frontier:
+                        for e in self.in_edges(u):
+                            if e.u == v or e.u in seen2:
+                                continue
+                            if e.u in seen:
+                                connected = True
+                                break
+                            if len(self.in_edges(e.u)) >= max_deg:
+                                continue
+                            seen2.add(e.u)
+                            nxt.append(e.u)
+                        if connected:
+                            break
+                    frontier = nxt
+                    if connected or not frontier:
+                        break
+            if not connected:
+                n_chim += 1
+                for e in list(self.out_edges(v)) + list(self.in_edges(v)):
+                    e.chim = True
+                    ci = self.einfo.get((e.v ^ 1, e.u ^ 1))
+                    if ci is not None:
+                        self.edges[ci].chim = True
+        return n_chim
+
+    def clip_z_labeled(self, zbranch: int = 8):
+        """rm_z_clip_lable (asg.c:771-829): from each branch vertex walk
+        every out-arm while it stays a simple chain (<= zbranch edges); if
+        the arm ends at a merge node and carries a chimeric-marked edge,
+        remove the whole arm — but only while its source still branches and
+        its sink still merges (connectivity is preserved)."""
+        verts = sorted({e.u for e in self.edges
+                        if not (e.deleted or e.reduced)})
+        n_cut = 0
+        for v in verts:
+            oes = self.out_edges(v)
+            if len(oes) < 2:
+                continue
+            arms = []
+            for e in oes:
+                path = [e]
+                marked = 1 if e.chim else 0
+                cur = e.v
+                while len(path) <= zbranch:
+                    ind, outd = self.degree(cur)
+                    if ind != 1 or outd != 1:
+                        break
+                    nxt = self.out_edges(cur)[0]
+                    path.append(nxt)
+                    if nxt.chim:
+                        marked += 1
+                    cur = nxt.v
+                if marked and self.degree(cur)[0] > 1:
+                    arms.append((marked / len(path), path, cur))
+            arms.sort(key=lambda t: -t[0])
+            for _, path, end in arms:
+                if len(self.out_edges(path[0].u)) < 2 or \
+                        len(self.in_edges(end)) < 2:
+                    continue
+                for e in path:
+                    self._del_edge(e)
+                n_cut += 1
+        return n_cut
+
+    # ---------- triangle counts (calc_edge_tc/rm_edge_chim/rm_edge_ltc) ----
+    def edge_triangle_counts(self, cap: int = 255) -> Dict[int, int]:
+        """tc(e) = |neighborhood(e.u) ∩ neighborhood(e.v)| capped — edges
+        supported by triangles are corroborated by third reads
+        (asg.c:1207-1231 calc_edge_tc)."""
+        tc: Dict[int, int] = {}
+        for ei, e in enumerate(self.edges):
+            if e.deleted or e.reduced:
+                continue
+            nb_u = {x.u for x in self.in_edges(e.u)}
+            out_u = {x.v for x in self.out_edges(e.u)}
+            t = 0
+            for x in self.in_edges(e.v):
+                if x.u in nb_u or x.u in out_u:
+                    t += 1
+                    if t >= cap:
+                        break
+            if t < cap:
+                for x in self.out_edges(e.v):
+                    if x.v in out_u:
+                        t += 1
+                        if t >= cap:
+                            break
+            tc[ei] = t
+        return tc
+
+    def drop_untriangled_edges(self, min_tc: int = 3, sco_frac: float = 0.33,
+                               ratio: float = 0.85, spath: int = 20):
+        """Remove low-triangle-count edges that are also weak relative to
+        their read lengths or their best sibling edges (rm_edge_ltc
+        asg.c:1293-1347; tc==0 arm of rm_edge_chim :1233-1291).  Edges on
+        long simple paths (>= spath nodes upstream) are exempt."""
+        tc = self.edge_triangle_counts()
+        doomed = []
+        for ei, e in enumerate(self.edges):
+            if e.deleted or e.reduced or tc.get(ei, 0) > min_tc:
+                continue
+            # exempt edges whose source continues a long simple chain
+            # (rm_edge_ltc walks forward from e->in while id==od==1)
+            n, steps = e.u, 0
+            while steps < spath:
+                ind, outd = self.degree(n)
+                if ind != 1 or outd != 1:
+                    break
+                n = self.out_edges(n)[0].v
+                steps += 1
+            if steps >= spath:
+                continue
+            rlen = min(self.reads[e.u // 2].e - self.reads[e.u // 2].s,
+                       self.reads[e.v // 2].e - self.reads[e.v // 2].s)
+            if e.sco < sco_frac * rlen:
+                doomed.append(e)
+                continue
+            sib_ide = max((x.ide for x in self.out_edges(e.u)), default=0)
+            sib_sco = max((x.sco for x in self.out_edges(e.u)), default=0)
+            in_ide = max((x.ide for x in self.in_edges(e.v)), default=0)
+            in_sco = max((x.sco for x in self.in_edges(e.v)), default=0)
+            best_ide = min(sib_ide, in_ide)
+            best_sco = min(sib_sco, in_sco)
+            if e.ide < best_ide * ratio and e.sco < best_sco * ratio:
+                doomed.append(e)
+        for e in doomed:
+            self._del_edge(e)
+        return len(doomed)
+
+    # ---------- compound paths / superbubbles ------------------------------
+    def resolve_superbubbles(self, max_nodes: int = 60, perc: float = 0.4):
+        """Generalized bubble resolution (clean_complex_single_path /
+        clean_complex_multi_path / rm_long_bubble, asg.c:2177+,3403+):
+        from each branch vertex, detect a bounded superbubble (all paths
+        reconverge at a single exit with no external entanglement), pick the
+        max-weight source→exit path by DP over the interior DAG, and delete
+        every other interior edge.  Weight = sco*ide per edge (the
+        reference's path score with perc-weighted interior terms)."""
+        changed = 0
+        verts = sorted({e.u for e in self.edges
+                        if not (e.deleted or e.reduced)})
+        for v in verts:
+            if len(self.out_edges(v)) < 2:
+                continue
+            bubble = self._find_superbubble(v, max_nodes)
+            if bubble is None:
+                continue
+            interior, exit_v = bubble
+            # max-weight path v -> exit_v by DP in topological (BFS) order
+            bestw: Dict[int, float] = {v: 0.0}
+            beste: Dict[int, Edge] = {}
+            order = self._topo_order(v, interior | {exit_v})
+            if order is None:
+                continue
+            for u in order:
+                if u not in bestw:
+                    continue
+                for e in self.out_edges(u):
+                    if e.v not in interior and e.v != exit_v:
+                        continue
+                    w = bestw[u] + float(e.sco) * e.ide
+                    if w > bestw.get(e.v, -1.0):
+                        bestw[e.v] = w
+                        beste[e.v] = e
+            if exit_v not in bestw:
+                continue
+            keep = set()
+            cur = exit_v
+            while cur != v:
+                e = beste[cur]
+                keep.add(id(e))
+                cur = e.u
+            for u in [v] + list(interior):
+                for e in self.out_edges(u):
+                    if (e.v in interior or e.v == exit_v) and \
+                            id(e) not in keep:
+                        self._del_edge(e)
+            changed += 1
+        return changed
+
+    def _find_superbubble(self, v: int, max_nodes: int):
+        """Standard superbubble detection from v: expand a node only when
+        all its in-edges are accounted for inside the bubble; succeed when
+        exactly one frontier node remains with nothing pending.  Returns
+        (interior vertex set, exit vertex) or None."""
+        seen = {v}
+        pending: Dict[int, int] = {}   # vertex -> unseen in-edges
+        frontier = {v}
+        interior = set()
+        steps = 0
+        while True:
+            steps += 1
+            if steps > max_nodes or len(seen) > max_nodes:
+                return None
+            expandable = [u for u in frontier
+                          if u == v or pending.get(u, 0) == 0]
+            if not expandable:
+                return None
+            for u in expandable:
+                frontier.discard(u)
+                if u != v:
+                    interior.add(u)
+                oes = self.out_edges(u)
+                if not oes:
+                    return None  # dead end inside: not a bubble
+                for e in oes:
+                    w = e.v
+                    if w == v or w == (v ^ 1):
+                        return None  # loop back to source
+                    if w not in seen:
+                        seen.add(w)
+                        pending[w] = len(self.in_edges(w))
+                        frontier.add(w)
+                    pending[w] -= 1
+            if len(frontier) == 1:
+                exit_v = next(iter(frontier))
+                if pending.get(exit_v, 0) == 0 and exit_v not in interior \
+                        and exit_v != v:
+                    return interior, exit_v
+
+    def _topo_order(self, v: int, allowed: set):
+        indeg = {v: 0}
+        for u in allowed:
+            indeg[u] = sum(1 for e in self.in_edges(u)
+                           if e.u in allowed or e.u == v)
+        order, stack = [], [v]
+        while stack:
+            u = stack.pop()
+            order.append(u)
+            for e in self.out_edges(u):
+                if e.v in indeg and e.v != v:
+                    indeg[e.v] -= 1
+                    if indeg[e.v] == 0:
+                        stack.append(e.v)
+        return order if len(order) == len(indeg) else None
+
+    def pop_long_bubble_arms(self, max_arm: int = 60):
+        """rm_long_bubble (asg.c:3403-3492): at a branch vertex, walk each
+        out-arm while it stays a simple chain; arms ending at a merge node
+        (in-degree > 1) are grouped by that end node; within a group only
+        the best-scoring arm keeps its first and last edges."""
+        verts = sorted({e.u for e in self.edges
+                        if not (e.deleted or e.reduced)})
+        n_cut = 0
+        for v in verts:
+            oes = self.out_edges(v)
+            if len(oes) < 2:
+                continue
+            arms = []
+            for e in oes:
+                path = [e]
+                cur = e.v
+                while len(path) < max_arm:
+                    ind, outd = self.degree(cur)
+                    if ind != 1 or outd != 1:
+                        break
+                    nxt = self.out_edges(cur)[0]
+                    path.append(nxt)
+                    cur = nxt.v
+                if self.degree(cur)[0] > 1:
+                    arms.append((cur, path,
+                                 sum(float(x.sco) * x.ide for x in path)))
+            groups: Dict[int, list] = {}
+            for end, path, sco in arms:
+                groups.setdefault(end, []).append((sco, path))
+            for end, group in groups.items():
+                if len(group) < 2:
+                    continue
+                group.sort(key=lambda t: -t[0])
+                for _, path in group[1:]:
+                    self._del_edge(path[0])
+                    if len(path) > 1:
+                        self._del_edge(path[-1])
+                    n_cut += 1
+        return n_cut
+
+    def break_end_loops(self, max_loop: int = 10):
+        """rm_end_loop (asg.c:1008-1027): a vertex with in-degree 2 and
+        out-degree 1 whose unique out-chain returns to it is a terminal
+        loop; cut the returning edge."""
+        verts = sorted({e.u for e in self.edges
+                        if not (e.deleted or e.reduced)})
+        for v in verts:
+            ind, outd = self.degree(v)
+            if ind != 2 or outd != 1:
+                continue
+            e = self.out_edges(v)[0]
+            cur = e.v
+            last = e
+            steps = 0
+            while cur != v and steps < max_loop:
+                i2, o2 = self.degree(cur)
+                if i2 != 1 or o2 != 1:
+                    break
+                last = self.out_edges(cur)[0]
+                cur = last.v
+                steps += 1
+            if cur == v:
+                self._del_edge(last)
+
     def break_short_loops(self, max_loop: int = 5):
         """Short-loop removal (rm_sht_loop, asg.c:941): a cycle of <=
         max_loop nodes hanging off a through-path is cut at its weakest
@@ -348,15 +711,27 @@ class StringGraph:
                 self._del_edge(weakest)
 
     def clean(self):
-        self.transitive_reduction()
+        """Cleaning pipeline in the reference's pass order (ng/main.c:191-279):
+        chimeric-node marking before transitive reduction, then TR, spur/tip
+        clipping, identity/score-ratio branch cuts, z-clips, compound-path /
+        bubble resolution, loop breaking, and the triangle-count-based
+        chimeric-edge sweeps last."""
+        self.mark_chimeric_nodes()                    # mark_node_chim
+        self.transitive_reduction()                   # mark_edge_tr
         for _ in range(2):
-            self.clip_tips()
-            self.clip_z_edges()
+            self.clip_tips()                          # rm_edge_spur/rm_sht_brh
+            self.clip_z_labeled()                     # rm_z_clip_lable(CN)
+            self.clip_z_edges()                       # rm_z_clip_score
             self.pop_bubbles()
-            self.drop_low_score_branches()
-        self.break_short_loops()
+            self.drop_low_score_branches()            # mark_edge_hls/rm_edge_ls
+        self.resolve_superbubbles()                   # clean_complex_*
         self.clip_tips()
-        self.pop_bubbles()
+        self.break_short_loops(self.p["sloop_len"])   # rm_sht_loop
+        self.pop_long_bubble_arms()                   # rm_long_bubble
+        self.pop_bubbles()                            # rm_sht_bubble
+        self.break_end_loops(self.p["end_loop_len"])  # rm_end_loop
+        self.drop_untriangled_edges(self.p["min_edge_cov"])  # rm_edge_chim/ltc
+        self.clip_tips()
 
     # ---------- contig extraction ----------
     def contigs(self) -> List[List[Tuple[int, Edge]]]:

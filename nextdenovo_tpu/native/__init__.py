@@ -38,6 +38,7 @@ def _load():
         ctypes.POINTER(u8p), i32p,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_float, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32,
     ]
     lib.nd_free_cns.argtypes = [ctypes.POINTER(NdCns)]
     lib.nd_band_align.restype = ctypes.c_int32
@@ -75,11 +76,14 @@ def correct_seed(seed: np.ndarray, sup_seqs: Sequence[np.ndarray],
                  max_cov_aln: int = 130, min_cov: int = 4,
                  max_lq_length: int = 10000,
                  min_error_corrected_ratio: float = 0.8, split: bool = False,
-                 read_type: int = 1, keep_all: bool = False):
+                 read_type: int = 1, keep_all: bool = False,
+                 fast: bool = False):
     """Run the native consensus for one seed.  Returns (len, identity, seq str).
 
     sup_seqs are oriented support subsequences (codes), ops the TPU alignment
-    op strings (support vs seed[t_start..t_end] inclusive)."""
+    op strings (support vs seed[t_start..t_end] inclusive).  read_type=3
+    (HiFi) uses the kmer/phasing lq path (nextcorrect.c:740-1248); fast=True
+    skips lq re-consensus entirely (the reference's -fast)."""
     L = lib()
     n = len(sup_seqs)
     seed_a, seed_p = _u8arr(seed)
@@ -95,7 +99,8 @@ def correct_seed(seed: np.ndarray, sup_seqs: Sequence[np.ndarray],
     res = L.nd_correct(seed_p, len(seed), n, sup_arr, sup_lens, ts, te,
                        ops_arr, ops_lens, min_len_aln, max_cov_aln, min_cov,
                        max_lq_length, min_error_corrected_ratio,
-                       1 if split else 0, read_type, 1 if keep_all else 0)
+                       1 if split else 0, read_type, 1 if keep_all else 0,
+                       1 if fast else 0)
     c = res.contents
     out = (int(c.len), float(c.identity),
            c.seq.decode() if c.seq else "")

@@ -700,7 +700,8 @@ static int generate_lqseqs_from_tags(std::vector<LqWin> &lqwins,
     int max_aln_lqseq_len = 0, large_seq = 0;
     int start = w.start, end = w.end;
     w.seqs.clear();
-    for (auto &tl : tags_list) {
+    for (size_t src_j = 0; src_j < tags_list.size(); src_j++) {
+      auto &tl = tags_list[src_j];
       if (tl.tags.empty()) continue;
       if (tl.tags.front().t_pos <= start && tl.tags.back().t_pos >= end) {
         std::string s;
@@ -714,7 +715,7 @@ static int generate_lqseqs_from_tags(std::vector<LqWin> &lqwins,
         }
         if (!s.empty() && !lable) {
           LqWin::Cand c;
-          c.order = (uint16_t)w.seqs.size();
+          c.order = (uint16_t)src_j;  // source read index (seq source, :774)
           c.kscore = 0;
           c.seq = std::move(s);
           if ((int)c.seq.size() > max_aln_lqseq_len)
@@ -814,6 +815,518 @@ static int generate_lqseqs_from_tags(std::vector<LqWin> &lqwins,
           if (pick >= w.len) pick = 0;
         }
         w.sudoseed = w.seqs[pick].seq;
+      }
+    }
+    if (max_aln_lqseq_len + (int)w.sudoseed.size() > max_aln_length)
+      max_aln_length = max_aln_lqseq_len + (int)w.sudoseed.size();
+  }
+  return max_aln_length;
+}
+
+// generate_cns_from_best_score_kmer (nextcorrect.c:1785-1883): the HiFi
+// chain walk.  Windows open wherever qv < 80 OR the consensus base deviates
+// from the seed's own base (any HiFi disagreement is worth re-examining);
+// coverage < 4 positions reset tracking; overlapping windows are merged.
+static bool generate_cns_hifi(std::vector<MsaPos> &msa, Tag global_best_p,
+                              int len, int min_cov,
+                              float min_error_corrected_ratio,
+                              const TagsList &ref_tag, Consensus *cons,
+                              std::vector<LqWin> *lqwins) {
+  const int lq_min_length = 2, dag_min_qv = 80;
+  int lq = 0, lq_s = -1, lq_e = -1;
+  int lqseq_total_length = 0;
+  bool lable = true;
+  Tag cur = global_best_p;
+  while (true) {
+    if (cur.q_base != 4) {
+      unsigned pos = cur.t_pos;
+      Node &nd = msa[cur.t_pos].by_delta[cur.delta][cur.q_base];
+      int cov = std::max<int>(1, msa[cur.t_pos].coverage);
+      int pqv = 100 * nd.best_link / cov;
+      int p = (int)cons->bases.size();
+      bool pos_changed = p > 0 && cons->bases.back().first != pos;
+      uint8_t ref_base = (size_t)cur.t_pos < ref_tag.tags.size()
+                             ? ref_tag.tags[cur.t_pos].q_base
+                             : (uint8_t)4;
+      if ((int)msa[cur.t_pos].coverage < 4) {
+        lq = 0;
+        lq_s = -1;
+        lqseq_total_length++;
+      } else if (pqv < dag_min_qv || cur.q_base != ref_base) {
+        if (lq_s == -1) lq_s = p;
+        lq_e = p;
+        lq = 1;
+        lqseq_total_length++;
+      } else if (lq && p - lq_e > 2 * lq_min_length && pos_changed) {
+        int ws = lq_s > lq_min_length ? lq_s - lq_min_length : 1;
+        int we = p - lq_min_length - 1;
+        LqWin w;
+        w.end = cons->bases[ws].first;     // higher seed position
+        w.start = cons->bases[we].first;   // lower seed position
+        if (!lqwins->empty() && w.end >= lqwins->back().start)
+          lqwins->back().start = w.start;  // overlapping: merge
+        else
+          lqwins->push_back(w);
+        lq = 0;
+        lq_s = -1;
+      }
+      if ((int)msa[cur.t_pos].coverage > min_cov) {
+        cons->bases.push_back({pos, kIntToBase[cur.q_base]});
+        lable = false;
+        cons->lstrip = 0;
+      } else {
+        cons->bases.push_back({pos, (char)tolower(kIntToBase[cur.q_base])});
+        cons->uncorrected_len++;
+        cons->lstrip++;
+        if (lable) cons->rstrip++;
+      }
+    }
+    Tag next = msa[cur.t_pos].by_delta[cur.delta][cur.q_base].best_pp;
+    if (next.t_pos == -1) break;
+    cur = next;
+  }
+  int total = (int)cons->bases.size();
+  if (!(total > 2 && lqseq_total_length < total * DAG_MAX_RATIO &&
+        (int)cons->uncorrected_len - (int)cons->lstrip - (int)cons->rstrip <
+            (total - (int)cons->lstrip - (int)cons->rstrip) *
+                (1 - min_error_corrected_ratio)))
+    return false;
+  std::reverse(cons->bases.begin(), cons->bases.end());
+  return true;
+}
+
+// generate_cns_from_best_score_fast (nextcorrect.c:1717-1784): the -fast
+// mode — no lq re-consensus at all.  Emit the best chain (lowercase where
+// coverage <= min_cov), then keep only the longest stretch between
+// low-quality clusters (clusters narrower than 50 bases are ignored).
+static NdCns *generate_cns_fast(std::vector<MsaPos> &msa, Tag global_best_p,
+                                int min_cov) {
+  std::string seq;  // built backwards like the reference
+  struct Reg { int start = 0, end = 0; };
+  std::vector<Reg> regs;
+  Reg cur_reg;
+  bool open = false;
+  Tag cur = global_best_p;
+  while (true) {
+    if (cur.q_base != 4) {
+      int p = (int)seq.size();
+      if ((int)msa[cur.t_pos].coverage > min_cov) {
+        seq.push_back(kIntToBase[cur.q_base]);
+        if (open) {
+          if (cur_reg.end >= cur_reg.start + 50) {
+            regs.push_back(cur_reg);
+            if ((int)regs.size() >= 10) break;  // LQREG_MAX_COUNT
+          }
+          open = false;
+        }
+      } else {
+        seq.push_back((char)tolower(kIntToBase[cur.q_base]));
+        if (!open) {
+          cur_reg.start = p;
+          open = true;
+        }
+        cur_reg.end = p;
+      }
+    }
+    Tag next = msa[cur.t_pos].by_delta[cur.delta][cur.q_base].best_pp;
+    if (next.t_pos == -1) break;
+    cur = next;
+  }
+  if (open && cur_reg.end >= cur_reg.start + 50) regs.push_back(cur_reg);
+  // longest high-quality stretch between recorded lq clusters
+  int lq_m = 0, hq_m = regs.empty() ? (int)seq.size() : regs[0].start;
+  int best = hq_m;
+  for (size_t i = 1; i < regs.size(); i++) {
+    int gap = regs[i].start - regs[i - 1].end;
+    if (gap > best) {
+      lq_m = regs[i - 1].end + 1;
+      hq_m = regs[i].start;
+      best = gap;
+    }
+  }
+  if (!regs.empty() && (int)seq.size() - regs.back().end > best) {
+    lq_m = regs.back().end + 1;
+    hq_m = (int)seq.size();
+  }
+  std::string kept = seq.substr(lq_m, hq_m - lq_m);
+  std::reverse(kept.begin(), kept.end());
+  int low = 0;
+  for (char c : kept)
+    if (c >= 'a') low++;
+  NdCns *res = (NdCns *)malloc(sizeof(NdCns));
+  res->len = (uint32_t)kept.size();
+  res->identity = kept.empty() ? 0.f : 1.f - (float)low / kept.size();
+  res->seq = strdup(kept.c_str());
+  return res;
+}
+
+// ---------------------------------------------------------------------------
+// HiFi lq-window path (generate_lqseqs_from_tags_kmer, nextcorrect.c:740-1248)
+// Identical-candidate voting + heterozygous-site phasing: SNP-like windows
+// (two equal-length well-supported alleles) assign each source read a phase
+// score; minor-phase reads are dropped from every window; a dominating
+// candidate is spliced directly as the pseudo-seed (no POA).  Homopolymer /
+// SSR-compressed equality (homo_end_compress_is_same :684,
+// prefixhomo_compress_is_same :701, trim_endssr_is_same :716) suppresses
+// false heterozygosity from indel-in-repeat artifacts.
+
+struct PhaseScore {
+  uint16_t d = 0, s = 0;
+  int del = 0;
+};
+
+static void homo_se(const std::string &s, int *a, int *b) {
+  *a = 0;
+  int L = (int)s.size();
+  while (*a + 1 < L && s[*a] == s[*a + 1]) (*a)++;
+  *b = L - 1;
+  while (*b > 0 && s[*b - 1] == s[*b]) (*b)--;
+}
+
+static bool homo_end_compress_is_same(const std::string &s1,
+                                      const std::string &s2) {
+  int a1, b1, a2, b2;
+  homo_se(s1, &a1, &b1);
+  homo_se(s2, &a2, &b2);
+  if (b1 <= a1 && b2 <= a2) return true;
+  if (b1 - a1 != b2 - a2) return false;
+  for (int i = 0; i <= b1 - a1; i++)
+    if (s1[i + a1] != s2[i + a2]) return false;
+  return true;
+}
+
+static bool prefixhomo_compress_is_same(const std::string &s1,
+                                        const std::string &s2) {
+  size_t i = 0, j = 0;
+  while (i < s1.size() && j < s2.size()) {
+    if (s1[i] != s2[j]) return false;
+    while (i + 1 < s1.size() && s1[i] == s1[i + 1]) i++;
+    while (j + 1 < s2.size() && s2[j] == s2[j + 1]) j++;
+    i++;
+    j++;
+  }
+  return true;
+}
+
+static bool trim_endssr_is_same(const std::string &a, const std::string &b) {
+  const std::string &s1 = a.size() >= b.size() ? a : b;
+  const std::string &s2 = a.size() >= b.size() ? b : a;
+  size_t i = 0;
+  for (; i < s2.size(); i++)
+    if (s1[i] != s2[i]) return false;
+  for (int j = (int)s1.size() - 1; j >= (int)i; j--)
+    if (s1[j] != s2[s2.size() - (s1.size() - j)]) return false;
+  return true;
+}
+
+// identical-sequence vote counts; m1 = most supported (ties: lowest source
+// order), m2 = runner-up (m1 == m2 when only one type exists)
+static void select_most2(LqWin &w, int *m1, int *m2) {
+  std::vector<int8_t> used(w.seqs.size(), 0);
+  *m1 = *m2 = 0;
+  for (size_t j = 0; j < w.seqs.size(); j++) {
+    w.seqs[j].kscore = 1;
+    if (used[j]) continue;
+    for (size_t k = j + 1; k < w.seqs.size(); k++)
+      if (w.seqs[j].seq == w.seqs[k].seq) {
+        used[k] = 1;
+        w.seqs[j].kscore++;
+      }
+    if (w.seqs[j].kscore > w.seqs[*m1].kscore ||
+        (w.seqs[j].kscore == w.seqs[*m1].kscore &&
+         w.seqs[j].order < w.seqs[*m1].order)) {
+      *m2 = *m1;
+      *m1 = (int)j;
+    } else if (*m2 == *m1 || w.seqs[j].kscore > w.seqs[*m2].kscore) {
+      *m2 = (int)j;
+    }
+  }
+}
+
+static void select_most2_with_kscore(LqWin &w, int *m1, int *m2) {
+  *m1 = *m2 = 0;
+  for (size_t j = 0; j < w.seqs.size(); j++) {
+    if (w.seqs[j].kscore > w.seqs[*m1].kscore ||
+        (w.seqs[j].kscore == w.seqs[*m1].kscore &&
+         w.seqs[j].order < w.seqs[*m1].order)) {
+      *m2 = *m1;
+      *m1 = (int)j;
+    } else if (*m2 == *m1 || w.seqs[j].kscore > w.seqs[*m2].kscore) {
+      *m2 = (int)j;
+    }
+  }
+}
+
+// drop candidates whose length is far from the window span when a clear
+// majority is in range (remove_differ_len_lqseq :512)
+static int remove_differ_len(LqWin &w) {
+  int span = w.end - w.start + 1;
+  int offset = std::min(std::max(30, span / 10), span / 3);
+  int in_range = 0;
+  for (auto &c : w.seqs) {
+    int L = (int)c.seq.size();
+    if (L + offset >= span && L <= span + offset) in_range++;
+  }
+  int n = (int)w.seqs.size();
+  if (in_range != n &&
+      (in_range >= n / 2 || (in_range >= n / 3 && in_range >= 3))) {
+    std::vector<LqWin::Cand> keep;
+    for (auto &c : w.seqs) {
+      int L = (int)c.seq.size();
+      if (L + offset >= span && L <= span + offset) keep.push_back(c);
+    }
+    w.seqs = std::move(keep);
+    w.len = (int)w.seqs.size();
+  }
+  return in_range;
+}
+
+static void string_lower(std::string &s) {
+  for (auto &c : s) c = (char)tolower(c);
+}
+
+static int generate_lqseqs_from_tags_kmer(std::vector<LqWin> &lqwins,
+                                          std::vector<TagsList> &tags_list,
+                                          int split) {
+  (void)split;
+  int max_aln_length = 0, max_aln_lqseq_len = 0;
+  // 1. candidate extraction (source order retained for phasing)
+  for (auto &w : lqwins) {
+    w.seqs.clear();
+    for (size_t j = 0; j < tags_list.size(); j++) {
+      auto &tl = tags_list[j];
+      if (tl.tags.empty()) continue;
+      if (tl.tags.front().t_pos <= w.start && tl.tags.back().t_pos >= w.end) {
+        std::string s;
+        bool lable = false;
+        size_t k0 = (size_t)std::max(0, w.start - tl.tags.front().t_pos);
+        for (size_t k = k0; k < tl.tags.size() && tl.tags[k].t_pos <= w.end;
+             k++) {
+          if (tl.tags[k].t_pos >= w.start && tl.tags[k].q_base != 4) {
+            s.push_back(kIntToBase[tl.tags[k].q_base]);
+            if ((j && s.size() > g_lqseq_max_length - 1) ||
+                s.size() > DAG_MAX_LENGTH - 1) {
+              lable = true;
+              break;
+            }
+          }
+        }
+        if (!s.empty() && !lable) {
+          LqWin::Cand c;
+          c.order = (uint16_t)j;
+          c.kscore = 0;
+          c.seq = std::move(s);
+          if ((int)c.seq.size() > max_aln_lqseq_len)
+            max_aln_lqseq_len = (int)c.seq.size();
+          w.seqs.push_back(std::move(c));
+        }
+        if ((int)w.seqs.size() >= LQSEQ_MAX_CAN_COUNT) break;
+      }
+    }
+    w.len = (int)w.seqs.size();
+  }
+
+  // 2. SNP-site phasing pass
+  std::vector<PhaseScore> phase(tags_list.size());
+  bool has_heter = false;
+  for (auto &w : lqwins) {
+    if (!w.len) continue;
+    int s, k;
+    select_most2(w, &s, &k);
+    if (s != k && w.seqs[k].kscore >= 3 &&
+        w.seqs[s].seq.size() == w.seqs[k].seq.size()) {  // SNP only
+      if (s == 0 || k == 0) {
+        int heter = s == 0 ? k : s;
+        for (auto &c : w.seqs) {
+          if (c.seq == w.seqs[0].seq) phase[c.order].s++;
+          else if (c.seq == w.seqs[heter].seq) phase[c.order].d++;
+        }
+      }
+      w.indexs = 1;  // heter flag
+    } else {
+      w.indexs = 0;
+    }
+    if (!has_heter &&
+        (w.indexs == 1 ||
+         (s != k && w.seqs[k].kscore >= 5 &&
+          w.seqs[s].kscore + w.seqs[k].kscore >= (unsigned)w.len * 0.8 &&
+          !prefixhomo_compress_is_same(w.seqs[s].seq, w.seqs[k].seq))))
+      has_heter = true;
+  }
+
+  // 3. indel-heterozygosity pass when no SNP anchored phase emerged
+  if (has_heter && !phase.empty() && !phase[0].s) {
+    for (auto &w : lqwins) {
+      if (!w.len) continue;
+      int s, k;
+      select_most2_with_kscore(w, &s, &k);
+      if (s != k && w.seqs[k].kscore >= 5 &&
+          w.seqs[s].kscore + w.seqs[k].kscore >= (unsigned)w.len * 0.8 &&
+          (w.seqs[s].seq.size() >= w.seqs[k].seq.size() + 5 ||
+           w.seqs[k].seq.size() >= w.seqs[s].seq.size() + 5 ||
+           !prefixhomo_compress_is_same(w.seqs[s].seq, w.seqs[k].seq))) {
+        int s_, k_;
+        if (s == 0) { s_ = 1; k_ = 0; }
+        else if (k == 0) { s_ = 0; k_ = 1; }
+        else {
+          s_ = homo_end_compress_is_same(w.seqs[s].seq, w.seqs[0].seq) ||
+               trim_endssr_is_same(w.seqs[s].seq, w.seqs[0].seq) ||
+               prefixhomo_compress_is_same(w.seqs[s].seq, w.seqs[0].seq);
+          k_ = homo_end_compress_is_same(w.seqs[k].seq, w.seqs[0].seq) ||
+               trim_endssr_is_same(w.seqs[k].seq, w.seqs[0].seq) ||
+               prefixhomo_compress_is_same(w.seqs[k].seq, w.seqs[0].seq);
+        }
+        int same, heter;
+        if (s_ && !k_) { same = s; heter = k; }
+        else if (k_ && !s_) { same = k; heter = s; }
+        else { w.indexs = 0; continue; }
+        for (auto &c : w.seqs) {
+          if (c.seq == w.seqs[same].seq) phase[c.order].s++;
+          else if (c.seq == w.seqs[heter].seq) phase[c.order].d++;
+        }
+        w.indexs = 2;
+      } else {
+        w.indexs = 0;
+      }
+    }
+  }
+
+  // 4. mark + drop minor-phase reads (mark_del_lqseq :570,
+  //    remove_differ_phase_lqseq :590)
+  for (auto &w : lqwins) {
+    if (!w.len) continue;
+    int strong_same = 0;
+    for (size_t j = 1; j < w.seqs.size(); j++) {
+      auto &p = phase[w.seqs[j].order];
+      if (p.s >= 3 && !p.d) strong_same++;
+    }
+    if (strong_same >= 2) {
+      for (auto &c : w.seqs)
+        if (phase[c.order].d) phase[c.order].del = 1;
+    } else {
+      for (auto &c : w.seqs) {
+        auto &p = phase[c.order];
+        if (p.s < p.d || p.d >= 3) p.del = 1;
+      }
+    }
+  }
+  for (auto &w : lqwins) {
+    if (!w.len) continue;
+    std::vector<LqWin::Cand> keep;
+    for (auto &c : w.seqs)
+      if (!phase[c.order].del) keep.push_back(c);
+    w.seqs = std::move(keep);
+    w.len = (int)w.seqs.size();
+  }
+
+  // 5. pseudo-seed per window: majority splice or kmer+POA fallback
+  std::vector<uint16_t> kmers(KMER_LEN_COUNT);
+  for (auto &w : lqwins) {
+    if (!w.len) continue;
+    int s, k;
+    select_most2(w, &s, &k);
+    if (w.indexs && s != k && s != 0 && w.seqs[k].kscore >= 3 &&
+        phase[w.seqs[s].order].s >= phase[w.seqs[s].order].d + 3) {
+      // polyploid / multi-repeat: re-pick by summed phase support
+      long long ssco = 0, ksco = 0;
+      for (size_t j = 1; j < w.seqs.size(); j++) {
+        auto &p = phase[w.seqs[j].order];
+        if (p.d >= 3) continue;
+        if (w.seqs[j].seq == w.seqs[s].seq) ssco += (int)p.s - (int)p.d;
+        else if (w.seqs[j].seq == w.seqs[k].seq) ksco += (int)p.s - (int)p.d;
+      }
+      if (ssco < ksco) s = k;
+    } else if (w.seqs[0].seq.size() > 50 &&
+               w.seqs[s].kscore < (unsigned)w.len / 3 &&
+               w.seqs[s].kscore < 3) {
+      int sl = remove_differ_len(w);
+      if (!w.len) continue;
+      if (sl <= 3) {
+        // large length SD: splice the template back, uncorrected
+        s = 0;
+        w.seqs[0].kscore = 65534;
+      } else {
+        select_most2(w, &s, &k);
+      }
+    }
+    if (w.seqs[s].kscore > 2 || w.seqs[s].kscore >= (unsigned)w.len / 2) {
+      w.sudoseed = w.seqs[s].seq;
+      if (w.seqs[s].kscore < (unsigned)w.len / 2) string_lower(w.sudoseed);
+      w.len = -2;  // splice directly, skip iterate passes
+    } else {
+      remove_differ_len(w);
+      if (w.len > 4) {
+        std::stable_sort(w.seqs.begin(), w.seqs.end(),
+                         [](const LqWin::Cand &a, const LqWin::Cand &b) {
+                           return a.seq.size() < b.seq.size();
+                         });
+        int mid = w.len / 2;
+        while (w.len > mid &&
+               ((int)w.seqs[w.len - 1].seq.size() >
+                    2 * (int)w.seqs[mid].seq.size() ||
+                (double)w.seqs[w.len - 1].seq.size() >=
+                    1.4 * (double)w.seqs[w.len - 2].seq.size()))
+          w.len--;
+        if (mid == w.len) { w.len = 0; continue; }
+        w.seqs.resize(w.len);
+        if (w.seqs[0].seq.size() < w.seqs[mid].seq.size() / 2) {
+          std::reverse(w.seqs.begin(), w.seqs.end());
+          while (w.len > 0 && w.seqs[w.len - 1].seq.size() <
+                                  w.seqs[mid].seq.size() / 2)
+            w.len--;
+          if (mid == w.len) { w.len = 0; continue; }
+          w.seqs.resize(w.len);
+        }
+      }
+      count_kmers(w, kmers, LQSEQ_MAX_CAN_COUNT, 0);
+      count_kscore(w, kmers, 0);
+      unsigned kmaxlen0 = w.seqs.empty() ? 0 : (unsigned)w.seqs[0].seq.size();
+      if (kmaxlen0 > 100) {
+        std::vector<uint32_t> save(tags_list.size() + 1, 0);
+        for (auto &c : w.seqs) save[c.order] = c.kscore;
+        count_kmers(w, kmers, LQSEQ_MAX_CAN_COUNT, 1);
+        count_kscore(w, kmers, 1);
+        for (auto &c : w.seqs) c.kscore += save[c.order];
+      }
+      std::stable_sort(w.seqs.begin(), w.seqs.end(),
+                       [](const LqWin::Cand &a, const LqWin::Cand &b) {
+                         return a.kscore > b.kscore;
+                       });
+      if (w.seqs.empty()) { w.len = 0; continue; }
+      unsigned kmaxlen = (unsigned)w.seqs[0].seq.size();
+      unsigned kmaxscore = w.seqs[0].kscore, klastscore = kmaxscore;
+      int j, kk = 0;
+      for (j = 0; j < w.len; j++) {
+        auto &c = w.seqs[j];
+        if (c.kscore * 10 < kmaxscore || j >= LQSEQ_MAX_COUNT ||
+            c.kscore * 2 < klastscore)
+          break;
+        klastscore = c.kscore;
+        if (j < KMER_MAX_SEQ && c.kscore > kmaxscore * 0.8 &&
+            c.seq.size() > kmaxlen) {
+          kmaxlen = (unsigned)c.seq.size();
+          kk = j;
+        }
+      }
+      (void)kk;
+      w.indexs = 0;
+      w.indexe = (kmaxlen > LQSEQ_MAX_REV_LEN && j > 6) ? 5 : j - 1;
+      if (w.indexe - w.indexs <= 1 ||
+          (w.seqs[0].seq.size() > 20000 && w.len < LQSEQ_MAX_CAN_COUNT / 3)) {
+        w.len = 0;
+        continue;
+      }
+      int jj = w.indexs;
+      int kn = w.seqs[0].seq.size() < 3000
+                   ? (jj + 6 < w.indexe ? 6 : w.indexe - jj + 1)
+                   : (jj + 2 < w.indexe ? 2 : w.indexe - jj + 1);
+      if (w.seqs[0].seq.size() < 20000) {
+        std::vector<std::pair<const char *, int>> ps;
+        for (int q = jj; q < jj + kn && q < (int)w.seqs.size(); q++)
+          ps.push_back({w.seqs[q].seq.c_str(), (int)w.seqs[q].seq.size()});
+        w.sudoseed = poa_consensus(ps);
+      } else {
+        w.sudoseed = w.seqs[0].seq;
       }
     }
     if (max_aln_lqseq_len + (int)w.sudoseed.size() > max_aln_length)
@@ -1175,7 +1688,8 @@ NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
                   const uint8_t *const *ops_arr, const int32_t *ops_lens,
                   int32_t min_len_aln, int32_t max_cov_aln, int32_t min_cov,
                   int32_t max_lq_length, float min_error_corrected_ratio,
-                  int32_t split, int32_t read_type, int32_t keep_all) {
+                  int32_t split, int32_t read_type, int32_t keep_all,
+                  int32_t fast) {
   g_read_type = read_type;
   g_lqseq_max_length = std::min<unsigned>(max_lq_length, DAG_MAX_LENGTH);
 
@@ -1256,13 +1770,23 @@ NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
   Tag best = score_msa(msa, seed_len, factor, 3000, /*tail_window=*/true);
   if (best.t_pos < 0) return error_seed(2);
 
+  if (fast)  // -fast: no lq re-consensus (nextcorrect.c:2207-2209)
+    return generate_cns_fast(msa, best, min_cov);
+
   Consensus cons;
   std::vector<LqWin> lqwins;
-  if (!generate_cns(msa, best, seed_len, min_cov, min_error_corrected_ratio,
-                    &cons, &lqwins))
-    return error_seed(2);
+  bool ok = read_type == READS_HIFI
+                ? generate_cns_hifi(msa, best, seed_len, min_cov,
+                                    min_error_corrected_ratio, tags_list[0],
+                                    &cons, &lqwins)
+                : generate_cns(msa, best, seed_len, min_cov,
+                               min_error_corrected_ratio, &cons, &lqwins);
+  if (!ok) return error_seed(2);
 
-  generate_lqseqs_from_tags(lqwins, tags_list, split);
+  if (read_type == READS_HIFI)
+    generate_lqseqs_from_tags_kmer(lqwins, tags_list, split);
+  else
+    generate_lqseqs_from_tags(lqwins, tags_list, split);
   iterate_consensus(lqwins, 2);
   NdCns *res = update_consensus(lqwins, cons, keep_all != 0);
   if (!keep_all && res->len > 1000 && res->identity > 0.8)

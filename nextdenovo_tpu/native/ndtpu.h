@@ -32,7 +32,8 @@ NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
                   const uint8_t *const *ops_arr, const int32_t *ops_lens,
                   int32_t min_len_aln, int32_t max_cov_aln, int32_t min_cov,
                   int32_t max_lq_length, float min_error_corrected_ratio,
-                  int32_t split, int32_t read_type, int32_t keep_all);
+                  int32_t split, int32_t read_type, int32_t keep_all,
+                  int32_t fast);
 
 void nd_free_cns(NdCns *c);
 
@@ -48,6 +49,13 @@ int32_t nd_band_align(const char *q, int32_t ql, const char *t, int32_t tl,
 // nd_free_str).
 char *nd_poa(const char *const *seqs, const int32_t *lens, int32_t n);
 void nd_free_str(char *s);
+// Scalar banded affine-gap extension (ksw2_extz-equivalent CPU baseline for
+// the TPU kernel in ops/extend.py; same 128-wide band and semantics).
+// out[0]=best score, out[1]=qe, out[2]=te, out[3]=score at (m,n)/INT32_MIN.
+void nd_affine_extend(const uint8_t *q, int32_t m, const uint8_t *t,
+                      int32_t n, int32_t match, int32_t mism, int32_t gapo,
+                      int32_t gape, int32_t *out);
+
 
 #ifdef __cplusplus
 }

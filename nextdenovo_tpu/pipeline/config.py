@@ -48,6 +48,7 @@ class Config:
     min_error_corrected_ratio: float = 0.8
     sort_max_depth: int = 40
     split_corrected: bool = True
+    fast_correct: bool = False  # correction_options -fast (skip lq windows)
     # sketch presets (minimap2 ava analogues; config_parser.py:202-232)
     raw_k: int = 15
     raw_w: int = 5
@@ -129,6 +130,8 @@ def load_config(path: str) -> Config:
         cfg.workdir = p if p.startswith("/") else os.path.join(base, p)
     if "rewrite" in raw:
         cfg.rewrite = raw["rewrite"].split()[0].lower() not in ("no", "0", "false")
+    if "correction_options" in raw and "-fast" in raw["correction_options"]:
+        cfg.fast_correct = True
     for key, attr in [("read_cutoff", "read_cutoff"),
                       ("genome_size", "genome_size"),
                       ("seed_cutoff", "seed_cutoff"),

@@ -143,6 +143,7 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
                 min_len_seed=cfg.min_len_seed,
                 min_error_corrected_ratio=cfg.min_error_corrected_ratio,
                 split=cfg.split_corrected, interpret=interpret,
+                fast=cfg.fast_correct,
                 min_len_aln=cfg.min_len_aln, min_cov_seed=cfg.min_cov_seed,
                 max_cov_aln=cfg.max_cov_aln, min_cov=cfg.min_cov_base,
                 max_lq_length=cfg.max_lq_length)

@@ -1,0 +1,114 @@
+"""Unit tests for the graph cleaning passes added for nextgraph parity
+(superbubbles, long-bubble arms, chimeric nodes, triangle counts, end loops).
+
+Graphs are built directly through StringGraph internals so each pass is
+exercised in isolation on a hand-crafted topology."""
+import numpy as np
+
+from nextdenovo_tpu.graph.assemble import ReadInfo, StringGraph
+
+
+def _mkgraph(n_reads, edges, lens=20000, **params):
+    reads = {i: ReadInfo(length=lens) for i in range(n_reads)}
+    g = StringGraph(reads, **params)
+    for (u, v, hang, sco, ide) in edges:
+        g._add_pair(u, v, hang, hang, sco, ide)
+    return g
+
+
+def _alive(g):
+    return {(e.u, e.v) for e in g.edges if not (e.deleted or e.reduced)}
+
+
+def test_superbubble_keeps_best_path():
+    # 0+ -> {1+, 2+} -> 3+ with unequal support: classic 2-arm bubble with
+    # an extra interior branch 1+ -> 4+ -> 3+ (compound path)
+    E = [(0, 2, 100, 9000, 9800), (0, 4, 100, 5000, 9000),
+         (2, 6, 100, 9000, 9800), (4, 6, 100, 5000, 9000),
+         (2, 8, 100, 4000, 8500), (8, 6, 100, 4000, 8500)]
+    g = _mkgraph(5, E)
+    n = g.resolve_superbubbles()
+    assert n == 1
+    alive = _alive(g)
+    assert (0, 2) in alive and (2, 6) in alive
+    assert (0, 4) not in alive and (4, 6) not in alive
+    assert (2, 8) not in alive and (8, 6) not in alive
+
+
+def test_long_bubble_arms_cut_weak_arm():
+    # two simple-chain arms 0->1->2->5 and 0->3->4->5 converging at 5,
+    # which also has a through-path in (so degree(5)[0] > 1 naturally)
+    E = [(0, 2, 100, 9000, 9900), (2, 4, 100, 9000, 9900),
+         (4, 10, 100, 9000, 9900),
+         (0, 6, 100, 4000, 8000), (6, 8, 100, 4000, 8000),
+         (8, 10, 100, 4000, 8000),
+         (10, 12, 100, 9000, 9900)]
+    g = _mkgraph(7, E)
+    n = g.pop_long_bubble_arms()
+    assert n == 1
+    alive = _alive(g)
+    assert (0, 2) in alive and (4, 10) in alive
+    assert (0, 6) not in alive and (8, 10) not in alive
+
+
+def test_chimeric_node_marked_and_zclipped():
+    # two chains joined through node C (8): in-side neighbor branches,
+    # out-side neighbor merges, no bypass, no alternative path -> C's edges
+    # get MARKED; removal then requires z-geometry (alternatives at both
+    # ends), so the marked bridge arm 4->8->10 is cut by clip_z_labeled
+    # while connectivity survives via 4->6->...->10
+    E = [
+        (0, 2, 100, 9000, 9900), (2, 4, 100, 9000, 9900),
+        (4, 8, 100, 9000, 9900),
+        (4, 6, 100, 9000, 9900), (6, 20, 100, 9000, 9900),
+        (8, 10, 100, 9000, 9900), (10, 12, 100, 9000, 9900),
+        (14, 10, 100, 9000, 9900), (16, 14, 100, 9000, 9900),
+    ]
+    g = _mkgraph(11, E)
+    n = g.mark_chimeric_nodes(bfs_depth=2)
+    assert n >= 1
+    marked = {(e.u, e.v) for e in g.edges if e.chim}
+    assert (4, 8) in marked and (8, 10) in marked
+    # the lone bridge is NOT deleted outright (mark-only semantics)
+    assert (4, 8) in _alive(g)
+    cut = g.clip_z_labeled()
+    assert cut == 1
+    alive = _alive(g)
+    assert (4, 8) not in alive and (8, 10) not in alive
+    # alternative route stays
+    assert (4, 6) in alive and (14, 10) in alive
+
+
+def test_triangle_counts():
+    # triangle 0->2->4 plus 0->4 direct: the long edge has tc >= 1
+    E = [(0, 2, 100, 9000, 9900), (2, 4, 100, 9000, 9900),
+         (0, 4, 200, 8000, 9800)]
+    g = _mkgraph(3, E)
+    tc = g.edge_triangle_counts()
+    by_uv = {(g.edges[i].u, g.edges[i].v): t for i, t in tc.items()}
+    assert by_uv[(0, 4)] >= 1
+    assert by_uv[(0, 2)] >= 1  # shares neighbor 4 (out-out)
+
+
+def test_untriangled_weak_edge_removed():
+    # a weak cross edge (low sco, low ide) between two chains, tc == 0;
+    # chains are short so the spath exemption does not fire
+    E = [(0, 2, 100, 9000, 9900), (2, 4, 100, 9000, 9900),
+         (10, 12, 100, 9000, 9900), (12, 14, 100, 9000, 9900),
+         (2, 12, 100, 900, 7000)]   # weak: sco 900 << 0.33 * 20000
+    g = _mkgraph(8, E)
+    n = g.drop_untriangled_edges(min_tc=3)
+    assert n >= 1
+    assert (2, 12) not in _alive(g)
+
+
+def test_end_loop_broken():
+    # chain into 0, then 0 -> 2 -> 4 -> 0 loop: vertex 0 has id 2, od 1
+    E = [(10, 0, 100, 9000, 9900),
+         (0, 2, 100, 9000, 9900), (2, 4, 100, 9000, 9900),
+         (4, 0, 100, 9000, 9900)]
+    g = _mkgraph(6, E)
+    g.break_end_loops(max_loop=10)
+    alive = _alive(g)
+    assert (4, 0) not in alive
+    assert (0, 2) in alive and (2, 4) in alive and (10, 0) in alive

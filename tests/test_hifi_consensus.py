@@ -1,0 +1,89 @@
+"""HiFi (read_type=3) and -fast consensus paths of the native engine.
+
+Reference behaviors covered: the kmer/phasing lq-window path
+(nextcorrect.c:740-1248 generate_lqseqs_from_tags_kmer + :1785
+generate_cns_from_best_score_kmer) and the -fast no-reconsensus mode
+(:1717 generate_cns_from_best_score_fast)."""
+import numpy as np
+import pytest
+
+from nextdenovo_tpu.io.simulate import mutate_read
+from nextdenovo_tpu.native import correct_seed
+from nextdenovo_tpu.ops.align import band_align_native
+
+
+def _mk_supports(truth, seed, n, err, rng, hq=False):
+    """Supports are mutated copies of `truth`, ALIGNED AGAINST `seed` (the
+    ops consumed by correct_seed are support-vs-seed alignments)."""
+    sups, ts, te, ops = [], [], [], []
+    for _ in range(n):
+        s = mutate_read(truth.astype(np.uint8), err, rng).astype(np.int8)
+        r = band_align_native([s], [seed.astype(np.int8)], hq=hq)[0]
+        assert r["ok"]
+        sups.append(s.astype(np.uint8))
+        ts.append(0)
+        te.append(len(seed) - 1)
+        ops.append(r["ops"].astype(np.uint8))
+    return sups, ts, te, ops
+
+
+def _acc(seq, truth):
+    from nextdenovo_tpu.native import band_align_cpu
+    a = "".join("ACGT"[c] for c in truth)
+    d, _, _ = band_align_cpu(seq.upper(), a)
+    return 1.0 - d / max(1, max(len(seq), len(a)))
+
+
+def test_hifi_path_recovers_truth():
+    rng = np.random.default_rng(21)
+    truth = rng.integers(0, 4, 3000).astype(np.uint8)
+    seed = mutate_read(truth, 0.004, rng)   # HiFi-quality seed
+    sups, ts, te, ops = _mk_supports(truth, seed, 12, 0.004, rng, hq=True)
+    ln, ide, seq = correct_seed(seed, sups, ts, te, ops, min_len_aln=100,
+                                max_cov_aln=60, min_cov=3, read_type=3)
+    assert ln > 2800
+    assert _acc(seq, truth) > 0.995
+
+
+def test_hifi_het_site_phased():
+    # two alleles differing at one SNP; majority phase must win cleanly and
+    # the consensus must be one allele (no mixture artifacts around the SNP)
+    rng = np.random.default_rng(22)
+    truth = rng.integers(0, 4, 2000).astype(np.uint8)
+    alt = truth.copy()
+    alt[1000] = (alt[1000] + 2) % 4
+    seed = truth.copy()
+    sups_a, ts, te, ops_a = _mk_supports(truth, seed, 8, 0.003, rng, hq=True)
+    sups_b, tsb, teb, ops_b = _mk_supports(alt, seed, 4, 0.003, rng, hq=True)
+    ln, ide, seq = correct_seed(
+        seed, sups_a + sups_b, ts + tsb, te + teb, ops_a + ops_b,
+        min_len_aln=100, max_cov_aln=60, min_cov=3, read_type=3)
+    assert ln > 1900
+    acc_major = _acc(seq, truth)
+    assert acc_major > 0.995
+
+
+def test_fast_path_skips_lq_reconsensus():
+    rng = np.random.default_rng(23)
+    truth = rng.integers(0, 4, 3000).astype(np.uint8)
+    seed = mutate_read(truth, 0.1, rng)
+    sups, ts, te, ops = _mk_supports(truth, seed, 20, 0.1, rng)
+    ln, ide, seq = correct_seed(seed, sups, ts, te, ops, min_len_aln=100,
+                                max_cov_aln=60, min_cov=3, read_type=1,
+                                fast=True)
+    assert ln > 2500
+    assert _acc(seq, truth) > 0.98
+    assert 0.0 < ide <= 1.0
+
+
+def test_fast_vs_full_similar():
+    rng = np.random.default_rng(24)
+    truth = rng.integers(0, 4, 2000).astype(np.uint8)
+    seed = mutate_read(truth, 0.08, rng)
+    sups, ts, te, ops = _mk_supports(truth, seed, 16, 0.08, rng)
+    ln_f, _, seq_f = correct_seed(seed, sups, ts, te, ops, min_len_aln=100,
+                                  max_cov_aln=60, min_cov=3, fast=True)
+    ln_s, _, seq_s = correct_seed(seed, sups, ts, te, ops, min_len_aln=100,
+                                  max_cov_aln=60, min_cov=3)
+    assert abs(ln_f - ln_s) < 200
+    assert _acc(seq_f, truth) > 0.97 and _acc(seq_s, truth) > 0.97

@@ -41,8 +41,12 @@ def test_cpu_band_align():
 
 
 def _ops_from_oracle(q, t):
-    _, ops = edit_align_oracle(np.asarray(q, np.int8), np.asarray(t, np.int8))
-    return ops.astype(np.uint8)
+    """Alignment ops via the native aligner (validated against the numpy
+    oracle in test_align.py; the oracle itself is too slow at this size)."""
+    from nextdenovo_tpu.ops.align import band_align_native
+    r = band_align_native([np.asarray(q, np.int8)], [np.asarray(t, np.int8)])[0]
+    assert r["ok"]
+    return r["ops"].astype(np.uint8)
 
 
 def test_correct_seed_recovers_truth():
@@ -61,9 +65,8 @@ def test_correct_seed_recovers_truth():
     assert ln > 2500, (ln, ide)
     assert ide > 0.9
     # corrected seq should be much closer to truth than the raw seed
-    cor = np.array([{"A":0,"C":1,"G":2,"T":3}[c] for c in seq.upper()], np.int8)
-    d_cor, _ = edit_align_oracle(cor, truth.astype(np.int8))
-    d_raw, _ = edit_align_oracle(seed.astype(np.int8), truth.astype(np.int8))
+    d_cor, _, _ = band_align_cpu(seq.upper(), codes_to_str(truth))
+    d_raw, _, _ = band_align_cpu(codes_to_str(seed), codes_to_str(truth))
     assert d_cor < d_raw * 0.15, (d_cor, d_raw)
 
 
