@@ -8,9 +8,12 @@ doubling, and the hash is a murmur-style finalizer (we never need to invert
 it).  Selection rule: position i is a minimizer iff it is the leftmost-tie
 argmin of some w-window, matching minimap2's density guarantee.
 
-Supports k <= 31 (64-bit k-mers).  HiFi long-k (51) sketching needs the
-homopolymer-compressed path and will ride the same machinery with 4-lane
-packing in a later revision.
+Supports k <= 31 via 2-lane (hi, lo) uint32 packing and k <= 63 via the
+generic 4-lane path (the reference's HiFi long-kmer sketch, -k51 -w51,
+minimap2/sketch.c:283 mm_sketch_nextdenovo_longkmer).  Optional
+homopolymer compression (hpc=True) squashes base runs before sketching and
+reports minimizer positions in ORIGINAL read coordinates (the role of
+minimap2's HPC flag and of the mode-3 realign compression, map.c:919).
 """
 from __future__ import annotations
 
@@ -169,6 +172,159 @@ def sketch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
     hits_c = jnp.minimum(hits, B * L - 1)
     rid = (hits_c // L).astype(jnp.int32)
     p = (hits_c % L).astype(jnp.int32)
+    return Minimizers(
+        rid=jnp.where(in_range, rid, -1),
+        pos=jnp.where(in_range, p, 0),
+        hash=jnp.where(in_range, h.reshape(-1)[hits_c], UMAX),
+        strand=jnp.where(in_range, strand.reshape(-1)[hits_c], 0),
+        n=jnp.sum(in_range.astype(jnp.int32)),
+    )
+
+
+# --------------------------------------------------------------------------
+# generic multi-lane packing for k <= 63 (lanes are uint32, MSB-first)
+
+def _lanes_shl(lanes, s: int):
+    """Shift a multi-lane value left by s bits (within 32*len(lanes))."""
+    if s == 0:
+        return list(lanes)
+    n = len(lanes)
+    word, bit = s // 32, s % 32
+    zero = jnp.zeros_like(lanes[0])
+    out = []
+    for i in range(n):
+        j = i + word
+        v = lanes[j] if j < n else zero
+        if bit:
+            lo = (lanes[j + 1] >> (32 - bit)) if j + 1 < n else zero
+            v = (v << bit) | lo
+        out.append(v)
+    return out
+
+
+def _lanes_or(a, b):
+    return [x | y for x, y in zip(a, b)]
+
+
+def kmer_pack_wide(codes: jnp.ndarray, k: int, n_lanes: int = 4):
+    """codes (..., L) -> (fwd_lanes, rev_lanes): position i holds the fwd
+    k-mer codes[i..i+k) and its revcomp as n_lanes uint32 lanes, MSB-first.
+    Same shift-or doubling as kmer_pack, generalized to any lane count."""
+    assert 1 <= k <= 16 * n_lanes - 1
+    c = codes.astype(jnp.uint32) & 3
+    rc = c ^ 3
+    zero = jnp.zeros_like(c)
+
+    def mk(v):
+        return [zero] * (n_lanes - 1) + [v]
+
+    fwd_blocks = {1: mk(c)}
+    rev_blocks = {1: mk(rc)}
+    s = 1
+    while s * 2 <= k:
+        a = fwd_blocks[s]
+        b = [_shift_right(x, s) for x in a]
+        fwd_blocks[2 * s] = _lanes_or(_lanes_shl(a, 2 * s), b)
+        ra = rev_blocks[s]
+        rb = [_shift_right(x, s) for x in ra]
+        rev_blocks[2 * s] = _lanes_or(_lanes_shl(rb, 2 * s), ra)
+        s *= 2
+    rem, off = k, 0
+    fl = rl = None
+    for s in sorted(fwd_blocks, reverse=True):
+        if s > rem:
+            continue
+        b = [_shift_right(x, off) for x in fwd_blocks[s]]
+        rb = [_shift_right(x, off) for x in rev_blocks[s]]
+        if fl is None:
+            fl, rl = b, rb
+        else:
+            fl = _lanes_or(_lanes_shl(fl, 2 * s), b)
+            rl = _lanes_or(_lanes_shl(rb, 2 * off), rl)
+        off += s
+        rem -= s
+    return fl, rl
+
+
+def _lanes_less(a, b):
+    """Lexicographic a < b over MSB-first uint32 lanes."""
+    lt = a[-1] < b[-1]
+    for i in range(len(a) - 2, -1, -1):
+        lt = (a[i] < b[i]) | ((a[i] == b[i]) & lt)
+    return lt
+
+
+def _lanes_eq(a, b):
+    eq = a[0] == b[0]
+    for i in range(1, len(a)):
+        eq = eq & (a[i] == b[i])
+    return eq
+
+
+def hash_lanes(lanes):
+    h = jnp.uint32(0x9e3779b9)
+    for x in lanes:
+        h = _mix32(x ^ h)
+    return h
+
+
+def hpc_compress(codes: jnp.ndarray, lengths: jnp.ndarray):
+    """Homopolymer-compress a padded batch: returns (codes_hpc, pos_map,
+    lengths_hpc) where codes_hpc[b, j] is the j-th run base and
+    pos_map[b, j] the ORIGINAL position of that run's first base."""
+    B, L = codes.shape
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    in_read = pos < lengths[:, None]
+    keep = in_read & ((pos == 0) | (codes != jnp.roll(codes, 1, axis=1)))
+    new_pos = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    # parked (non-kept) writes target column L and are DROPPED (jax scatter
+    # drops out-of-bounds updates), so they can never clobber real runs
+    tgt = jnp.where(keep, new_pos, L)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, L), 0)
+    codes_hpc = jnp.full((B, L), 4, codes.dtype)
+    pos_map = jnp.zeros((B, L), jnp.int32)
+    codes_hpc = codes_hpc.at[rows, tgt].set(codes, mode="drop")
+    pos_map = pos_map.at[rows, tgt].set(pos, mode="drop")
+    lengths_hpc = jnp.sum(keep, axis=1).astype(lengths.dtype)
+    return codes_hpc, pos_map, lengths_hpc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "cap", "hpc"))
+def sketch_wide(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
+                cap: int, hpc: bool = False) -> Minimizers:
+    """Long-k (k <= 63) minimizer sketch, optionally homopolymer-compressed.
+    Positions are reported in original read coordinates."""
+    B, L = codes.shape
+    if hpc:
+        codes, pos_map, lengths = hpc_compress(codes, lengths)
+    # minimal lane count; for k <= 31 (2 lanes) hashes match sketch() exactly
+    n_lanes = max(2, (2 * k + 31) // 32)
+    fl, rl = kmer_pack_wide(codes, k, n_lanes=n_lanes)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    valid_k = pos + k <= lengths[:, None]
+    fwd_less = _lanes_less(fl, rl)
+    equal = _lanes_eq(fl, rl)
+    strand = jnp.where(fwd_less, 0, 1).astype(jnp.int32)
+    ch = [jnp.where(fwd_less, f, r) for f, r in zip(fl, rl)]
+    h = hash_lanes(ch)
+    h = jnp.where(valid_k & ~equal, h, UMAX)
+
+    wmin, warg = sliding_min_pair(h, pos, w)
+    sel = jnp.zeros((B, L), bool)
+    for d in range(w):
+        shifted = jnp.pad(warg, ((0, 0), (d, 0)))[:, :L] if d else warg
+        wvalid = (pos - d >= 0) & (pos - d + w + k - 1 <= lengths[:, None])
+        sel = sel | (jnp.where(wvalid, shifted, -1) == pos)
+    sel = sel & valid_k & (h != UMAX)
+
+    flat = sel.reshape(-1)
+    (hits,) = jnp.nonzero(flat, size=cap, fill_value=B * L)
+    in_range = hits < B * L
+    hits_c = jnp.minimum(hits, B * L - 1)
+    rid = (hits_c // L).astype(jnp.int32)
+    p = (hits_c % L).astype(jnp.int32)
+    if hpc:
+        p = pos_map.reshape(-1)[hits_c].astype(jnp.int32)
     return Minimizers(
         rid=jnp.where(in_range, rid, -1),
         pos=jnp.where(in_range, p, 0),

@@ -28,7 +28,7 @@ import numpy as np
 from ..io.seqstore import SeqStore
 from ..ops.segment import (segment_argmax, segment_max, segment_min,
                            segment_starts, segment_sum)
-from ..ops.sketch import sketch
+from ..ops.sketch import sketch, sketch_wide
 from .records import OvlBlock
 
 I32MAX = np.int32(2**31 - 1)
@@ -67,9 +67,10 @@ def _bucket_len(L: int, lo: int = 4096) -> int:
 
 
 def _sketch_batch(store: SeqStore, sub: np.ndarray, lens: np.ndarray,
-                  k: int, w: int, batch_rows: int):
+                  k: int, w: int, batch_rows: int, hpc: bool = False):
     """Sketch a fixed-shape (batch_rows, Lp) batch; sub may be shorter than
-    batch_rows (padded with empty rows)."""
+    batch_rows (padded with empty rows).  k > 31 or hpc routes to the
+    long-kmer/HPC sketcher (the HiFi -k51 -w51 path, sketch.c:283)."""
     L = int(lens[sub].max()) if len(sub) else 1
     Lp = _bucket_len(L)
     codes = np.zeros((batch_rows, Lp), np.int32)
@@ -79,6 +80,9 @@ def _sketch_batch(store: SeqStore, sub: np.ndarray, lens: np.ndarray,
         codes[i, : len(c)] = c
         blens[i] = len(c)
     cap = int(2 * batch_rows * Lp // max(1, w) + 1024)
+    if k > 31 or hpc:
+        return sketch_wide(jnp.asarray(codes), jnp.asarray(blens), k=k, w=w,
+                           cap=cap, hpc=hpc)
     return sketch(jnp.asarray(codes), jnp.asarray(blens), k=k, w=w, cap=cap)
 
 

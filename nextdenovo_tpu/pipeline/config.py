@@ -85,10 +85,9 @@ class Config:
                 else min(total_depth - 5, 40)
             self.sort_max_depth = max(self.sort_max_depth, 3)
         if self.read_type == "hifi":
-            # reference uses -k51 -w51 long-kmer sketching (sketch.c:283);
-            # our packer caps at k=31, so use the longest supported k
-            self.raw_k, self.raw_w = 31, 25
-            self.cns_k, self.cns_w = 31, 25
+            # -k51 -w51 long-kmer raw sketch (sketch.c:283 via ava-hifi);
+            # cns stage keeps the -k17 -w17 preset (config_parser.py:49-65)
+            self.raw_k, self.raw_w = 51, 51
         # _set_minlen analogues (config_parser.py:49-65)
         self.cns_min_span = min(2000, self.seed_cutoff // 10) or 2000
         self.maxhan1 = min(5000, self.seed_cutoff // 2) or 5000

@@ -1,0 +1,134 @@
+"""Long-k (k<=63) sketching + homopolymer compression
+(mm_sketch_nextdenovo_longkmer, minimap2/sketch.c:283; HPC as in the mode-3
+realign compression, map.c:919)."""
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from nextdenovo_tpu.ops.sketch import (Minimizers, hpc_compress,
+                                       kmer_pack_wide, sketch, sketch_wide)
+
+
+def _wide_oracle(codes, k):
+    L = len(codes)
+    outf = np.zeros(L, object)
+    outr = np.zeros(L, object)
+    for i in range(L - k + 1):
+        f = r = 0
+        for j in range(k):
+            f = (f << 2) | int(codes[i + j])
+            r |= (int(codes[i + j]) ^ 3) << (2 * j)
+        outf[i] = f
+        outr[i] = r
+    return outf, outr
+
+
+@pytest.mark.parametrize("k", [17, 33, 51, 63])
+def test_kmer_pack_wide_oracle(k):
+    rng = np.random.default_rng(41)
+    codes = rng.integers(0, 4, 90).astype(np.int32)
+    fl, rl = kmer_pack_wide(jnp.asarray(codes)[None, :], k)
+    fl = [np.asarray(x)[0] for x in fl]
+    rl = [np.asarray(x)[0] for x in rl]
+    wf, wr = _wide_oracle(codes, k)
+    for i in range(0, len(codes) - k + 1, 7):
+        gotf = 0
+        gotr = 0
+        for x, y in zip(fl, rl):
+            gotf = (gotf << 32) | int(x[i])
+            gotr = (gotr << 32) | int(y[i])
+        assert gotf == wf[i], (k, i)
+        assert gotr == wr[i], (k, i)
+
+
+def test_hpc_compress_roundtrip():
+    codes = np.array([[0, 0, 1, 1, 1, 2, 3, 3, 0, 2, 2, 2]], np.int32)
+    lengths = np.array([12], np.int32)
+    ch, pmap, lh = hpc_compress(jnp.asarray(codes), jnp.asarray(lengths))
+    ch, pmap, lh = np.asarray(ch), np.asarray(pmap), np.asarray(lh)
+    assert lh[0] == 6
+    assert list(ch[0, :6]) == [0, 1, 2, 3, 0, 2]
+    assert list(pmap[0, :6]) == [0, 2, 5, 6, 8, 9]
+    assert (ch[0, 6:] == 4).all()
+
+
+def test_hpc_incompressible_read():
+    # alternating bases: nothing compresses; the last run must survive
+    codes = np.tile(np.array([0, 1, 2, 3], np.int32), 8)[None, :]
+    lengths = np.array([32], np.int32)
+    ch, pmap, lh = hpc_compress(jnp.asarray(codes), jnp.asarray(lengths))
+    assert int(np.asarray(lh)[0]) == 32
+    assert (np.asarray(ch)[0] == codes[0]).all()
+    assert (np.asarray(pmap)[0] == np.arange(32)).all()
+
+
+def test_sketch_wide_matches_sketch_for_small_k():
+    rng = np.random.default_rng(42)
+    codes = rng.integers(0, 4, (4, 300)).astype(np.int32)
+    lengths = np.full(4, 300, np.int32)
+    a = sketch(jnp.asarray(codes), jnp.asarray(lengths), k=15, w=5, cap=1024)
+    b = sketch_wide(jnp.asarray(codes), jnp.asarray(lengths), k=15, w=5,
+                    cap=1024)
+    na, nb = int(a.n), int(b.n)
+    assert na == nb
+    sa = {(int(r), int(p), int(s)) for r, p, s in
+          zip(np.asarray(a.rid)[:na], np.asarray(a.pos)[:na],
+              np.asarray(a.strand)[:na])}
+    sb = {(int(r), int(p), int(s)) for r, p, s in
+          zip(np.asarray(b.rid)[:nb], np.asarray(b.pos)[:nb],
+              np.asarray(b.strand)[:nb])}
+    assert sa == sb
+
+
+def test_sketch_wide_k51_rc_symmetric():
+    # minimizer sets of a read and its revcomp must coincide (canonical)
+    rng = np.random.default_rng(43)
+    fwd = rng.integers(0, 4, 400).astype(np.int32)
+    rc = (fwd[::-1] ^ 3).astype(np.int32)
+    codes = np.stack([fwd, rc])
+    lengths = np.full(2, 400, np.int32)
+    m = sketch_wide(jnp.asarray(codes), jnp.asarray(lengths), k=51, w=11,
+                    cap=1024)
+    n = int(m.n)
+    rid = np.asarray(m.rid)[:n]
+    h = np.asarray(m.hash)[:n]
+    h0 = sorted(h[rid == 0])
+    h1 = sorted(h[rid == 1])
+    assert h0 == h1 and len(h0) > 5
+
+
+def test_sketch_wide_hpc_positions_original_coords():
+    rng = np.random.default_rng(44)
+    base = rng.integers(0, 4, 200).astype(np.int32)
+    # expand homopolymers: read with runs must sketch like the compressed one
+    reps = rng.integers(1, 4, 200)
+    expanded = np.repeat(base, reps).astype(np.int32)
+    L = len(expanded)
+    codes = expanded[None, :]
+    m = sketch_wide(jnp.asarray(codes), jnp.asarray(np.array([L], np.int32)),
+                    k=21, w=7, cap=2048, hpc=True)
+    n = int(m.n)
+    pos = np.asarray(m.pos)[:n]
+    assert n > 5
+    # positions are original coordinates: in range and on run starts
+    starts = np.flatnonzero(np.concatenate(
+        [[True], expanded[1:] != expanded[:-1]]))
+    assert ((0 <= pos) & (pos < L)).all()
+    assert np.isin(pos, starts).all()
+
+
+def test_find_overlaps_hifi_longk():
+    # HiFi-style: 0.3% error, k=51 w=11 finds true dovetails
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+    g = simulate_genome(20000, seed=51)
+    sim = simulate_reads(g, coverage=6, mean_len=4000, error_rate=0.003,
+                         seed=52)
+    st = SeqStore.from_codes(sim.reads)
+    rids = np.arange(len(st))
+    idx = build_index(st, rids, k=51, w=11, max_occ=64)
+    ovl = find_overlaps(st, rids, idx, k=51, w=11, max_occ=16, min_cnt=4,
+                        min_span=500)
+    assert len(ovl.qname) > len(st)  # at least ~1 overlap per read
