@@ -1,0 +1,240 @@
+"""Experiment: row-stacked variant of the fixed-cadence band_align forward
+kernel (G groups of 8 pairs in (G*8,128) state) to see if the latency-bound
+scaling observed on the extend kernel also applies here.
+Usage: python experiments/fwd_rows.py [rows ...]
+"""
+import functools
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+from nextdenovo_tpu.io.simulate import mutate_read  # noqa: E402
+from nextdenovo_tpu.ops.align import (CHUNK, INF, LANES, PACK, T_FRONT,
+                                      _dyn_window, pad_for_align)  # noqa: E402
+
+OP_DIAG, OP_UP, OP_LEFT = 0, 1, 2
+
+
+def _fwd_fast_rows(mnv_ref, q_ref, rt_ref, tb_ref, lo_ref, stats_ref,
+                   v1, v2, st, *, n_ch: int, rows: int):
+    c = pl.program_id(1)
+    inf = jnp.int32(INF)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    lane1r = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    @pl.when(c == 0)
+    def _init():
+        v1[...] = jnp.full((rows, LANES), inf, jnp.int32)
+        v2[...] = jnp.full((rows, LANES), inf, jnp.int32)
+        st[...] = jnp.where(lane == 1, inf, 0)
+
+    mnv = mnv_ref[...]
+    m_col = mnv[:, 0:1]
+    n_col = mnv[:, 1:2]
+
+    def word_body(wb, _):
+        a0 = (c * CHUNK + wb) * PACK
+        stv = st[...]
+        lo_prev = stv[:, 0:1]
+        dist_col = stv[:, 1:2]
+        done_col = stv[:, 2:3]
+
+        v1v = v1[...]
+        rmin = jnp.min(v1v, axis=1, keepdims=True)
+        rarg = jnp.min(jnp.where(v1v == rmin, lane, LANES), axis=1,
+                       keepdims=True)
+        delta = jnp.clip(rarg - LANES // 2, -8, 8)
+        delta = jnp.where(rmin >= inf, 0, delta)
+        delta = jnp.maximum(delta, (a0 + PACK - 1) - n_col - (lo_prev + 8))
+        delta = jnp.minimum(delta, m_col - (lo_prev + 8))
+        delta = jnp.maximum(delta, -lo_prev)
+        delta = jnp.where(done_col > 0, 0, delta)
+        lo_base = lo_prev + delta
+
+        v2v = v2[...]
+        va, vb = [], []
+        for p in range(rows):
+            d = delta[p, 0]
+            r1 = pltpu.roll(v1v[p : p + 1, :], -d, axis=1)
+            r2 = pltpu.roll(v2v[p : p + 1, :], -d, axis=1)
+            ok = ((d >= 0) & (lane1r < LANES - d)) | ((d < 0) & (lane1r >= -d))
+            va.append(jnp.where(ok, r1, inf))
+            vb.append(jnp.where(ok, r2, inf))
+        a_cur = jnp.concatenate(va, axis=0)
+        b_cur = jnp.concatenate(vb, axis=0)
+
+        q0, q1, t0, t1 = [], [], [], []
+        for p in range(rows):
+            lo0 = lo_base[p, 0]
+            qw = _dyn_window(q_ref, p, lo0, 2)
+            q0.append(qw[0:1, :])
+            q1.append(qw[1:2, :])
+            tstart0 = n_col[p, 0] - a0 + lo0 + 1
+            tw = _dyn_window(rt_ref, p, T_FRONT + tstart0 - 9, 2)
+            t0.append(tw[0:1, :])
+            t1.append(tw[1:2, :])
+        QW0 = jnp.concatenate(q0, axis=0)
+        QW1 = jnp.concatenate(q1, axis=0)
+        TW0 = jnp.concatenate(t0, axis=0)
+        TW1 = jnp.concatenate(t1, axis=0)
+
+        i_v = lo_base + lane
+        j_v = a0 - i_v
+        done_b = done_col > 0
+        tb_words = jnp.zeros((rows, LANES), jnp.int32)
+
+        for s in range(PACK):
+            s1 = 1 if s % 2 else 0
+            off_q = (s + 1) // 2
+            off_t = 8 + (s + 1) // 2 - s
+            qb = jnp.where(lane < LANES - off_q,
+                           jnp.roll(QW0, -off_q, axis=1) if off_q else QW0,
+                           jnp.roll(QW1, -off_q, axis=1) if off_q else QW1)
+            tbnd = jnp.where(lane < LANES - off_t,
+                             jnp.roll(TW0, -off_t, axis=1),
+                             jnp.roll(TW1, -off_t, axis=1))
+            if s > 0:
+                i_v = i_v + s1
+                j_v = j_v + (1 - s1)
+            sub_cost = jnp.where(qb == tbnd, 0, 1)
+            diag = b_cur
+            if s1 == 0:
+                up = jnp.where(lane == 0, inf, jnp.roll(a_cur, 1, axis=1))
+                left = a_cur
+            else:
+                up = a_cur
+                left = jnp.where(lane == LANES - 1, inf,
+                                 jnp.roll(a_cur, -1, axis=1))
+            cd = diag + sub_cost
+            cu = up + 1
+            cl = left + 1
+            vnew = jnp.minimum(cd, jnp.minimum(cu, cl))
+            tb = jnp.where(vnew == cd, OP_DIAG,
+                           jnp.where(vnew == cu, OP_UP, OP_LEFT)).astype(jnp.int32)
+            vnew = jnp.where(i_v == 0, j_v, vnew)
+            tb = jnp.where(i_v == 0, OP_LEFT, tb)
+            vnew = jnp.where(j_v == 0, i_v, vnew)
+            tb = jnp.where(j_v == 0, OP_UP, tb)
+            invalid = (i_v < 0) | (i_v > m_col) | (j_v < 0) | (j_v > n_col)
+            vnew = jnp.where(invalid, inf, vnew)
+            vnew = jnp.where(done_b, a_cur, vnew)
+            tb_words = tb_words | (tb << (2 * s))
+            hit = jnp.min(jnp.where((i_v == m_col) & (j_v == n_col), vnew, inf),
+                          axis=1, keepdims=True)
+            dist_col = jnp.minimum(dist_col, hit)
+            done_b = dist_col < inf
+            b_cur = a_cur
+            a_cur = vnew
+
+        v1[...] = a_cur
+        v2[...] = b_cur
+        st[...] = jnp.where(lane == 0, lo_base + 8,
+                            jnp.where(lane == 1, dist_col,
+                                      jnp.where(lane == 2,
+                                                done_b.astype(jnp.int32), 0)))
+        tb_ref[pl.ds(wb, 1), :, :] = tb_words[None]
+        lo_block = jnp.where(lane == 0, lo_base,
+                             jnp.where(lane == 1, 0x5555, 0))
+        lo_ref[pl.ds(wb, 1), 0, :, :] = lo_block[None]
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, word_body, 0)
+
+    @pl.when(c == n_ch - 1)
+    def _out_stats():
+        stv = st[...]
+        stats_ref[0, :, :] = jnp.where(lane == 0, stv[:, 1:2],
+                                       jnp.where(lane == 1, stv[:, 2:3], 0))
+
+
+def run(rows, qpad, rtpad, mnv, a_max):
+    B, QP = qpad.shape
+    TP = rtpad.shape[1]
+    BT = B // rows
+    n_ch = a_max // (PACK * CHUNK)
+    n_words = a_max // PACK
+    kern = functools.partial(_fwd_fast_rows, n_ch=n_ch, rows=rows)
+    f = pl.pallas_call(
+        kern,
+        grid=(BT, n_ch),
+        in_specs=[
+            pl.BlockSpec((rows, 128), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, QP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, TP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, rows, LANES), lambda bt, c: (c, bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, 1, rows, LANES), lambda bt, c: (c, bt, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, 128), lambda bt, c: (bt, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_words, B, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_words, BT, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((BT, rows, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )
+    jf = jax.jit(f)
+    try:
+        out = jf(mnv, qpad, rtpad)
+        _ = np.asarray(out[2])
+    except Exception as e:
+        print(f"rows={rows}: FAIL {str(e)[:120]}")
+        return None
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = jf(mnv, qpad, rtpad)
+        _ = np.asarray(out[2])
+    dt = (time.time() - t0) / reps
+    B_ = qpad.shape[0]
+    cells = B_ * a_max * 128
+    print(f"rows={rows:3d}  {cells/dt/1e9:7.2f} Gcells/s   {dt*1e3:.1f} ms")
+    return np.asarray(out[2])
+
+
+def main():
+    rng = np.random.default_rng(0)
+    B, L = 128, 10_000
+    ts = [rng.integers(0, 4, L).astype(np.int8) for _ in range(B)]
+    qs = [mutate_read(t.astype(np.uint8), 0.12, rng).astype(np.int8)
+          for t in ts]
+    m = np.array([len(q) for q in qs], np.int32)
+    n = np.array([len(t) for t in ts], np.int32)
+    a_max = ((int((m + n).max()) + 1023) // 1024 + 1) * 1024
+    qpad = jnp.asarray(pad_for_align(qs, int(m.max()), 128))
+    rtpad = jnp.asarray(pad_for_align([t[::-1] for t in ts], int(n.max()),
+                                      128, front=T_FRONT))
+    mnv = jnp.zeros((B, 128), jnp.int32).at[:, 0].set(m).at[:, 1].set(n)
+    stats = {}
+    for rows in [int(x) for x in sys.argv[1:]] or [8, 16, 32]:
+        stats[rows] = run(rows, qpad, rtpad, mnv, a_max)
+    # cross-check distances across rows variants
+    base = stats.get(8)
+    for r, s in stats.items():
+        if s is not None and base is not None:
+            same = np.array_equal(s.reshape(-1, 128)[:, 0],
+                                  base.reshape(-1, 128)[:, 0])
+            print(f"rows={r}: dist match vs rows=8: {same}")
+
+
+if __name__ == "__main__":
+    main()

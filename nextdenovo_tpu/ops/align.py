@@ -284,31 +284,33 @@ T_FRONT = 24   # front sentinel pad of the reversed-target buffer (fast kernel)
 
 
 def _fwd_kernel_fast(mnv_ref, q_ref, rt_ref, tb_ref, lo_ref, stats_ref,
-                     v1, v2, st, *, n_ch: int):
-    """Fixed-cadence fast forward kernel (R=1, W=128, 8 pairs/tile).
+                     v1, v2, st, *, n_ch: int, rows: int = SUBLANES):
+    """Fixed-cadence fast forward kernel (R=1, W=128, `rows` pairs/tile).
 
     The band start advances by a schedule shared by ALL pairs — +1 on odd
     steps (lo(s) = base + (s+1)//2) — so every per-step neighbor access has
     a STATIC shift; per-pair adaptation happens only at word boundaries by
     rolling the wavefronts +-8 lanes.  All state (band base, distance, done)
     lives in vector lanes; scalars are touched only for the per-word window
-    gather starts and re-centering rolls.  See KERNEL_NOTES.md.
+    gather starts and re-centering rolls.  `rows` = G*8 pairs ride G stacked
+    vregs so independent DP chains overlap in the VPU pipeline (the kernel
+    is latency-bound at G=1; rows=32 measures ~2x — see KERNEL_NOTES.md).
 
-    mnv_ref: (8, 128) int32: lane0 = m, lane1 = n per pair row
-    q_ref:   (8, QP) int32: q[i-1] at buf[i] (front pad 1)
-    rt_ref:  (8, TP) int32: rt[k] at buf[T_FRONT + k]
-    st:      (8, 128) scratch: lane0 = lo at prev word's last step,
+    mnv_ref: (rows, 128) int32: lane0 = m, lane1 = n per pair row
+    q_ref:   (rows, QP) int32: q[i-1] at buf[i] (front pad 1)
+    rt_ref:  (rows, TP) int32: rt[k] at buf[T_FRONT + k]
+    st:      (rows, 128) scratch: lane0 = lo at prev word's last step,
              lane1 = dist (INF until done), lane2 = done
     """
     c = pl.program_id(1)
     inf = jnp.int32(INF)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     lane1r = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
     @pl.when(c == 0)
     def _init():
-        v1[...] = jnp.full((SUBLANES, LANES), inf, jnp.int32)
-        v2[...] = jnp.full((SUBLANES, LANES), inf, jnp.int32)
+        v1[...] = jnp.full((rows, LANES), inf, jnp.int32)
+        v2[...] = jnp.full((rows, LANES), inf, jnp.int32)
         st[...] = jnp.where(lane == 1, inf, 0)
 
     mnv = mnv_ref[...]
@@ -339,7 +341,7 @@ def _fwd_kernel_fast(mnv_ref, q_ref, rt_ref, tb_ref, lo_ref, stats_ref,
         # roll each pair's wavefronts by -delta_p (band moves up by delta)
         v2v = v2[...]
         va, vb = [], []
-        for p in range(SUBLANES):
+        for p in range(rows):
             d = delta[p, 0]
             r1 = pltpu.roll(v1v[p : p + 1, :], -d, axis=1)
             r2 = pltpu.roll(v2v[p : p + 1, :], -d, axis=1)
@@ -352,7 +354,7 @@ def _fwd_kernel_fast(mnv_ref, q_ref, rt_ref, tb_ref, lo_ref, stats_ref,
 
         # ---- hoisted wide windows (2x128 per pair), shared layout ------
         q0, q1, t0, t1 = [], [], [], []
-        for p in range(SUBLANES):
+        for p in range(rows):
             lo0 = lo_base[p, 0]
             qw = _dyn_window(q_ref, p, lo0, 2)
             q0.append(qw[0:1, :])
@@ -369,7 +371,7 @@ def _fwd_kernel_fast(mnv_ref, q_ref, rt_ref, tb_ref, lo_ref, stats_ref,
         i_v = lo_base + lane             # i of each band cell at step 0 shift
         j_v = a0 - i_v
         done_b = done_col > 0
-        tb_words = jnp.zeros((SUBLANES, LANES), jnp.int32)
+        tb_words = jnp.zeros((rows, LANES), jnp.int32)
 
         for s in range(PACK):
             s1 = 1 if s % 2 else 0
@@ -436,51 +438,54 @@ def _fwd_kernel_fast(mnv_ref, q_ref, rt_ref, tb_ref, lo_ref, stats_ref,
                                        jnp.where(lane == 1, stv[:, 2:3], 0))
 
 
-@functools.partial(jax.jit, static_argnames=("a_max", "interpret"))
+@functools.partial(jax.jit, static_argnames=("a_max", "rows", "interpret"))
 def band_align_fwd_fast(qpad: jax.Array, rtpad: jax.Array, mn: jax.Array,
-                        a_max: int = 4096, interpret: bool = False):
-    """Fixed-cadence forward kernel: 8 pairs/tile, W=128.
+                        a_max: int = 4096, rows: int = 32,
+                        interpret: bool = False):
+    """Fixed-cadence forward kernel: `rows` pairs/tile, W=128.
 
-    rtpad must be padded with pad_for_align(..., front=T_FRONT)."""
+    rtpad must be padded with pad_for_align(..., front=T_FRONT).
+    Outputs keep the 8-pair tb/lo layout the traceback kernel expects
+    (lo is reshaped to (n_words, B//8, 8, 128) by the caller)."""
     B, QP = qpad.shape
     TP = rtpad.shape[1]
-    assert B % SUBLANES == 0
-    BT = B // SUBLANES
+    assert B % rows == 0 and rows % SUBLANES == 0
+    BT = B // rows
     assert a_max % STEPS_PER_GRID == 0
     n_ch = a_max // STEPS_PER_GRID
     n_words = a_max // PACK
 
     mnv = jnp.zeros((B, 128), jnp.int32)
     mnv = mnv.at[:, 0].set(mn[:, 0]).at[:, 1].set(mn[:, 1])
-    kernel = functools.partial(_fwd_kernel_fast, n_ch=n_ch)
+    kernel = functools.partial(_fwd_kernel_fast, n_ch=n_ch, rows=rows)
     return pl.pallas_call(
         kernel,
         grid=(BT, n_ch),
         in_specs=[
-            pl.BlockSpec((SUBLANES, 128), lambda bt, c: (bt, 0),
+            pl.BlockSpec((rows, 128), lambda bt, c: (bt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, QP), lambda bt, c: (bt, 0),
+            pl.BlockSpec((rows, QP), lambda bt, c: (bt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUBLANES, TP), lambda bt, c: (bt, 0),
+            pl.BlockSpec((rows, TP), lambda bt, c: (bt, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, SUBLANES, LANES), lambda bt, c: (c, bt, 0),
+            pl.BlockSpec((CHUNK, rows, LANES), lambda bt, c: (c, bt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, 1, SUBLANES, LANES),
+            pl.BlockSpec((CHUNK, 1, rows, LANES),
                          lambda bt, c: (c, bt, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUBLANES, 128), lambda bt, c: (bt, 0, 0),
+            pl.BlockSpec((1, rows, 128), lambda bt, c: (bt, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_words, BT * SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((n_words, BT, SUBLANES, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((BT, SUBLANES, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_words, B, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((n_words, BT, rows, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((BT, rows, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((SUBLANES, LANES), jnp.int32),
-            pltpu.VMEM((SUBLANES, 128), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, LANES), jnp.int32),
+            pltpu.VMEM((rows, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -812,7 +817,7 @@ def band_align(queries: List[np.ndarray], targets: List[np.ndarray],
 def _band_align_R(queries, targets, R: int, interpret: bool):
     P = SUBLANES // R
     B0 = len(queries)
-    padB = (-B0) % P
+    padB = (-B0) % (32 if R == 1 else P)
     queries = list(queries) + [np.zeros(1, np.int8)] * padB
     targets = list(targets) + [np.zeros(1, np.int8)] * padB
     m = np.array([len(q) for q in queries], np.int32)
@@ -834,6 +839,8 @@ def _band_align_R(queries, targets, R: int, interpret: bool):
         tb, lo, stats = band_align_fwd_fast(
             jnp.asarray(qpad), jnp.asarray(rtpad), jnp.asarray(mn),
             a_max=a_max, interpret=interpret)
+        # (n_words, B/rows, rows, 128) -> traceback layout (n_words, B/8, 8, 128)
+        lo = lo.reshape(lo.shape[0], -1, SUBLANES, LANES)
     else:
         rtpad = pad_for_align([np.asarray(t)[::-1] for t in targets],
                               _bucket(n.max()), W)

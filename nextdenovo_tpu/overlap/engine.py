@@ -177,7 +177,29 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base,
     ts = segment_min(jnp.where(near, t_pos, inf), g_starts)
     te = segment_max(jnp.where(near, t_pos, -inf), g_starts) + k
 
-    # emit one record per group (at group end)
+    # chain-DP score over the corridor (mm_chain_dp equivalent, chain.c:164):
+    # re-sort corridor anchors by exact qpos and score consecutive links
+    # alpha = min(dq, dt, k) minus minimap2's gap penalty
+    # beta = 0.01*k*|dd| + 0.5*log2(|dd|); non-colinear links contribute 0.
+    # (predecessor fixed to the previous corridor anchor — optimal for
+    # colinear chains, which the corridor selection already enforces)
+    qp2_key = jnp.where(near, qpos, I32MAX)
+    kq2, kt2, qp2, tp2 = jax.lax.sort([key_q, key_t, qp2_key, t_pos],
+                                      num_keys=3)
+    near2 = qp2 != I32MAX
+    g2 = segment_starts(kq2) | segment_starts(kt2)
+    dq = qp2 - jnp.concatenate([qp2[:1], qp2[:-1]])
+    dt = tp2 - jnp.concatenate([tp2[:1], tp2[:-1]])
+    prev_near = jnp.concatenate([jnp.zeros((1,), bool), near2[:-1]])
+    link_ok = near2 & prev_near & ~g2 & (dq > 0) & (dt > 0)
+    dd = jnp.abs(dq - dt).astype(jnp.float32)
+    alpha = jnp.minimum(jnp.minimum(dq, dt), k).astype(jnp.float32)
+    beta = 0.01 * k * dd + 0.5 * jnp.log2(dd + 1.0)
+    link_sc = jnp.where(link_ok, jnp.maximum(alpha - beta, 0.0), 0.0)
+    chain_sc = segment_sum(link_sc, g2).astype(jnp.int32) + k
+
+    # emit one record per group (at group end; chain_sc is broadcast to the
+    # whole group by segment_sum, and both sorts share group index ranges)
     g_ends = jnp.concatenate([g_starts[1:], jnp.ones((1,), bool)])
     span = jnp.minimum(qe - qs, te - ts)
     emit = g_ends & valid & (cnt_g >= min_cnt) & (span >= min_span)
@@ -193,7 +215,7 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base,
         qs=g(qs), qe=g(qe),
         tname=g(key_t) >> 1,
         ts=g(ts), te=g(te),
-        match=jnp.minimum(g(cnt_g) * k, g(span)),
+        match=jnp.minimum(g(chain_sc), g(span)),
     )
     n_out = jnp.sum(got.astype(jnp.int32))
     overflow = jnp.sum(emit.astype(jnp.int32)) - n_out
