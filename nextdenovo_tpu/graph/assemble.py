@@ -46,6 +46,8 @@ class ReadInfo:
     rim: int = 0
     llm: int = 0          # best aln len at left end
     rlm: int = 0
+    lc: int = 0           # 5' dovetail depth (ovlinfo.lc)
+    rc: int = 0           # 3' dovetail depth
 
     def __post_init__(self):
         if self.e == 0:
@@ -62,6 +64,7 @@ class Edge:
     deleted: bool = False
     reduced: bool = False
     chim: bool = False   # MFLAG_CN: touches a chimeric-marked node
+    rep: bool = False    # MFLAG_REP1: touches a repeat-depth node
 
 
 class StringGraph:
@@ -325,6 +328,94 @@ class StringGraph:
             if all(sco <= o.sco * o.ide for o in outs) and \
                     all(sco <= i.sco * i.ide for i in ins):
                 self._del_edge(e)
+
+    # ---------- repeat-depth marking (mark_edge_rep, asg.c:341-416) --------
+    def mark_repeat_edges(self, min_depth_multi: float = 1.5,
+                          max_depth_multi: float = 2000.0):
+        """Repeat handling by depth multiples (asg.c:341-416 mark_edge_rep,
+        defaults ng/opt.c:68-69): a node whose out-degree or per-end aligned
+        depth (ovlinfo lc/rc) exceeds max_depth_multi x the median is
+        removed outright; above min_depth_multi x the median its edges get
+        the REP1 mark (protected later by keep_best_edges); out-degrees
+        over 10 x the median out-degree are trimmed to the best-scoring 10x
+        (asg.c:390-406)."""
+        verts = sorted({e.u for e in self.edges
+                        if not (e.deleted or e.reduced)})
+        degs = sorted(len(self.out_edges(v)) for v in verts)
+        if not degs:
+            return 0
+        d1 = max(1, degs[len(degs) // 2])
+        depths = sorted(
+            d for v in verts
+            for d in (self.reads[v // 2].lc, self.reads[v // 2].rc))
+        d0 = max(1, depths[len(depths) // 2]) if depths else 1
+        maxd11, maxd12 = d0 * min_depth_multi, d0 * max_depth_multi
+        maxd21, maxd22 = d1 * min_depth_multi, d1 * max_depth_multi
+        maxd23 = d1 * 10
+        n_rep = 0
+        for v in verts:
+            oes = self.out_edges(v)
+            if not oes:
+                continue
+            od = len(oes)
+            # per-end depth at the end this vertex extends from: dir 0
+            # extends the 3' end (rc), dir 1 the 5' end (lc)
+            r = self.reads[v // 2]
+            dp = r.lc if v & 1 else r.rc
+            if od >= maxd22 or dp >= maxd12:
+                for e in list(oes) + list(self.in_edges(v)):
+                    self._del_edge(e)
+                continue
+            rep = od >= maxd21 or dp >= maxd11
+            if od >= maxd23:
+                keep = sorted(oes, key=lambda e: (-e.sco, -e.ide))
+                for e in keep[maxd23:]:
+                    self._del_edge(e)
+                oes = self.out_edges(v)
+            if rep:
+                n_rep += 1
+                for e in list(oes) + list(self.in_edges(v)):
+                    e.rep = True
+                    ci = self.einfo.get((e.v ^ 1, e.u ^ 1))
+                    if ci is not None:
+                        self.edges[ci].rep = True
+        return n_rep
+
+    def keep_best_edges(self):
+        """mark_edge_bs + sweep (asg.c:655-696): an edge survives only if,
+        in BOTH directions, it is its tail's best-scoring out-edge, its
+        head's best-scoring in-edge, or REP1-protected; every other edge
+        is removed.  Ties break to higher identity like the reference."""
+        marked = set()
+
+        def best(es):
+            b, bs, bide = None, -1, -1
+            for e in es:
+                if e.sco > bs or (e.sco == bs and e.ide > bide):
+                    b, bs, bide = e, e.sco, e.ide
+            return b
+
+        verts = {e.u for e in self.edges if not (e.deleted or e.reduced)}
+        verts |= {e.v for e in self.edges if not (e.deleted or e.reduced)}
+        for v in verts:
+            b = best(self.out_edges(v))
+            if b is not None:
+                marked.add(id(b))
+            b = best(self.in_edges(v))
+            if b is not None:
+                marked.add(id(b))
+        n_cut = 0
+        for e in list(self.edges):
+            if e.deleted or e.reduced:
+                continue
+            ok = id(e) in marked or e.rep
+            ci = self.einfo.get((e.v ^ 1, e.u ^ 1))
+            comp = self.edges[ci] if ci is not None else None
+            ok_c = comp is not None and (id(comp) in marked or comp.rep)
+            if not (ok and ok_c):
+                self._del_edge(e)
+                n_cut += 1
+        return n_cut
 
     # ---------- chimeric-node detection (mark_node_chim, asg.c:1040-1206) --
     def mark_chimeric_nodes(self, bfs_depth: int = 2,
@@ -710,12 +801,17 @@ class StringGraph:
                 weakest = min(path, key=lambda x: x.sco * x.ide)
                 self._del_edge(weakest)
 
-    def clean(self):
+    def clean(self, alt_ctg: bool = False):
         """Cleaning pipeline in the reference's pass order (ng/main.c:191-279):
-        chimeric-node marking before transitive reduction, then TR, spur/tip
-        clipping, identity/score-ratio branch cuts, z-clips, compound-path /
-        bubble resolution, loop breaking, and the triangle-count-based
-        chimeric-edge sweeps last."""
+        repeat-depth marking and chimeric-node marking before transitive
+        reduction, then TR, spur/tip clipping, identity/score-ratio branch
+        cuts, the best-edge keep filter, z-clips, compound-path / bubble
+        resolution, loop breaking, and the triangle-count-based chimeric-edge
+        sweeps last.  alt_ctg=True mirrors nextgraph -A (ng/main.c:231-247):
+        keep alternative paths — z-clip by score instead of compound-path
+        resolution, simple bubbles instead of long-bubble popping."""
+        self.mark_repeat_edges(self.p.get("min_depth_multi", 1.5),
+                               self.p.get("max_depth_multi", 2000.0))
         self.mark_chimeric_nodes()                    # mark_node_chim
         self.transitive_reduction()                   # mark_edge_tr
         for _ in range(2):
@@ -724,11 +820,19 @@ class StringGraph:
             self.clip_z_edges()                       # rm_z_clip_score
             self.pop_bubbles()
             self.drop_low_score_branches()            # mark_edge_hls/rm_edge_ls
-        self.resolve_superbubbles()                   # clean_complex_*
+        self.keep_best_edges()                        # mark_edge_bs
+        if alt_ctg:
+            self.clip_z_edges()                       # rm_z_clip_score x2
+            self.clip_z_edges()
+        else:
+            self.resolve_superbubbles()               # clean_complex_*
         self.clip_tips()
         self.break_short_loops(self.p["sloop_len"])   # rm_sht_loop
-        self.pop_long_bubble_arms()                   # rm_long_bubble
-        self.pop_bubbles()                            # rm_sht_bubble
+        if alt_ctg:
+            self.pop_bubbles()                        # rm_sht_bubble
+        else:
+            self.pop_long_bubble_arms()               # rm_long_bubble
+            self.pop_bubbles()
         self.break_end_loops(self.p["end_loop_len"])  # rm_end_loop
         self.drop_untriangled_edges(self.p["min_edge_cov"])  # rm_edge_chim/ltc
         self.clip_tips()
@@ -779,18 +883,51 @@ class StringGraph:
                 out.append(walk(v))
         return [p for p in out if p]
 
-    def contig_sequences(self, get_read, with_paths: bool = False):
+    def _max_pair_score(self, v: int, out_side: bool) -> int:
+        """Best sco*ide over v's live out-edges (out_side) or in-edges
+        (ng/ctg.c:48-64 get_max_score)."""
+        es = self.out_edges(v) if out_side else self.in_edges(v)
+        return max((e.sco * e.ide for e in es), default=0) or 1
+
+    def contig_node_meta(self, path, seg_lens) -> List[dict]:
+        """Per-node quality records matching the reference's contig header
+        qv tags (ng/out.c:487-499 packs off<<32|ide<<20|ort<<10|irt per
+        node; ng/ctg.c:184-186 computes ide=e.ide/10, ort/irt = the edge's
+        sco*ide as permille of the best alternative at its tail/head).
+        lq mirrors MFLAG_LQ-marked support (generate_ctg is called with
+        l=MFLAG_LQ, ng/main.c:283) via our surviving chim marks."""
+        meta = []
+        off = 0
+        for (vtx, e), seg in zip(path, seg_lens):
+            if e is None:
+                ide = ort = irt = 1000
+                lq = 0
+            else:
+                s = e.sco * e.ide
+                ide = min(1000, e.ide // 10)
+                ort = min(1000, s * 1000 // self._max_pair_score(e.u, True))
+                irt = min(1000, s * 1000 // self._max_pair_score(e.v, False))
+                lq = 1 if e.chim else 0
+            meta.append(dict(off=off, seg=seg, ide=ide, ort=ort, irt=irt,
+                             lq=lq))
+            off += seg
+        return meta
+
+    def contig_sequences(self, get_read, with_paths: bool = False,
+                         with_meta: bool = False):
         """Emit contig base arrays.  get_read(rid) -> codes (fwd)."""
-        seqs = []
+        seqs, metas = [], []
         all_paths = self.contigs()
         for path in all_paths:
             parts = []
+            seg_lens = []
             v0, _ = path[0]
             r0 = self.reads[v0 // 2]
             s0 = get_read(v0 // 2)[r0.s : r0.e]
             if v0 & 1:
                 s0 = (s0 ^ 3)[::-1]
             parts.append(s0)
+            seg_lens.append(len(s0))
             for vtx, e in path[1:]:
                 r = self.reads[vtx // 2]
                 s = get_read(vtx // 2)[r.s : r.e]
@@ -799,17 +936,24 @@ class StringGraph:
                 hang = min(e.hang, len(s))
                 if hang > 0:
                     parts.append(s[-hang:])
+                seg_lens.append(max(0, hang))
             seqs.append(np.concatenate(parts) if parts else np.zeros(0, np.uint8))
+            if with_meta:
+                metas.append(self.contig_node_meta(path, seg_lens))
+        if with_meta:
+            return seqs, all_paths, metas
         if with_paths:
             return seqs, all_paths
         return seqs
 
 
 def assemble(ovl, read_lens: Dict[int, int], bl_info: Optional[dict] = None,
-             get_read=None, min_ctg_len: int = 1000, **params):
+             get_read=None, min_ctg_len: int = 1000, alt_ctg: bool = False,
+             **params):
     """High-level: overlaps (+ blacklist info) -> contig sequences.
 
-    bl_info: optional dict rid -> dict(con, le, re, lim, rim, llm, rlm).
+    bl_info: optional dict rid -> dict(con, le, re, lim, rim, llm, rlm,
+    lc, rc).  alt_ctg mirrors nextgraph -A (output alternative contigs).
     """
     reads = {}
     for rid, L in read_lens.items():
@@ -818,14 +962,17 @@ def assemble(ovl, read_lens: Dict[int, int], bl_info: Optional[dict] = None,
             length=L, s=info.get("le", 0), e=L - info.get("re", 0),
             con=info.get("con", 0), lim=info.get("lim", 0),
             rim=info.get("rim", 0), llm=info.get("llm", 0),
-            rlm=info.get("rlm", 0))
+            rlm=info.get("rlm", 0), lc=info.get("lc", 0),
+            rc=info.get("rc", 0))
     g = StringGraph(reads, **params)
     g.build(ovl)
-    g.clean()
+    g.clean(alt_ctg=alt_ctg)
     if get_read is None:
         return g, []
-    seqs, paths = g.contig_sequences(get_read, with_paths=True)
-    keep = [(s, p) for s, p in zip(seqs, paths) if len(s) >= min_ctg_len]
+    seqs, paths, metas = g.contig_sequences(get_read, with_meta=True)
+    keep = [(s, p, m) for s, p, m in zip(seqs, paths, metas)
+            if len(s) >= min_ctg_len]
     keep.sort(key=lambda sp: len(sp[0]), reverse=True)
-    g.last_paths = [p for _, p in keep]
-    return g, [s for s, _ in keep]
+    g.last_paths = [p for _, p, _ in keep]
+    g.last_node_meta = [m for _, _, m in keep]
+    return g, [s for s, _, _ in keep]

@@ -35,10 +35,41 @@ def classify_path(sg, path) -> int:
     return 1
 
 
+def pack_node_qv(meta: List[dict]) -> str:
+    """Pack per-node quality into the reference's header tag: qv:i:<hex>:...
+    with each value off<<32 | ide<<20 | ort<<10 | irt (out.c:487-499)."""
+    parts = []
+    for m in meta:
+        v = (m["off"] << 32) | (m["ide"] << 20) | (m["ort"] << 10) | m["irt"]
+        parts.append(f"{v:x}")
+    return "qv:i:" + ":".join(parts)
+
+
+def parse_ctg_header(header: str) -> dict:
+    """Decode a contig header back into fields (set_ref_qv parity,
+    lib/ctg_cns.c:2233-2268): returns dict with type/length/node and a qv
+    list of dicts(p, ide, ort, irt)."""
+    out = {"qv": []}
+    for token in header.split():
+        if token.startswith("type:s:"):
+            out["type"] = token[7:]
+        elif token.startswith("length:i:"):
+            out["length"] = int(token[9:])
+        elif token.startswith("node:i:"):
+            out["node"] = int(token[7:])
+        elif token.startswith("qv:i:"):
+            for h in token[5:].split(":"):
+                t = int(h, 16)
+                out["qv"].append(dict(p=t >> 32, ide=(t >> 20) & 0x3FF,
+                                      ort=(t >> 10) & 0x3FF, irt=t & 0x3FF))
+    return out
+
+
 def write_ctg_fasta(path: str, sg, seqs: List[np.ndarray], paths=None,
-                    min_len: int = 1000):
+                    min_len: int = 1000, node_meta=None):
     """FASTA with the reference's typed headers:
-    >ctg%06d type:s:<t> length:i:<L> node:i:<n> (out.c:117)."""
+    >ctg%06d type:s:<t> length:i:<L> node:i:<n> qv:i:<hex-per-node>
+    (out.c:487); lq node segments are emitted lowercase (out.c:508-510)."""
     tmp = path + ".tmp"
     paths = paths if paths is not None else [None] * len(seqs)
     with open(tmp, "w") as fh:
@@ -47,8 +78,19 @@ def write_ctg_fasta(path: str, sg, seqs: List[np.ndarray], paths=None,
                 continue
             t = classify_path(sg, paths[i]) if paths[i] is not None else 0
             nn = len(paths[i]) if paths[i] is not None else 0
-            fh.write(f">ctg{i:06d} type:s:{CTG_TYPES[t]} length:i:{len(s)} "
-                     f"node:i:{nn}\n{codes_to_str(s)}\n")
+            hdr = (f">ctg{i:06d} type:s:{CTG_TYPES[t]} length:i:{len(s)} "
+                   f"node:i:{nn}")
+            seq = codes_to_str(s)
+            if node_meta is not None and i < len(node_meta) and node_meta[i]:
+                meta = node_meta[i]
+                hdr += " " + pack_node_qv(meta)
+                chars = list(seq)
+                for m in meta:
+                    if m["lq"]:
+                        a, b = m["off"], m["off"] + m["seg"]
+                        chars[a:b] = [c.lower() for c in chars[a:b]]
+                seq = "".join(chars)
+            fh.write(f"{hdr}\n{seq}\n")
     os.replace(tmp, path)
 
 

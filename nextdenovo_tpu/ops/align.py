@@ -798,20 +798,24 @@ def band_align(queries: List[np.ndarray], targets: List[np.ndarray],
     Elsewhere: the native scalar aligner.  interpret=True forces the Pallas
     interpreter (kernel tests).
     """
-    if interpret is None:
-        if not _on_tpu():
-            return band_align_native(queries, targets, hq=hq)
-        interpret = False
-    if R is None:
-        res = _band_align_R(queries, targets, 1, interpret)
-        bad = [i for i, r in enumerate(res) if not (r["ok"] and r["reached"])]
-        if bad:
-            retry = _band_align_R([queries[i] for i in bad],
-                                  [targets[i] for i in bad], 2, interpret)
-            for i, r in zip(bad, retry):
-                res[i] = r
-        return res
-    return _band_align_R(queries, targets, R, interpret)
+    from ..utils import span as _tspan
+    cells = sum(len(q) + len(t) for q, t in zip(queries, targets)) * 64
+    with _tspan("kernel/band_align", pairs=len(queries), band_cells=cells):
+        if interpret is None:
+            if not _on_tpu():
+                return band_align_native(queries, targets, hq=hq)
+            interpret = False
+        if R is None:
+            res = _band_align_R(queries, targets, 1, interpret)
+            bad = [i for i, r in enumerate(res)
+                   if not (r["ok"] and r["reached"])]
+            if bad:
+                retry = _band_align_R([queries[i] for i in bad],
+                                      [targets[i] for i in bad], 2, interpret)
+                for i, r in zip(bad, retry):
+                    res[i] = r
+            return res
+        return _band_align_R(queries, targets, R, interpret)
 
 
 def _band_align_R(queries, targets, R: int, interpret: bool):

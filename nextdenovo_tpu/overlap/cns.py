@@ -248,7 +248,8 @@ def bl_info_for_graph(info: Dict[int, OvlInfoAln], min_con_count: int = 2,
             if o.con >= min_con_count:
                 continue
         out[rid] = dict(con=o.con, le=max(0, s), re=max(0, o.length - min(e, o.length)),
-                        lim=o.lim, rim=o.rim, llm=o.llm, rlm=o.rlm)
+                        lim=o.lim, rim=o.rim, llm=o.llm, rlm=o.rlm,
+                        lc=o.lc, rc=o.rc)
     return out
 
 

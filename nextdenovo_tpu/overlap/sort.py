@@ -18,6 +18,7 @@ Constants mirror util/ovl_sort.h:3-12 and ovl_sort.c:24-26.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Dict
 
@@ -348,7 +349,10 @@ def sort_filter_overlaps(raw: OvlBlock, is_seed: np.ndarray, lens: np.ndarray,
     if len(sym) == 0:
         return SortResult(OvlBlock.empty(), {})
     span = sym.qe - sym.qs
-    order = np.lexsort((span, -sym.match.astype(np.int64), sym.qname))
+    # minor keys (tname, ts) give a total deterministic order so the
+    # external-spill variant is bit-identical on ties
+    order = np.lexsort((sym.ts, sym.tname, span,
+                        -sym.match.astype(np.int64), sym.qname))
     sym = sym.take(order)
 
     seed_rids = np.unique(sym.qname)
@@ -374,6 +378,118 @@ def sort_filter_overlaps(raw: OvlBlock, is_seed: np.ndarray, lens: np.ndarray,
     if out:
         blk = OvlBlock.from_arrays(**{k: np.array([o[k] for o in out], np.int32)
                                       for k in out[0]})
+    else:
+        blk = OvlBlock.empty()
+    return SortResult(blk, blacklist)
+
+
+# ---------------------------------------------------------------------------
+# External (spill-to-disk) variant: the reference's ovl_sort is an external
+# merge sort precisely because raw .ovl streams exceed RAM
+# (util/ovl_sort.c:725 sort_ovl spill + :871 merge_ovl_from_sort).  Here
+# symmetrized chunks are spilled as sorted structured .npy files and merged
+# per seed via binary-searched slices (every chunk is sorted by seed id, so
+# a seed's records are one contiguous slice per chunk — no heap needed).
+# ---------------------------------------------------------------------------
+
+_REC_DTYPE = np.dtype([(k, np.int32) for k in
+                       ("qname", "rev", "qs", "qe", "tname", "ts", "te",
+                        "match")])
+
+
+def _spill_chunk(sym: OvlBlock, tmpdir: str, n: int) -> str:
+    rec = np.empty(len(sym), _REC_DTYPE)
+    for k in _REC_DTYPE.names:
+        rec[k] = sym.data[k]
+    span = rec["qe"].astype(np.int64) - rec["qs"]
+    order = np.lexsort((rec["ts"], rec["tname"], span,
+                        -rec["match"].astype(np.int64), rec["qname"]))
+    path = os.path.join(tmpdir, f"ovl_chunk_{n:05d}.npy")
+    np.save(path, rec[order])
+    return path
+
+
+def sort_filter_overlaps_external(blocks, is_seed: np.ndarray,
+                                  lens: np.ndarray, max_bin_cov: int = 40,
+                                  max_flank_len: int = 300,
+                                  is_hq: bool = False,
+                                  tmpdir: str | None = None,
+                                  chunk_records: int = 8_000_000
+                                  ) -> SortResult:
+    """ovl_sort over an iterable of raw OvlBlock chunks with bounded RAM.
+
+    Bit-identical to sort_filter_overlaps on the concatenated input (both
+    paths share the total sort order and per-seed filter)."""
+    import tempfile
+
+    lens = np.asarray(lens, np.int64)
+    is_seed = np.asarray(is_seed, bool)
+    own_tmp = tmpdir is None
+    tmpdir = tmpdir or tempfile.mkdtemp(prefix="ovl_sort_")
+    paths = []
+    pend: list = []
+    pend_n = 0
+    try:
+        for raw in blocks:
+            sym = symmetrize(raw, is_seed, lens)
+            if len(sym) == 0:
+                continue
+            pend.append(sym)
+            pend_n += len(sym)
+            if pend_n >= chunk_records:
+                paths.append(_spill_chunk(OvlBlock.concat_all(pend),
+                                          tmpdir, len(paths)))
+                pend, pend_n = [], 0
+        if pend_n:
+            paths.append(_spill_chunk(OvlBlock.concat_all(pend),
+                                      tmpdir, len(paths)))
+        if not paths:
+            return SortResult(OvlBlock.empty(), {})
+
+        chunks = [np.load(p, mmap_mode="r") for p in paths]
+        seed_rids = np.unique(np.concatenate(
+            [np.unique(np.asarray(c["qname"])) for c in chunks]))
+        min_seed_len = int(lens[seed_rids].min())
+
+        out = []
+        blacklist: Dict[int, str] = {}
+        cbounds = [np.searchsorted(np.asarray(c["qname"]), seed_rids,
+                                   side="left") for c in chunks]
+        cends = [np.searchsorted(np.asarray(c["qname"]), seed_rids,
+                                 side="right") for c in chunks]
+        for si, seed in enumerate(seed_rids):
+            parts = [np.asarray(c[cbounds[ci][si] : cends[ci][si]])
+                     for ci, c in enumerate(chunks)]
+            rec = np.concatenate([p for p in parts if len(p)])
+            span = rec["qe"].astype(np.int64) - rec["qs"]
+            order = np.lexsort((rec["ts"], rec["tname"], span,
+                                -rec["match"].astype(np.int64)))
+            rec = rec[order]
+            qlen = int(lens[seed])
+            group = [dict(qname=int(seed), rev=0, qs=0, qe=qlen - 1,
+                          tname=int(seed), ts=0, te=qlen - 1, match=0)]
+            group += [{k: int(r[k]) for k in _REC_DTYPE.names} for r in rec]
+            kept, mark = _filter_seed_group(group, qlen, max_bin_cov,
+                                            max_flank_len, min_seed_len,
+                                            is_hq)
+            if mark:
+                blacklist[int(seed)] = mark
+            out.extend(kept)
+    finally:
+        for p in paths:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        if own_tmp:
+            try:
+                os.rmdir(tmpdir)
+            except OSError:
+                pass
+
+    if out:
+        blk = OvlBlock.from_arrays(**{k: np.array([o[k] for o in out],
+                                                  np.int32) for k in out[0]})
     else:
         blk = OvlBlock.empty()
     return SortResult(blk, blacklist)

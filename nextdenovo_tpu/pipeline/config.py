@@ -59,6 +59,8 @@ class Config:
     maxhan2: int = 500
     cns_min_span: int = 2000
     min_ctg_len: int = 1000
+    alt_ctg: bool = False      # nextgraph -A (output alternative contigs)
+    ctg_split: bool = True     # ctg_cns -sp (split at unsupported joins)
     polish: bool = True
     raw: dict = field(default_factory=dict)
 
@@ -131,6 +133,13 @@ def load_config(path: str) -> Config:
         cfg.rewrite = raw["rewrite"].split()[0].lower() not in ("no", "0", "false")
     if "correction_options" in raw and "-fast" in raw["correction_options"]:
         cfg.fast_correct = True
+    # nextgraph -A = output alternative contigs (ng/opt.c usage)
+    if "nextgraph_options" in raw and "-A" in raw["nextgraph_options"].split():
+        cfg.alt_ctg = True
+    # ctg_cns -sp disables split-at-unsupported (lib/ctg_cns.py:243
+    # store_false, default on)
+    if "ctg_cns_options" in raw and "-sp" in raw["ctg_cns_options"].split():
+        cfg.ctg_split = False
     for key, attr in [("read_cutoff", "read_cutoff"),
                       ("genome_size", "genome_size"),
                       ("seed_cutoff", "seed_cutoff"),

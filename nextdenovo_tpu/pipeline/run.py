@@ -35,6 +35,7 @@ from ..overlap.cns import cns_overlap_stage
 from ..overlap.engine import build_index, find_overlaps
 from ..overlap.records import OvlBlock
 from ..overlap.sort import sort_filter_overlaps
+from ..utils import get_tracer, span
 from .config import Config, load_config
 
 log = logging.getLogger("nextdenovo_tpu")
@@ -106,11 +107,13 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
         if st.done():
             raw_ovl = OvlBlock.load(st.path("raw.ovl"))
         else:
-            idx = build_index(store, rids, k=cfg.raw_k, w=cfg.raw_w, max_occ=64)
-            seed_rids = rids[seed_mask]
-            raw_ovl = find_overlaps(store, seed_rids, idx, k=cfg.raw_k,
-                                    w=cfg.raw_w, max_occ=16, min_cnt=4,
-                                    min_span=500)
+            with span("raw_align", reads=len(store)):
+                idx = build_index(store, rids, k=cfg.raw_k, w=cfg.raw_w,
+                                  max_occ=64)
+                seed_rids = rids[seed_mask]
+                raw_ovl = find_overlaps(store, seed_rids, idx, k=cfg.raw_k,
+                                        w=cfg.raw_w, max_occ=16, min_cnt=4,
+                                        min_span=500)
             log.info("raw_align: %d overlap records", len(raw_ovl))
             raw_ovl.save(st.path("raw.ovl"))
             st.mark()
@@ -122,8 +125,9 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
             blacklist = {int(k): v for k, v in
                          json.load(open(st.path("bl.json"))).items()}
         else:
-            res = sort_filter_overlaps(raw_ovl, seed_mask, lens,
-                                       max_bin_cov=cfg.sort_max_depth)
+            with span("sort_align", records=len(raw_ovl)):
+                res = sort_filter_overlaps(raw_ovl, seed_mask, lens,
+                                           max_bin_cov=cfg.sort_max_depth)
             sorted_blk, blacklist = res.block, res.blacklist
             log.info("sort_align: %d records, %d blacklisted seeds",
                      len(sorted_blk), len(blacklist))
@@ -136,17 +140,19 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
         if st.done():
             cns_store = SeqStore.load(st.path("cns"))
         else:
-            cns_store = run_correction(
-                store, sorted_blk, blacklist,
-                resume_path=st.path("cns.progress.jsonl"),
-                read_type=cfg.read_type_code,
-                min_len_seed=cfg.min_len_seed,
-                min_error_corrected_ratio=cfg.min_error_corrected_ratio,
-                split=cfg.split_corrected, interpret=interpret,
-                fast=cfg.fast_correct,
-                min_len_aln=cfg.min_len_aln, min_cov_seed=cfg.min_cov_seed,
-                max_cov_aln=cfg.max_cov_aln, min_cov=cfg.min_cov_base,
-                max_lq_length=cfg.max_lq_length)
+            with span("seed_cns", records=len(sorted_blk)):
+                cns_store = run_correction(
+                    store, sorted_blk, blacklist,
+                    resume_path=st.path("cns.progress.jsonl"),
+                    read_type=cfg.read_type_code,
+                    min_len_seed=cfg.min_len_seed,
+                    min_error_corrected_ratio=cfg.min_error_corrected_ratio,
+                    split=cfg.split_corrected, interpret=interpret,
+                    fast=cfg.fast_correct,
+                    min_len_aln=cfg.min_len_aln,
+                    min_cov_seed=cfg.min_cov_seed,
+                    max_cov_aln=cfg.max_cov_aln, min_cov=cfg.min_cov_base,
+                    max_lq_length=cfg.max_lq_length)
             log.info("seed_cns: %d corrected reads, %d bases",
                      len(cns_store), cns_store.total_bases)
             cns_store.save(st.path("cns"))
@@ -165,10 +171,11 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
         bl = {int(k): v for k, v in json.load(open(st.path("cnsbl.json"))).items()}
     else:
         cns_rids = np.arange(len(cns_store))
-        cns_ovl, bl = cns_overlap_stage(
-            cns_store, cns_rids, k=cfg.cns_k, w=cfg.cns_w,
-            maxhan1=cfg.maxhan1, maxhan2=cfg.maxhan2,
-            min_span=cfg.cns_min_span, interpret=interpret)
+        with span("cns_align", reads=len(cns_store)):
+            cns_ovl, bl = cns_overlap_stage(
+                cns_store, cns_rids, k=cfg.cns_k, w=cfg.cns_w,
+                maxhan1=cfg.maxhan1, maxhan2=cfg.maxhan2,
+                min_span=cfg.cns_min_span, interpret=interpret)
         log.info("cns_align: %d dovetail records, %d graph reads",
                  len(cns_ovl), len(bl))
         cns_ovl.save(st.path("cns.filt.dovt.ovl"))
@@ -178,15 +185,17 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
     # ---- ctg_graph ------------------------------------------------------
     st = Stage(cfg.workdir, "05.ctg_graph")
     read_lens = {i: int(cns_store.length[i]) for i in range(len(cns_store))}
-    sg, seqs = assemble(cns_ovl, read_lens, bl_info=bl,
-                        get_read=lambda r: cns_store.get(r),
-                        min_ctg_len=cfg.min_ctg_len)
+    with span("ctg_graph", records=len(cns_ovl)):
+        sg, seqs = assemble(cns_ovl, read_lens, bl_info=bl,
+                            get_read=lambda r: cns_store.get(r),
+                            min_ctg_len=cfg.min_ctg_len, alt_ctg=cfg.alt_ctg)
     names = [f"ctg{i:06d}" for i in range(len(seqs))]
     paths = getattr(sg, "last_paths", [None] * len(seqs))
+    node_meta = getattr(sg, "last_node_meta", None)
     from ..graph.output import (stat_table, write_ctg_fasta, write_ctg_gfa,
                                 write_ctg_paths, write_graphml)
     write_ctg_fasta(st.path("nd.asm.p.fasta"), sg, seqs, paths,
-                    min_len=cfg.min_ctg_len)
+                    min_len=cfg.min_ctg_len, node_meta=node_meta)
     write_ctg_gfa(st.path("nd.asm.p.gfa"), sg, seqs, paths)
     write_graphml(st.path("nd.asm.p.graphml"), sg)
     write_ctg_paths(st.path("nd.asm.p.path"), sg, paths)
@@ -203,8 +212,15 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
                                              for r in seed_rids])
         else:
             map_store = cns_store
-        seqs = run_polish(seqs, map_store, read_type=cfg.read_type_code,
-                          interpret=interpret)
+        node_qv = None
+        if node_meta is not None:
+            node_qv = [[dict(p=m["off"], ide=m["ide"], ort=m["ort"],
+                             irt=m["irt"]) for m in meta]
+                       for meta in node_meta]
+        with span("ctg_cns", contigs=len(seqs)):
+            seqs = run_polish(seqs, map_store, read_type=cfg.read_type_code,
+                              node_qv=node_qv, split=cfg.ctg_split,
+                              interpret=interpret)
         seqs = [s for s in seqs if len(s) >= cfg.min_ctg_len]
         seqs.sort(key=len, reverse=True)
     write_fasta(st.path("nd.asm.fasta"), list(zip(names, seqs)))
@@ -213,6 +229,10 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
         fh.write(stat_table(seqs, cfg.genome_size or None))
         fh.write("\n" + json.dumps(stats, indent=1, default=int))
     st.mark()
+    tracer = get_tracer()
+    if tracer.enabled:
+        tracer.dump_jsonl(os.path.join(cfg.workdir, "trace.jsonl"))
+        log.info("profile:\n%s", tracer.summary())
     log.info("assembly: %d contigs, N50=%s, total=%s (%.1fs)",
              len(seqs), stats.get("N50", (0,))[0] if stats else 0,
              stats.get("total", 0), time.time() - t_start)

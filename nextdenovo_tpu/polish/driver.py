@@ -12,12 +12,16 @@ TPU-native redesign: no SAM/BAM round-trip at all —
      to the native tag-MSA consensus (nd_correct) with the window as seed;
   3. windows overlap by STITCH bases and are spliced on an exact suffix
      match, mirroring the reference's 50-base stitch (ctg_cns.c:3620).
-SV/gap-cluster machinery (set_satags/update_gap_cluster) is a later round.
+  4. structural pass (polish/structure.py): split-read gap clusters feed
+     gap-spanning pseudo-reads into the window MSA (generate_gapseqs
+     equivalent), and unsupported low-depth regions split the contig
+     (update_split_p equivalent), refined by the per-node qv tags carried
+     on the contig headers.
 """
 from __future__ import annotations
 
 import logging
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -25,6 +29,7 @@ from ..io.seqstore import SeqStore
 from ..native import correct_seed
 from ..ops import align as tpu_align
 from ..overlap.engine import build_index, find_overlaps
+from .structure import analyze_contig
 
 log = logging.getLogger(__name__)
 
@@ -53,13 +58,16 @@ def _interp_read_interval(rec, ws, we):
 
 def polish_contig(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
                   window: int = 25000, min_cov: int = 3, read_type: int = 1,
+                  pseudo: Optional[List[dict]] = None, region=None,
                   interpret=None) -> np.ndarray:
-    """Re-consensus one contig from its mapped reads."""
+    """Re-consensus one contig (or the `region` slice of it) from its
+    mapped reads, plus any gap-spanning pseudo-read segments."""
     n = len(ctg)
+    r0, r1 = region if region is not None else (0, n)
     out = ""
-    ws = 0
-    while ws < n:
-        we = min(n, ws + window)
+    ws = r0
+    while ws < r1:
+        we = min(r1, ws + window)
         wseq = ctg[ws:we]
         sups, tss, tes, segs = [], [], [], []
         for rec in recs:
@@ -73,6 +81,22 @@ def polish_contig(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
             if len(seg) < 100:
                 continue
             segs.append(seg.astype(np.int8))
+            tss.append(cs - ws)
+            tes.append(ce - ws - 1)
+        for p in pseudo or ():
+            ts, te = p["ts"], p["te"]
+            if te <= ws or ts >= we or te <= ts:
+                continue
+            f = len(p["seq"]) / max(1, te - ts)
+            cs, ce = max(ts, ws), min(te, we)
+            if ce - cs < 100:
+                continue
+            ss = max(0, int((cs - ts) * f) - 32)
+            se = min(len(p["seq"]), len(p["seq"]) - int((te - ce) * f) + 32)
+            seg = np.asarray(p["seq"][ss:se], np.int8)
+            if len(seg) < 50:
+                continue
+            segs.append(seg)
             tss.append(cs - ws)
             tes.append(ce - ws - 1)
         if segs:
@@ -110,7 +134,7 @@ def polish_contig(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
                 out = out + wcons[pos + STITCH:]
             else:
                 out = out + wcons  # stitch miss: keep both (rare)
-        ws = we - STITCH if we < n else n
+        ws = we - STITCH if we < r1 else r1
     return np.frombuffer(out.encode().translate(_TR), np.uint8)
 
 
@@ -138,8 +162,12 @@ def _codes_str(codes: np.ndarray) -> str:
 def run_polish(contigs: List[np.ndarray], reads: SeqStore,
                k: int = 15, w: int = 10, read_type: int = 1,
                min_cov: int = 3, window: int = 25000,
+               node_qv: Optional[List[List[dict]]] = None,
+               split: bool = True, struct_min_reads: int = 150,
                interpret=None) -> List[np.ndarray]:
-    """Polish every contig with the read set.  Returns polished contigs."""
+    """Polish every contig with the read set.  Returns polished contigs
+    (possibly more than the input when `split` breaks unsupported joins,
+    the reference's ctg_cns `-sp` behaviour)."""
     if not contigs:
         return []
     # map reads against contigs: the engine indexes targets (contigs here);
@@ -154,15 +182,34 @@ def run_polish(contigs: List[np.ndarray], reads: SeqStore,
     for i in range(len(ovl)):
         t = int(ovl.tname[i])
         if 0 <= t < n_ctg:
+            rid = int(ovl.qname[i]) - n_ctg
             per_ctg[t].append(dict(
-                qname=int(ovl.qname[i]) - n_ctg, rev=int(ovl.rev[i]),
+                qname=rid, rev=int(ovl.rev[i]),
                 qs=int(ovl.qs[i]), qe=int(ovl.qe[i]),
-                ts=int(ovl.ts[i]), te=int(ovl.te[i])))
+                ts=int(ovl.ts[i]), te=int(ovl.te[i]),
+                qlen=int(reads.length[rid])))
     out = []
     for ci, ctg in enumerate(contigs):
-        out.append(polish_contig(ctg, per_ctg[ci], reads, window=window,
-                                 min_cov=min_cov, read_type=read_type,
-                                 interpret=interpret))
-        log.info("polish: contig %d %d -> %d bp (%d reads)", ci, len(ctg),
-                 len(out[-1]), len(per_ctg[ci]))
+        recs = per_ctg[ci]
+        qv = node_qv[ci] if node_qv and ci < len(node_qv) else []
+        ana = analyze_contig(
+            len(ctg), recs, qv,
+            lambda rid, s, e, rc: reads.subseq(rid, s, e, rc=rc),
+            min_reads=struct_min_reads)
+        splits = ana["splits"] if split else []
+        cuts = sorted((s + e) // 2 for s, e in splits)
+        bounds = [0] + [c for c in cuts if 0 < c < len(ctg)] + [len(ctg)]
+        pieces = []
+        for a, b in zip(bounds, bounds[1:]):
+            if b - a < 1:
+                continue
+            pieces.append(polish_contig(
+                ctg, recs, reads, window=window, min_cov=min_cov,
+                read_type=read_type, pseudo=ana["pseudo"], region=(a, b),
+                interpret=interpret))
+        out.extend(pieces)
+        log.info("polish: contig %d %d -> %s bp (%d reads, %d gapseqs, "
+                 "%d splits)", ci, len(ctg),
+                 "+".join(str(len(p)) for p in pieces), len(recs),
+                 len(ana["pseudo"]), len(splits))
     return out

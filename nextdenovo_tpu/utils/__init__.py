@@ -1,0 +1,1 @@
+from .trace import Tracer, get_tracer, span, summary  # noqa: F401

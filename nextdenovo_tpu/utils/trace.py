@@ -1,0 +1,139 @@
+"""Structured tracing / profiling.
+
+The reference's observability is ad-hoc per-phase log lines ("Real time:
+... sec; CPU: ... sec; Peak RSS: ..", /root/reference/util/ng/kit.c:10-52
+cputime/peakrss/realtime + plog; minimap2 -v timing map.c:1350).  This
+module upgrades that to a first-class subsystem: nested spans with wall /
+CPU time, peak-RSS snapshots, and arbitrary counters (cells aligned, bases
+consensused, records shuffled), dumped as JSONL and summarised as a table.
+
+Usage:
+    from nextdenovo_tpu.utils import span, summary
+    with span("raw_align", reads=n):
+        ...
+        with span("raw_align/band_dp", cells=c):
+            ...
+    print(summary())
+
+Zero-cost when disabled: `Tracer(enabled=False)` (or env
+NDTPU_TRACE=0) makes span() a no-op context.
+"""
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from contextlib import contextmanager
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+
+def _peak_rss_kb() -> int:
+    try:
+        import resource
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    except Exception:
+        return 0
+
+
+@dataclass
+class Span:
+    name: str
+    t0: float
+    cpu0: float
+    wall: float = 0.0
+    cpu: float = 0.0
+    rss_kb: int = 0
+    attrs: Dict = field(default_factory=dict)
+
+
+class Tracer:
+    """Thread-safe span recorder with nesting by name convention
+    ("stage/sub/kernel")."""
+
+    def __init__(self, enabled: Optional[bool] = None):
+        if enabled is None:
+            enabled = os.environ.get("NDTPU_TRACE", "1") not in ("0", "no")
+        self.enabled = enabled
+        self.spans: List[Span] = []
+        self._lock = threading.Lock()
+
+    @contextmanager
+    def span(self, name: str, **attrs):
+        if not self.enabled:
+            yield None
+            return
+        s = Span(name=name, t0=time.time(), cpu0=time.process_time(),
+                 attrs=attrs)
+        try:
+            yield s
+        finally:
+            s.wall = time.time() - s.t0
+            s.cpu = time.process_time() - s.cpu0
+            s.rss_kb = _peak_rss_kb()
+            with self._lock:
+                self.spans.append(s)
+
+    def add(self, name: str, wall: float, **attrs):
+        """Record a pre-measured span (e.g. timed around a jitted call)."""
+        if not self.enabled:
+            return
+        s = Span(name=name, t0=time.time() - wall, cpu0=0.0, wall=wall,
+                 attrs=attrs, rss_kb=_peak_rss_kb())
+        with self._lock:
+            self.spans.append(s)
+
+    # ---------- reporting ----------
+    def dump_jsonl(self, path: str) -> None:
+        with self._lock:
+            spans = list(self.spans)
+        with open(path, "w") as fh:
+            for s in spans:
+                fh.write(json.dumps(dict(
+                    name=s.name, t0=round(s.t0, 6), wall=round(s.wall, 6),
+                    cpu=round(s.cpu, 6), rss_kb=s.rss_kb, **s.attrs),
+                    default=str) + "\n")
+
+    def summary(self) -> str:
+        """Aggregated per-name table (count, total/mean wall, total cpu,
+        summed numeric counters)."""
+        agg: Dict[str, dict] = {}
+        with self._lock:
+            spans = list(self.spans)
+        for s in spans:
+            a = agg.setdefault(s.name, dict(n=0, wall=0.0, cpu=0.0,
+                                            counters={}))
+            a["n"] += 1
+            a["wall"] += s.wall
+            a["cpu"] += s.cpu
+            for k, v in s.attrs.items():
+                if isinstance(v, (int, float)):
+                    a["counters"][k] = a["counters"].get(k, 0) + v
+        lines = [f"{'span':<38} {'n':>6} {'wall_s':>10} {'cpu_s':>10}  counters"]
+        for name in sorted(agg):
+            a = agg[name]
+            cnt = " ".join(f"{k}={v:g}" for k, v in sorted(
+                a["counters"].items()))
+            lines.append(f"{name:<38} {a['n']:>6} {a['wall']:>10.3f} "
+                         f"{a['cpu']:>10.3f}  {cnt}")
+        return "\n".join(lines)
+
+    def reset(self) -> None:
+        with self._lock:
+            self.spans.clear()
+
+
+_tracer = Tracer()
+
+
+def get_tracer() -> Tracer:
+    return _tracer
+
+
+def span(name: str, **attrs):
+    return _tracer.span(name, **attrs)
+
+
+def summary() -> str:
+    return _tracer.summary()

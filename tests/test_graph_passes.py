@@ -112,3 +112,53 @@ def test_end_loop_broken():
     alive = _alive(g)
     assert (4, 0) not in alive
     assert (0, 2) in alive and (2, 4) in alive and (10, 0) in alive
+
+
+def test_mark_repeat_edges_marks_and_trims():
+    # hub node 0+ with 6 out-edges vs median outdegree 1 -> REP1 marks;
+    # the chain nodes keep unmarked edges
+    E = [(0, 2 * t, 100, 5000 - 100 * t, 9000) for t in range(1, 7)]
+    E += [(2, 14, 100, 9000, 9800), (14, 16, 100, 9000, 9800),
+          (16, 18, 100, 9000, 9800)]
+    g = _mkgraph(10, E)
+    n_rep = g.mark_repeat_edges(min_depth_multi=1.5)
+    assert n_rep >= 1
+    assert all(e.rep for e in g.out_edges(0))
+    assert not any(e.rep for e in g.out_edges(14) if not e.deleted)
+
+
+def test_mark_repeat_edges_removes_extreme_hub():
+    E = [(0, 2 * t, 100, 5000, 9000) for t in range(1, 8)]
+    E += [(2, 16, 100, 9000, 9800), (16, 18, 100, 9000, 9800)]
+    g = _mkgraph(10, E)
+    g.mark_repeat_edges(min_depth_multi=1.5, max_depth_multi=3.0)
+    # median outdegree 1, hub degree 7 >= 3 -> node removed entirely
+    assert not g.out_edges(0)
+    alive = _alive(g)
+    assert (2, 16) in alive
+
+
+def test_keep_best_edges_prunes_weak_branch():
+    # 0+ branches to 2+ (strong) and 4+ (weak); both rejoin nothing:
+    # the weak branch edge is neither best-out of 0+ nor best-in of 4+?
+    # (it IS best-in of 4+) -> survives; add a competing in-edge to 4+
+    # so the weak branch loses both contests and is removed
+    E = [(0, 2, 100, 9000, 9800), (0, 4, 100, 3000, 8200),
+         (6, 4, 100, 8000, 9500), (2, 8, 100, 9000, 9800),
+         (4, 10, 100, 8000, 9500)]
+    g = _mkgraph(6, E)
+    n = g.keep_best_edges()
+    assert n >= 1
+    alive = _alive(g)
+    assert (0, 2) in alive and (6, 4) in alive
+    assert (0, 4) not in alive
+
+
+def test_keep_best_edges_respects_rep_protection():
+    E = [(0, 2, 100, 9000, 9800), (0, 4, 100, 3000, 8200),
+         (6, 4, 100, 8000, 9500)]
+    g = _mkgraph(4, E)
+    for e in g.edges:
+        e.rep = True
+    assert g.keep_best_edges() == 0
+    assert (0, 4) in _alive(g)

@@ -76,3 +76,40 @@ def test_chimeric_seed_blacklisted():
             recs.append((0, 0, s, s + 11000, i, 0, 11000, 9000))
     res = sort_filter_overlaps(_mk(recs), is_seed, lens)
     assert res.blacklist.get(0) in ("k", "c"), res.blacklist
+
+
+def test_external_sort_matches_in_memory():
+    """sort_filter_overlaps_external (spill-to-disk merge) must be
+    bit-identical to the in-memory path on the concatenated input."""
+    from nextdenovo_tpu.overlap.sort import sort_filter_overlaps_external
+
+    rng = np.random.default_rng(3)
+    n_reads = 120
+    lens = rng.integers(5_000, 30_000, n_reads).astype(np.int64)
+    is_seed = lens >= 15_000
+    recs = []
+    for _ in range(2_000):
+        q, t = rng.integers(0, n_reads, 2)
+        if q == t:
+            continue
+        ql, tl = int(lens[q]), int(lens[t])
+        span = int(rng.integers(600, 5_000))
+        qs = int(rng.integers(0, max(1, ql - span)))
+        ts = int(rng.integers(0, max(1, tl - span)))
+        m = int(rng.integers(300, span + 1))
+        recs.append((q, int(rng.integers(0, 2)), qs, min(qs + span, ql),
+                     t, ts, min(ts + span, tl), m))
+    blk = OvlBlock.from_arrays(**{k: np.array([r[i] for r in recs], np.int32)
+                                  for i, k in enumerate(
+                                      ("qname", "rev", "qs", "qe", "tname",
+                                       "ts", "te", "match"))})
+    ref = sort_filter_overlaps(blk, is_seed, lens)
+    # feed the same records as 7 chunks with a tiny spill threshold
+    bnds = np.linspace(0, len(blk), 8).astype(int)
+    chunks = [blk.take(np.arange(a, b)) for a, b in zip(bnds, bnds[1:])]
+    got = sort_filter_overlaps_external(chunks, is_seed, lens,
+                                        chunk_records=500)
+    assert got.blacklist == ref.blacklist
+    assert len(got.block) == len(ref.block)
+    for k in ref.block.data:
+        np.testing.assert_array_equal(got.block.data[k], ref.block.data[k])

@@ -1,0 +1,173 @@
+"""Structural-error machinery tests (polish/structure.py vs the reference's
+ctg_cns.c SA-tag/gap-cluster/split subsystem) plus the contig qv-tag
+plumbing (ng/out.c:487-499 <-> lib/ctg_cns.c:2233 set_ref_qv)."""
+import numpy as np
+import pytest
+
+from nextdenovo_tpu.graph.output import pack_node_qv, parse_ctg_header
+from nextdenovo_tpu.io.seqstore import SeqStore
+from nextdenovo_tpu.io.simulate import mutate_read
+from nextdenovo_tpu.polish.structure import (GapCluster, analyze_contig,
+                                             cluster_gaps, detect_gaps,
+                                             gap_regions, low_depth_regions,
+                                             median_depth, merge_regions,
+                                             spanning_depth, spanning_width,
+                                             split_points)
+
+
+def _rec(qname, ts, te, qs, qe, qlen, rev=0):
+    return dict(qname=qname, ts=ts, te=te, qs=qs, qe=qe, qlen=qlen, rev=rev)
+
+
+# ---------------------------------------------------------------- gaps ----
+def test_detect_gaps_split_read():
+    # read 10k, maps 0..4.9k then 5.1k..10k with a 2 kb contig jump
+    recs = [
+        _rec(7, 20_000, 24_900, 0, 4_900, 10_000),
+        _rec(7, 26_900, 31_900, 5_100, 10_000, 10_000),
+    ]
+    gaps = detect_gaps(recs)
+    assert len(gaps) == 1
+    g = gaps[0]
+    assert g.read == 7 and (g.gs, g.ge) == (24_900, 26_900)
+
+
+def test_detect_gaps_rejects_heavy_clip_and_big_jump():
+    # fragment 2 leaves 30% of the read unaligned -> clip test fails
+    recs = [_rec(1, 20_000, 24_900, 0, 4_900, 10_000),
+            _rec(1, 26_900, 28_900, 5_100, 7_000, 10_000)]
+    assert detect_gaps(recs) == []
+    # contig jump over MAX_GAP_LEN
+    recs = [_rec(2, 20_000, 24_900, 0, 4_900, 10_000),
+            _rec(2, 60_000, 65_000, 5_100, 10_000, 10_000)]
+    assert detect_gaps(recs) == []
+
+
+def test_detect_gaps_single_fragment_none():
+    assert detect_gaps([_rec(1, 0, 5_000, 0, 5_000, 5_000)]) == []
+
+
+# --------------------------------------------------------------- depth ----
+def test_spanning_depth_and_median():
+    # 40 alignments tiled over a 100 kb contig, all 10 kb long
+    spans = np.array([[i * 2_000, i * 2_000 + 10_000] for i in range(45)])
+    w = spanning_width(spans)
+    assert w == 500  # 10000/20 = 500 == floor
+    ds = spanning_depth(100_000, spans, w)
+    d = median_depth(ds)
+    assert 2 <= d <= 5  # ~10k span, 2k stagger -> ~4-5x interior depth
+    # a gap in the tiling produces a low-depth region
+    spans2 = np.vstack([spans[:20], spans[30:]])
+    ds2 = spanning_depth(100_000, spans2, w)
+    regs = low_depth_regions(ds2, w, max(10, d))
+    assert any(40_000 < (s + e) // 2 < 75_000 for s, e in regs)
+
+
+# ------------------------------------------------------------ clusters ----
+def _gap_set(center, n, qlen=10_000):
+    recs = []
+    for r in range(n):
+        off = (r % 5) * 7 - 14
+        recs.append(_rec(r, center - 6_000, center - 100 + off,
+                         0, 5_900, qlen))
+        recs.append(_rec(r, center + 100 + off, center + 6_000,
+                         6_100, qlen, qlen))
+    return recs
+
+
+def test_cluster_and_regions():
+    center = 50_000
+    recs = _gap_set(center, 12)
+    # plus normal coverage away from the gap so median depth is sane
+    for i in range(40):
+        s = (i * 2_401) % 80_000
+        recs.append(_rec(100 + i, s, s + 12_000, 0, 12_000, 12_000))
+    gaps = detect_gaps(recs)
+    assert len(gaps) == 12
+    spans = np.array([[r["ts"], r["te"]] for r in recs])
+    w = spanning_width(spans)
+    ds = spanning_depth(100_000, spans, w)
+    d = max(10, median_depth(ds))
+    clusters = cluster_gaps(gaps, ds, d)
+    assert len(clusters) == 1
+    assert abs(clusters[0].median - center) < 300
+    gap_regions(clusters)
+    clu = clusters[0]
+    assert not clu.dead and clu.rs < center < clu.re
+    assert sum(g.valid for g in clu.gaps) >= 6
+
+
+# ---------------------------------------------------------- split pts -----
+def test_split_points_qv_refinement():
+    qv = [dict(p=0, ide=1000, ort=1000, irt=1000),
+          dict(p=52_000, ide=300, ort=200, irt=100),
+          dict(p=90_000, ide=1000, ort=1000, irt=1000)]
+    ld = [(50_000, 55_000)]
+    sp = split_points(ld, [], qv, 100_000)
+    assert sp == [(52_000, 52_000)]  # narrowed to the bad node (sco<2900)
+    # explained by a gap cluster -> no split
+    clu = GapCluster()
+    clu.rs, clu.re = 51_000, 53_000
+    assert split_points(ld, [clu], qv, 100_000) == []
+    # near the contig end -> ignored
+    assert split_points([(100, 900)], [], qv, 100_000) == []
+
+
+def test_merge_regions():
+    # merge window is INS_WIN_DIV/2 * w = 100 here, strict < (c.f. :2779)
+    assert merge_regions([(0, 100), (150, 300), (90_000, 90_100)], 10) == \
+        [(0, 300), (90_000, 90_100)]
+    assert merge_regions([(0, 100), (200, 300)], 10) == [(0, 100), (200, 300)]
+
+
+# ------------------------------------------------------------ qv tags -----
+def test_qv_pack_parse_roundtrip():
+    meta = [dict(off=0, seg=9_000, ide=1000, ort=1000, irt=1000, lq=0),
+            dict(off=9_000, seg=4_000, ide=950, ort=730, irt=610, lq=1)]
+    hdr = (">ctg000001 type:s:linear length:i:13000 node:i:2 "
+           + pack_node_qv(meta))
+    dec = parse_ctg_header(hdr)
+    assert dec["type"] == "linear" and dec["node"] == 2
+    assert dec["qv"][0] == dict(p=0, ide=1000, ort=1000, irt=1000)
+    assert dec["qv"][1] == dict(p=9_000, ide=950, ort=730, irt=610)
+
+
+# --------------------------------------------------- integration: split ---
+def _tiled_reads(src, rng, rlen=3_000, step=500, copies=7):
+    """Overlapping reads giving ~20x spanning (interior-trimmed) depth."""
+    reads = []
+    for pos in range(0, len(src) - rlen + 1, step):
+        for _ in range(copies):
+            reads.append(mutate_read(src[pos : pos + rlen], 0.02, rng))
+    return reads
+
+
+def test_polish_splits_chimeric_contig():
+    """A draft contig made of two unrelated halves, reads only within the
+    halves: the junction is an unsupported low-depth region and run_polish
+    must split it (update_split_p behaviour)."""
+    from nextdenovo_tpu.polish.driver import run_polish
+
+    rng = np.random.default_rng(11)
+    half_a = rng.integers(0, 4, 9_000).astype(np.uint8)
+    half_b = rng.integers(0, 4, 9_000).astype(np.uint8)
+    draft = np.concatenate([half_a, half_b])
+    reads = _tiled_reads(half_a, rng) + _tiled_reads(half_b, rng)
+    store = SeqStore.from_codes(reads)
+    out = run_polish([draft], store, read_type=1, struct_min_reads=50,
+                     window=25_000)
+    assert len(out) == 2, [len(o) for o in out]
+    assert all(4_000 < len(o) < 11_000 for o in out)
+
+
+def test_polish_no_split_on_clean_contig():
+    from nextdenovo_tpu.polish.driver import run_polish
+
+    rng = np.random.default_rng(12)
+    genome = rng.integers(0, 4, 18_000).astype(np.uint8)
+    reads = _tiled_reads(genome, rng)
+    store = SeqStore.from_codes(reads)
+    out = run_polish([genome.copy()], store, read_type=1,
+                     struct_min_reads=50, window=25_000)
+    assert len(out) == 1
+    assert abs(len(out[0]) - len(genome)) < 200
