@@ -616,15 +616,23 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
             ops_ref[pl.ds(p, 1), pl.ds(0, 1), pl.ds(row, 1), :] = jnp.where(
                 lane128_4 == lane, st[10, p], orow)
 
-    def step(gi, _):
-        g = G - 1 - gi
-        a = chunk_base + g
+    all1 = jnp.int32(-1)
+    even_m = jnp.int32(0x33333333)
+    odd_m = jnp.int32(0xCCCCCCCC - (1 << 32))
+    alt_m = jnp.int32(0x55555555)
+
+    def _lsr(x, k):
+        return jax.lax.shift_right_logical(x, k)
+
+    def body(live):
         for p in range(P):
-            active = (st[2, p] == 1) & (st[1, p] == a) & (st[1, p] > 0)
+            active = (st[2, p] == 1) & (st[1, p] > 0) & \
+                (st[1, p] >= chunk_base)
 
             @pl.when(active)
-            def _walk(p=p, g=g):
+            def _walk(p=p):
                 i = st[0, p]
+                g = st[1, p] - chunk_base
                 wrow = g // PACK
                 s_in = g % PACK
 
@@ -632,11 +640,18 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
                 def _reload_lo(p=p, wrow=wrow):
                     lo_row = lo_ref[pl.ds(wrow, 1), pl.ds(0, 1), pl.ds(p, 1), :]
                     st[5, p] = jnp.sum(jnp.where(lane128_4 == 0, lo_row, 0))
-                    st[6, p] = jnp.sum(jnp.where(lane128_4 == 1, lo_row, 0))
+                    if R != 1:
+                        st[6, p] = jnp.sum(jnp.where(lane128_4 == 1,
+                                                     lo_row, 0))
                     st[4, p] = wrow
                     st[7, p] = -1
 
-                lo_a = st[5, p] + _popcount(st[6, p] & ((1 << s_in) - 1))
+                if R == 1:
+                    # fast kernel: static in-word cadence lo(s)=base+(s+1)/2
+                    # (_fwd_kernel_fast docstring) — no bitmap needed
+                    lo_a = st[5, p] + (s_in + 1) // 2
+                else:
+                    lo_a = st[5, p] + _popcount(st[6, p] & ((1 << s_in) - 1))
                 w = i - lo_a
                 lane_t = jnp.clip(w, 0, W - 1)
 
@@ -653,8 +668,53 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
 
                 op = (st[8, p] >> (2 * s_in)) & 3
                 ok = (w >= 0) & (w < W)
+
+                # ---- DIAG-run prefix consumption ----
+                # Slots s_in, s_in-2, ..., s_in&1 of this tb word are the
+                # cells a straight diagonal walk visits while staying in
+                # lane w (band lo advances exactly 1 per two anti-diagonals
+                # in the fast kernel's static cadence).  Consume the leading
+                # DIAG run of those slots in one iteration: the op
+                # accumulator keeps them 0 (OP_DIAG) and the walker jumps
+                # 2*k anti-diagonals.  DIAG runs dominate real alignments
+                # (~90% of ops at 10% error), collapsing the walk from one
+                # op to up to one tb word per iteration.
+                kmax = s_in // 2 + 1
+                cover = jnp.where(s_in % 2 == 0, even_m, odd_m) & \
+                    _lsr(all1, 30 - 2 * s_in)
+                # normalize so slot s_in-2t sits at bits (30-4t, 31-4t),
+                # then count leading zero nibbles = run length
+                z = (st[8, p] & cover) << (30 - 2 * s_in)
+                t4 = (_lsr(z, 16) == 0) & (z != 0)
+                z2 = jnp.where(t4, z << 16, z)
+                t2 = (_lsr(z2, 24) == 0) & (z2 != 0)
+                z3 = jnp.where(t2, z2 << 8, z2)
+                t1 = (_lsr(z3, 28) == 0) & (z3 != 0)
+                krun = jnp.where(z == 0, 8,
+                                 jnp.where(t4, 4, 0) + jnp.where(t2, 2, 0)
+                                 + jnp.where(t1, 1, 0))
+                if R == 1:
+                    sched_ok = jnp.bool_(True)
+                else:
+                    # adaptive kernel: lo must advance exactly 1 per visited
+                    # slot pair (bitmap positions (s_in&1) .. s_in-1)
+                    u = _lsr(st[6, p], s_in % 2)
+                    xo = (u ^ _lsr(u, 1)) & alt_m
+                    gm = jnp.where(kmax > 1,
+                                   _lsr(all1, jnp.minimum(34 - 2 * kmax, 31))
+                                   & alt_m, 0)
+                    sched_ok = (xo & gm) == gm
+                k = jnp.minimum(jnp.minimum(krun, kmax),
+                                jnp.minimum(jnp.maximum(i, 1),
+                                            jnp.maximum(st[1, p] // 2, 1)))
+                bulk = (op == OP_DIAG) & sched_ok & ok & (k >= 1)
+                # clear mask for the top k covered slots (bits >=
+                # 2*(s_in - 2*(k-1)))
+                cmask = cover & (all1 << jnp.maximum(
+                    2 * s_in - 4 * (k - 1), 0))
+
                 opv = jnp.where(ok, op, OP_NONE)
-                slot = g // PACK
+                slot = wrow
 
                 @pl.when(slot != st[9, p])
                 def _new_slot(p=p, slot=slot):
@@ -662,15 +722,28 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
                     st[9, p] = slot
                     st[10, p] = NONE_WORD
 
-                clear = ~(jnp.int32(3) << (2 * s_in))
-                st[10, p] = (st[10, p] & clear) | (opv << (2 * s_in))
-                st[0, p] = jnp.where(op == OP_LEFT, i, i - 1)
-                st[1, p] = jnp.where(op == OP_DIAG, st[1, p] - 2, st[1, p] - 1)
+                single = (st[10, p] & ~(jnp.int32(3) << (2 * s_in))) | \
+                    (opv << (2 * s_in))
+                st[10, p] = jnp.where(bulk, st[10, p] & ~cmask, single)
+                st[0, p] = jnp.where(bulk, i - k,
+                                     jnp.where(op == OP_LEFT, i, i - 1))
+                st[1, p] = jnp.where(bulk, st[1, p] - 2 * k,
+                                     jnp.where(op == OP_DIAG,
+                                               st[1, p] - 2, st[1, p] - 1))
                 st[2, p] = jnp.where(ok, 1, 2)
-                st[3, p] = st[3, p] + 1
-        return 0
+                st[3, p] = st[3, p] + jnp.where(bulk, k, 1)
 
-    jax.lax.fori_loop(0, G, step, 0)
+        live = jnp.int32(0)
+        for p in range(P):
+            live += jnp.where((st[2, p] == 1) & (st[1, p] > 0) &
+                              (st[1, p] >= chunk_base), 1, 0)
+        return live
+
+    live0 = jnp.int32(0)
+    for p in range(P):
+        live0 += jnp.where((st[2, p] == 1) & (st[1, p] > 0) &
+                           (st[1, p] >= chunk_base), 1, 0)
+    jax.lax.while_loop(lambda l: l > 0, body, live0)
     for p in range(P):
         flush_ops(p)
 
@@ -689,6 +762,151 @@ def _tb_kernel(mn_ref, tb_ref, lo_ref, ops_ref, span_ref, st, *,
         span_ref[0, :, :] = out
 
 
+def _tb_onehot_kernel(mn_ref, lob_ref, tb_ref, ops_ref, span_ref,
+                      oh_ref, pend_ref, aend_ref, acc_ref, sm, *,
+                      n_chunk: int, chunk_words: int):
+    """Lane-parallel traceback for the fast (R=1) kernel.
+
+    Instead of walking the path serially, the current path cell is a ONE-HOT
+    vector over the 128 band lanes, 8 pairs stacked in sublanes: every tick
+    processes all pairs with pure (8,128) vector ops.  Predecessor geometry
+    under the fast kernel's static in-word cadence (lo(s) = base + (s+1)//2,
+    _fwd_kernel_fast):
+      DIAG (a-2): same lane;  UP (a-1): lane-1 on even s, lane on odd;
+      LEFT (a-1): lane on even s, lane+1 on odd
+    — all static shifts.  Per-pair dynamic rolls happen only at word
+    boundaries, where the forward pass may have re-centered the band
+    (corr = base_prev - base_cur - 8 lanes, like the fwd re-centering).
+
+    Emission keeps the anti-diagonal-aligned packed-op layout: per tick the
+    (one-hot-masked) op is OR'd into a per-lane accumulator at bit slot
+    2*(a%16); since the mask is one-hot, slots across lanes are disjoint and
+    a lane-sum reduction recovers the packed word; unwritten slots read as
+    OP_NONE via a written-mask accumulator.
+
+    mn_ref:  (1, P, 8) SMEM  (m, n per pair)
+    lob_ref: (CW, 1, P) SMEM word-base lo per pair
+    tb_ref:  (CW, 8, 128) VMEM packed tb words
+    ops_ref: (P, 1, 1, 128) out packed op words (lane = word-in-chunk)
+    span_ref:(1, P, 128) out, col 3 = path-valid
+    oh/pend/aend/acc_ref: (P, 128) scratch vregs
+    sm: (2, 8) SMEM scalars: 0 = base_prev per pair, 1 = word0 base
+    """
+    rows = oh_ref.shape[0]
+    c = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    lane1r = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+    @pl.when(c == 0)
+    def _init():
+        oh_ref[...] = jnp.zeros((rows, LANES), jnp.int32)
+        pend_ref[...] = jnp.zeros((rows, LANES), jnp.int32)
+        aend_ref[...] = jnp.stack(
+            [mn_ref[0, p, 0] + mn_ref[0, p, 1] for p in range(rows)]
+        ).reshape(rows, 1) + jnp.zeros((rows, LANES), jnp.int32)
+        for p in range(rows):
+            sm[0, p] = jnp.int32(0)
+
+    chunk_base = (n_chunk - 1 - c) * chunk_words * PACK
+    acc_out0 = jnp.full((rows, LANES), -1, jnp.int32)   # all-OP_NONE words
+    aend_col = aend_ref[...][:, 0:1]
+
+    def word_body(wbi, acc_out):
+        wb = chunk_words - 1 - wbi
+        a0 = chunk_base + wb * PACK
+        words = tb_ref[pl.ds(wb, 1), :, :].reshape(rows, LANES)
+
+        # ---- boundary correction roll + start-cell injection -------------
+        # corr != 0 only when the forward pass re-centred the band at this
+        # word boundary (rare in steady diagonal progress), and a pair
+        # starts in a given word exactly once per walk — both blocks are
+        # guarded so the common case costs only the scalar checks.
+        acc_ref[...] = jnp.zeros((rows, LANES), jnp.int32)
+        for p in range(rows):
+            base_cur = lob_ref[0, wb, p]
+            corr = jnp.clip(sm[0, p] - base_cur - 8, -LANES + 1, LANES - 1)
+            sm[0, p] = base_cur
+
+            @pl.when(corr != 0)
+            def _roll(p=p, corr=corr):
+                okl = ((corr >= 0) & (lane1r >= corr)) | \
+                    ((corr < 0) & (lane1r < LANES + corr))
+                ro = pltpu.roll(oh_ref[pl.ds(p, 1), :], corr, axis=1)
+                oh_ref[pl.ds(p, 1), :] = jnp.where(okl, ro, 0)
+                rp = pltpu.roll(pend_ref[pl.ds(p, 1), :], corr, axis=1)
+                pend_ref[pl.ds(p, 1), :] = jnp.where(okl, rp, 0)
+
+            @pl.when(wb == 0)
+            def _track_w0(p=p, base_cur=base_cur):
+                sm[1, p] = base_cur
+
+            ae = mn_ref[0, p, 0] + mn_ref[0, p, 1]
+            s_end = ae - a0
+
+            @pl.when((s_end >= 0) & (s_end < PACK))
+            def _inj(p=p, s_end=s_end, base_cur=base_cur):
+                wend = mn_ref[0, p, 0] - base_cur - (s_end + 1) // 2
+                acc_ref[pl.ds(p, 1), :] = jnp.where(lane1r == wend, 1, 0)
+
+        inj = acc_ref[...]
+        acc3 = jnp.zeros((rows, LANES), jnp.int32)
+        oh = oh_ref[...]
+        pend = pend_ref[...]
+        for s in range(PACK - 1, -1, -1):
+            oh = oh | (inj & jnp.where(aend_col == a0 + s, 1, 0))
+            ops2 = jax.lax.shift_right_logical(words, 2 * s) & 3
+            if s == 0:
+                # tick a==0 is cell (0,0): nothing to consume — freeze
+                gate = jnp.where(a0 > 0, jnp.int32(-1), jnp.int32(0))
+                ohe = oh & gate
+            else:
+                ohe = oh
+            dm = ohe & jnp.where(ops2 == OP_DIAG, 1, 0)
+            um = ohe & jnp.where(ops2 == OP_UP, 1, 0)
+            lm = ohe & jnp.where(ops2 == OP_LEFT, 1, 0)
+            # complement-op accumulator: written slot s holds op^3, so the
+            # final bitwise-NOT of the lane sum reads op there and OP_NONE
+            # (0b11) at every never-written slot
+            acc3 = acc3 | ((ohe * (ops2 ^ 3)) << (2 * s))
+            if s % 2 == 0:
+                up_t = jnp.where(lane == LANES - 1, 0,
+                                 jnp.roll(um, -1, axis=1))
+                lf_t = lm
+            else:
+                up_t = um
+                lf_t = jnp.where(lane == 0, 0, jnp.roll(lm, 1, axis=1))
+            newoh = pend | up_t | lf_t
+            newpend = dm
+            if s == 0:
+                oh = jnp.where(gate != 0, newoh, oh)
+                pend = jnp.where(gate != 0, newpend, pend)
+            else:
+                oh = newoh
+                pend = newpend
+        oh_ref[...] = oh
+        pend_ref[...] = pend
+
+        word_col = ~jnp.sum(acc3, axis=1, keepdims=True)
+        return jnp.where(lane == wb, word_col, acc_out)
+
+    acc_out = jax.lax.fori_loop(0, chunk_words, word_body, acc_out0)
+    ops_ref[...] = acc_out.reshape(ops_ref.shape)
+
+    @pl.when(c == n_chunk - 1)
+    def _fin():
+        # valid iff the walk landed on cell (0,0): lane -base(word0)
+        ohv = oh_ref[...] | pend_ref[...]
+        l00 = jnp.zeros((rows, LANES), jnp.int32)
+        for p in range(rows):
+            l00 = jnp.where(
+                (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) == p)
+                & (lane1r == -sm[1, p]), 1, l00)
+        valid = jnp.sum(ohv & l00, axis=1, keepdims=True)
+        col = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        span_ref[0, :, :] = jnp.where(col == 3,
+                                      jnp.where(valid > 0, 1, 0), 0)
+
+
 @functools.partial(jax.jit, static_argnames=("R", "a_max", "interpret"))
 def band_align_tb(tb_words: jax.Array, lo_meta: jax.Array, mn: jax.Array,
                   R: int = 2, a_max: int = 4096, interpret: bool = False):
@@ -704,6 +922,54 @@ def band_align_tb(tb_words: jax.Array, lo_meta: jax.Array, mn: jax.Array,
     G = chunk_words * PACK
 
     mn8 = jnp.zeros((B, 8), jnp.int32).at[:, :2].set(mn).reshape(BT, P, 8)
+    if R == 1:
+        # lane-parallel one-hot walker (fast-kernel outputs only), 32 pairs
+        # stacked per tile (4 groups of 8 — same row-stacking win as the
+        # fast forward kernel)
+        rows = 32 if B % 32 == 0 else SUBLANES
+        BTS = B // rows
+        mn8s = jnp.zeros((B, 8), jnp.int32).at[:, :2].set(mn).reshape(
+            BTS, rows, 8)
+        lob = jnp.transpose(
+            lo_meta[:, :, :, 0].reshape(n_words, BTS, rows), (1, 0, 2))
+        kernel = functools.partial(_tb_onehot_kernel, n_chunk=n_chunk,
+                                   chunk_words=chunk_words)
+        return pl.pallas_call(
+            kernel,
+            grid=(BTS, n_chunk),
+            in_specs=[
+                pl.BlockSpec((1, rows, 8), lambda bt, ch: (bt, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, chunk_words, rows),
+                             lambda bt, ch: (bt, n_chunk - 1 - ch, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((chunk_words, rows, LANES),
+                             lambda bt, ch: (n_chunk - 1 - ch, bt, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((rows, 1, 1, LANES),
+                             lambda bt, ch: (bt, n_chunk - 1 - ch, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows, 128), lambda bt, ch: (bt, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, n_chunk, 1, LANES), jnp.int32),
+                jax.ShapeDtypeStruct((BTS, rows, 128), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rows, LANES), jnp.int32),
+                pltpu.VMEM((rows, LANES), jnp.int32),
+                pltpu.VMEM((rows, LANES), jnp.int32),
+                pltpu.VMEM((rows, LANES), jnp.int32),
+                pltpu.SMEM((2, rows), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(mn8s, lob, tb_words)
     kernel = functools.partial(_tb_kernel, R=R, n_chunk=n_chunk,
                                chunk_words=chunk_words)
     return pl.pallas_call(
