@@ -1,0 +1,172 @@
+"""Prototype: banded bit-parallel Myers (Hyyro-style sliding window).
+
+Derivation target for the Pallas kernel: per text column j the window
+covers query rows i in [j - off + 0, j - off + W); bit r <-> i = j-off+r.
+State VP/VN are vertical deltas of column j-1 stored in column-j window
+coordinates (the final D0>>1 shift of each step re-aligns them).  Standard
+banded recurrence:
+
+    X  = Eq | VN
+    D0 = (((X & VP) + VP) ^ VP) | X
+    HN = VP & D0
+    HP = VN | ~(VP | D0)
+    Xs = D0 >> 1
+    VN = Xs & HP
+    VP = HN | ~(Xs | HP)
+
+Boundary: rows i <= 0 keep Eq=VP=VN=0 (their D0 computes 0, hence HP=1 =
+the D(0,j)=j horizontal wall); rows i > m are plain DP rows over sentinel
+(never-matching) query padding, harmless.  Score is tracked along the main
+diagonal (bit `off`), valid because the caller swaps pairs so m >= n; the
+final D(m,n) adds the vertical deltas of the last column between rows n+1
+and m.  Traceback per cell (i,j): DIAG iff D0 == Eq (tie order matches the
+oracle: diag, then up iff VP, else left), needing only the stored D0 and
+VP planes plus the sequences.
+
+Run: python experiments/myers_proto.py
+"""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "tests")
+from oracles import edit_align_oracle, ops_cost  # noqa: E402
+
+
+def myers_banded(q, t, W=128, off=None, keep_planes=False):
+    """Returns (dist, planes) where planes[j] = (D0, VP) ints of column j
+    (1-based j), or dist only.  Requires len(q) >= len(t)."""
+    m, n = len(q), len(t)
+    assert m >= n
+    if off is None:
+        off = max(8, (W - (m - n)) // 2)
+    maskW = (1 << W) - 1
+    VP = maskW & ~((1 << off) - 1)
+    VN = 0
+    score = 0
+    planes = []
+    for j in range(1, n + 1):
+        lo_i = j - off          # i of bit 0
+        # Eq for c = t[j-1]
+        Eq = 0
+        c = t[j - 1]
+        for r in range(W):
+            i = lo_i + r
+            if 1 <= i <= m and q[i - 1] == c:
+                Eq |= 1 << r
+        bmask = maskW & ~((1 << max(0, off - j + 1)) - 1)
+        Eq &= bmask
+        X = Eq | VN
+        D0 = ((((X & VP) + VP) & maskW) ^ VP) | X
+        HN = VP & D0
+        HP = (VN | ~(VP | D0)) & maskW
+        Xs = D0 >> 1
+        VN = Xs & HP
+        VP = (HN | ~(Xs | HP)) & maskW
+        # next column's fake-row mask (state is in window_{j+1} coords)
+        nmask = maskW & ~((1 << max(0, off - j)) - 1)
+        VP &= nmask
+        VN &= nmask
+        score += 1 - ((D0 >> off) & 1)
+        if keep_planes:
+            planes.append((D0, VP))
+    # final walk: D(m,n) = D(n,n) + sum of vertical deltas rows n+1..m
+    # (final VP/VN in window_{n+1} coords: bit r <-> i = n+1-off+r)
+    for i in range(n + 1, m + 1):
+        r = i - (n + 1) + off
+        if r >= W:
+            return -1, planes       # band exit
+        score += ((VP >> r) & 1) - ((VN >> r) & 1)
+    return score, planes
+
+
+def myers_traceback(q, t, planes, W=128, off=None):
+    """Walk back from (m, n) using stored (D0, VP) planes.  Returns ops
+    (0=diag 1=up 2=left) start->end, or None on band exit."""
+    m, n = len(q), len(t)
+    if off is None:
+        off = max(8, (W - (m - n)) // 2)
+    ops = []
+    i, j = m, n
+    while i > 0 or j > 0:
+        if j == 0:
+            ops.append(1)
+            i -= 1
+            continue
+        if i == 0:
+            ops.append(2)
+            j -= 1
+            continue
+        r = i - j + off
+        if r < 0 or r >= W:
+            return None
+        D0, VP = planes[j - 1]
+        eq = 1 if q[i - 1] == t[j - 1] else 0
+        d0 = (D0 >> r) & 1
+        if d0 == eq:
+            ops.append(0)
+            i -= 1
+            j -= 1
+        elif r >= 1 and (VP >> (r - 1)) & 1:
+            # VP stored in window_{j+1} coords: delta of (i,j) is bit r-1
+            ops.append(1)
+            i -= 1
+        else:
+            ops.append(2)
+            j -= 1
+    return np.array(ops[::-1], np.int8)
+
+
+def main():
+    sys.path.insert(0, ".")
+    from nextdenovo_tpu.io.simulate import mutate_read
+
+    rng = np.random.default_rng(1)
+    n_exact = n_band = n_fail = 0
+    for trial in range(300):
+        L = int(rng.integers(20, 1200))
+        t = rng.integers(0, 4, L).astype(np.uint8)
+        q = mutate_read(t, float(rng.uniform(0.0, 0.25)), rng)
+        if len(q) < len(t):
+            q, t = t, q
+            swapped = True
+        else:
+            swapped = False
+        d_or, _ = edit_align_oracle(q, t)
+        d, planes = myers_banded(q, t, W=128, keep_planes=True)
+        if d == -1:
+            n_band += 1
+            continue
+        if d != d_or:
+            # band-limited overestimate is legal; underestimate is a bug
+            assert d > d_or, (trial, d, d_or)
+            n_band += 1
+            continue
+        ops = myers_traceback(q, t, planes, W=128)
+        if ops is None:
+            n_band += 1
+            continue
+        c = ops_cost(q, t, ops)
+        assert c == d, (trial, c, d)
+        n_exact += 1
+    print(f"exact: {n_exact}, band-limited: {n_band}, fail: {n_fail}")
+
+    # VP-plane semantics spot check: up move must reproduce oracle ties
+    rng = np.random.default_rng(2)
+    for trial in range(50):
+        L = int(rng.integers(10, 60))
+        t = rng.integers(0, 4, L).astype(np.uint8)
+        q = mutate_read(t, 0.3, rng)
+        if len(q) < len(t):
+            q, t = t, q
+        d_or, ops_or = edit_align_oracle(q, t)
+        d, planes = myers_banded(q, t, W=128, keep_planes=True)
+        if d != d_or:
+            continue
+        ops = myers_traceback(q, t, planes, W=128)
+        assert ops is not None and np.array_equal(ops, ops_or), trial
+    print("tie-exact vs oracle on small cases: OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -926,7 +926,7 @@ def band_align_tb(tb_words: jax.Array, lo_meta: jax.Array, mn: jax.Array,
         # lane-parallel one-hot walker (fast-kernel outputs only), 32 pairs
         # stacked per tile (4 groups of 8 — same row-stacking win as the
         # fast forward kernel)
-        rows = 32 if B % 32 == 0 else SUBLANES
+        rows = 64 if B % 64 == 0 else (32 if B % 32 == 0 else SUBLANES)
         BTS = B // rows
         mn8s = jnp.zeros((B, 8), jnp.int32).at[:, :2].set(mn).reshape(
             BTS, rows, 8)
@@ -1072,7 +1072,11 @@ def band_align(queries: List[np.ndarray], targets: List[np.ndarray],
                 return band_align_native(queries, targets, hq=hq)
             interpret = False
         if R is None:
-            res = _band_align_R(queries, targets, 1, interpret)
+            # primary tier: bit-parallel banded Myers (256-cell band,
+            # ~8x the wavefront kernel's per-column throughput); pairs
+            # that exit its band retry on the adaptive wide-band kernel
+            from .myers import myers_align
+            res = myers_align(queries, targets, nw=8)
             bad = [i for i, r in enumerate(res)
                    if not (r["ok"] and r["reached"])]
             if bad:

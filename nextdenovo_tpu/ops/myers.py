@@ -1,0 +1,500 @@
+"""Banded bit-parallel Myers alignment (batched, TPU).
+
+Bit-parallel replacement for the wavefront band aligner: each 32-bit lane
+word holds 32 band cells, so one column update costs ~15 bitwise ops per
+word instead of ~10 vector ops per cell — the classic Myers 1999 bit-vector
+recurrence in Hyyro's banded (sliding-window) form.  This plays the role of
+the reference's banded O(ND) aligner (/root/reference/lib/align.c:428-578)
+and of Edlib-style bit-parallel scanners; the formulation was validated
+bit-exactly against the full-DP oracle in experiments/myers_proto.py.
+
+Geometry: callers arrange m >= n (pairs are swapped; ops are transposed
+back).  At text column j (1-based) the window covers query rows
+i = j - off + r for band bits r in [0, W); the state slides one row down
+per column, so:
+
+    X  = Eq | VN
+    D0 = (((X & VP) + VP) ^ VP) | X        (multiword add, carry-scanned)
+    HN = VP & D0;  HP = VN | ~(VP | D0)
+    Xs = D0 >> 1
+    VN = Xs & HP;  VP = HN | ~(Xs | HP)
+
+Rows i <= 0 are masked to Eq=VP=VN=0, which makes their HP=1 — exactly the
+D(0,j)=j wall.  Rows i > m run over sentinel padding (harmless plain DP).
+The score rides the main diagonal (bit `off`), and D(m,n) adds the final
+column's vertical deltas over rows n+1..m.
+
+Traceback stores two planes per column — DV = ~(D0 ^ Eq) ("diagonal move
+valid", which reproduces the oracle's diag-first tie order) and VP — and
+walks back with integer band positions: each column consumes a whole UP-run
+in O(1) via the carry trick  landing = (U + onehot) & ~U  (U = up-move
+bits), then one DIAG/LEFT.  Per column it emits one event byte
+(min(k,63)<<2 | move); the host expands events to op strings with
+vectorized numpy.
+
+Both passes are jnp lax.scan programs over (words, batch) uint32 arrays —
+compiler-friendly control flow instead of hand-scheduled kernels; the
+per-column body is ~60 vector ops for 128-1024 pairs at once.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+UP, LEFT, DIAG = 1, 2, 0        # op encoding shared with ops.align
+EV_FAIL = 255                   # event byte: band exit / up-run overflow
+
+
+# ---------------------------------------------------------------------------
+# multiword helpers: x is (NW, B) uint32, bit r of the band = word r//32,
+# bit r%32 (LSB = lowest band row)
+
+
+def _rows_iota(x):
+    return jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+
+
+def _lsr1(x):
+    """band >> 1: bit r+1 -> r; bit 0 of word w+1 -> bit 31 of word w."""
+    lo = jax.lax.shift_right_logical(x, jnp.uint32(1))
+    up = jnp.roll(x, -1, axis=0)
+    up = jnp.where(_rows_iota(x) == x.shape[0] - 1, jnp.uint32(0), up)
+    return lo | ((up & jnp.uint32(1)) << 31)
+
+
+def _lsl1(x):
+    """band << 1: bit r -> r+1; bit 31 of word w -> bit 0 of word w+1."""
+    hi = x << 1
+    dn = jnp.roll(x, 1, axis=0)
+    dn = jnp.where(_rows_iota(x) == 0, jnp.uint32(0), dn)
+    return hi | jax.lax.shift_right_logical(dn, jnp.uint32(31))
+
+
+def _shift_rows_up(x, k):
+    """word w receives word w-k (zero fill): carries move toward MSB words."""
+    y = jnp.roll(x, k, axis=0)
+    return jnp.where(_rows_iota(x) < k, jnp.zeros_like(x), y)
+
+
+def _add(x, y):
+    """multiword x + y with Kogge-Stone carry scan over the word axis."""
+    s = x + y
+    g = (s < x).astype(jnp.uint32)          # carry generate (unsigned wrap)
+    p = (s == jnp.uint32(0xFFFFFFFF)).astype(jnp.uint32)
+    k = 1
+    while k < x.shape[0]:
+        gs = _shift_rows_up(g, k)
+        ps = _shift_rows_up(p, k)
+        g = g | (p & gs)
+        p = p & ps
+        k *= 2
+    cin = _shift_rows_up(g, 1)
+    return s + cin
+
+
+def _popcount(x):
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return (x * jnp.uint32(0x01010101)) >> 24
+
+
+def _onehot(pos, nw):
+    """(NW, B) one-hot from integer band positions (B,); pos < 0 or >= 32*NW
+    yields all-zero."""
+    w = pos >> 5
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nw, pos.shape[0]), 0)
+    bit = jnp.uint32(1) << (pos & 31).astype(jnp.uint32)[None, :]
+    oh = jnp.where(rows == w[None, :], bit, jnp.uint32(0))
+    ok = (pos >= 0) & (pos < 32 * nw)
+    return jnp.where(ok[None, :], oh, jnp.uint32(0))
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+@functools.partial(jax.jit, static_argnames=("nw",))
+def myers_fwd(win0: jax.Array, qtop: jax.Array, tch: jax.Array,
+              nvec: jax.Array, off: jax.Array, *, nw: int):
+    """Forward pass.
+
+    win0: (4, NW, B) uint32 initial per-character match windows (column 1)
+    qtop: (n_max, B) int32 incoming band-bottom query chars per column
+    tch:  (n_max, B) int32 text chars per column (4 = past end)
+    nvec: (B,) int32 per-pair text lengths
+    off:  (B,) int32 per-pair band offset (band bit r <-> i = j - off + r)
+    Returns (score (B,) int32 = D(n,n)-track, planes (n_max, 2, NW, B)
+    uint32 [DV, VP], final (2, NW, B) uint32 [VP, VN]).
+    """
+    B = qtop.shape[1]
+    maskW = jnp.uint32(0xFFFFFFFF)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nw, B), 0)
+
+    # fake-row mask machinery: rows i >= 1 <=> r >= off - j + 1
+    bm_bit = jax.lax.broadcasted_iota(jnp.int32, (nw, 1), 0) * 32
+
+    def row_mask(lo_bit):
+        """bits r >= lo_bit set (lo_bit (B,) vector)."""
+        sh = jnp.clip(lo_bit[None, :] - bm_bit, 0, 32)
+        return jnp.where(sh >= 32, jnp.uint32(0),
+                         maskW << sh.astype(jnp.uint32))
+
+    off_w = (off >> 5)[None, :]
+    off_b = (off & 31).astype(jnp.uint32)[None, :]
+    VP0 = row_mask(off)
+    VN0 = jnp.zeros((nw, B), jnp.uint32)
+
+    def body(carry, xs):
+        VP, VN, w0, w1, w2, w3, j = carry
+        tj, qt = xs
+        Eq = jnp.where((tj == 0)[None, :], w0, jnp.uint32(0))
+        Eq = Eq | jnp.where((tj == 1)[None, :], w1, jnp.uint32(0))
+        Eq = Eq | jnp.where((tj == 2)[None, :], w2, jnp.uint32(0))
+        Eq = Eq | jnp.where((tj == 3)[None, :], w3, jnp.uint32(0))
+        bmask = row_mask(jnp.maximum(off - j + 1, 0))
+        Eq = Eq & bmask
+        X = Eq | VN
+        D0 = (_add(X & VP, VP) ^ VP) | X
+        HN = VP & D0
+        HP = VN | ~(VP | D0)
+        Xs = _lsr1(D0)
+        VNn = Xs & HP
+        VPn = HN | ~(Xs | HP)
+        nmask = row_mask(jnp.maximum(off - j, 0))
+        VPn = VPn & nmask
+        VNn = VNn & nmask
+        act = (j <= nvec)
+        d0word = jnp.where(rows == off_w, D0, jnp.uint32(0)).sum(axis=0)
+        d0bit = ((d0word >> off_b[0]) & 1).astype(jnp.int32)
+        score = jnp.where(act, 1 - d0bit, 0)
+        VPc = jnp.where(act[None, :], VPn, VP)
+        VNc = jnp.where(act[None, :], VNn, VN)
+        DV = ~(D0 ^ Eq)
+        # advance the 4 char windows to column j+1: shift down one row,
+        # inject the incoming band-bottom char
+        lastrow = (rows == nw - 1)
+        outs = []
+        for c, wc in enumerate((w0, w1, w2, w3)):
+            inj = jnp.where(lastrow & (qt == c)[None, :],
+                            jnp.uint32(1) << 31, jnp.uint32(0))
+            outs.append(_lsr1(wc) | inj)
+        w0, w1, w2, w3 = outs
+        return (VPc, VNc, w0, w1, w2, w3, j + 1), (score, DV, VPn)
+
+    # unroll UNROLL columns per scan step: the body is a short dependent
+    # chain, so per-iteration overhead (not FLOPs) dominates the scan
+    UNROLL = 8
+    n_steps = qtop.shape[0]
+    assert n_steps % UNROLL == 0
+
+    def body_u(carry, xs):
+        tjs, qts = xs
+        outs = []
+        for u in range(UNROLL):
+            carry, out = body(carry, (tjs[u], qts[u]))
+            outs.append(out)
+        score = sum(o[0] for o in outs)
+        DV = jnp.stack([o[1] for o in outs])
+        VPn = jnp.stack([o[2] for o in outs])
+        return carry, (score, DV, VPn)
+
+    tch_u = tch.astype(jnp.int32).reshape(n_steps // UNROLL, UNROLL, -1)
+    qtop_u = qtop.astype(jnp.int32).reshape(n_steps // UNROLL, UNROLL, -1)
+    init = (VP0, VN0, win0[0], win0[1], win0[2], win0[3], jnp.int32(1))
+    (VPf, VNf, *_), (scores, DVs, VPs) = jax.lax.scan(
+        body_u, init, (tch_u, qtop_u))
+    score = scores.sum(axis=0)
+    DVs = DVs.reshape(n_steps, nw, B)
+    VPs = VPs.reshape(n_steps, nw, B)
+    planes = jnp.stack([DVs, VPs], axis=1)       # (n, 2, NW, B)
+    final = jnp.stack([VPf, VNf], axis=0)
+    return score, planes, final
+
+
+def tail_walk(score: np.ndarray, final: np.ndarray, m: np.ndarray,
+              n: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """D(m,n) = D(n,n) + vertical deltas of the final column over rows
+    n+1..m (final VP/VN are in window_{n+1} coords: bit r <-> i=n+1-off+r).
+    Host numpy: final is small ((2, NW, B))."""
+    nw = final.shape[1]
+    VP, VN = final[0], final[1]
+    d = np.asarray(m - n)
+    off = np.asarray(off)
+    out = np.asarray(score).copy()
+    bitpos = np.arange(32, dtype=np.uint32)
+    for w in range(nw):
+        lo = w * 32
+        # bits r in [off, off+d): within word w -> [off-lo, off-lo+d)
+        a = np.clip(off - lo, 0, 32)
+        b = np.clip(off - lo + d, 0, 32)
+        selm = (bitpos[None, :] >= a[:, None]) & (bitpos[None, :] < b[:, None])
+        vp = ((VP[w][:, None].astype(np.uint64) >> bitpos) & 1)
+        vn = ((VN[w][:, None].astype(np.uint64) >> bitpos) & 1)
+        out += (vp * selm).sum(1).astype(np.int64).astype(np.int32)
+        out -= (vn * selm).sum(1).astype(np.int64).astype(np.int32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# traceback
+
+
+@functools.partial(jax.jit, static_argnames=("nw",))
+def myers_tb(planes: jax.Array, mvec: jax.Array, nvec: jax.Array,
+             off: jax.Array, *, nw: int):
+    """Walk back from (m, n) over the stored (DV, VP) planes.
+
+    Scans columns high -> low in lockstep; a pair is active while its
+    current column equals the scanned one.  Per column the whole UP-run is
+    consumed via landing = (U + onehot) & ~U, then one DIAG/LEFT.  Emits
+    one event byte per (pair, column): min(k,63)<<2 | move.  Returns
+    (events (n_max, B) uint8 in scan order (j = n_max..1), i_final (B,),
+    ok (B,) bool)."""
+    n_max = planes.shape[0]
+    B = mvec.shape[0]
+
+    def body(carry, xs):
+        pos, icur, alive, failed = carry
+        (DV, VPp), j = xs
+        start = (j == nvec)
+        pos = jnp.where(start, mvec - nvec + off, pos)
+        icur = jnp.where(start, mvec, icur)
+        alive = alive | start
+        act = alive & ~failed
+        # up-move bits in cell coords: up at cell bit r iff not diag-valid
+        # and the stored VP plane (window_{j+1} coords) has bit r-1
+        U = ~DV & _lsl1(VPp)
+        # landing bit f = highest bit <= pos with U=0 (walk takes ups while
+        # U=1 descending): f = hsb(~U & bits_le(pos))
+        rows = jax.lax.broadcasted_iota(jnp.int32, U.shape, 0)
+        lo_word = (pos >> 5)[None, :]
+        # bits <= pos: full words below lo_word, partial at lo_word
+        in_lo = rows == lo_word
+        part = jax.lax.shift_right_logical(
+            jnp.uint32(0xFFFFFFFF),
+            jnp.clip(31 - (pos[None, :] & 31), 0, 31).astype(jnp.uint32))
+        mask_le = jnp.where(rows < lo_word, jnp.uint32(0xFFFFFFFF),
+                            jnp.where(in_lo, part, jnp.uint32(0)))
+        M = ~U & mask_le
+        nz = (M != 0)
+        hw = jnp.max(jnp.where(nz, rows, -1), axis=0)
+        wsel = jnp.where(nz & (rows == hw[None, :]), M,
+                         jnp.uint32(0)).sum(axis=0)
+        # highest set bit of wsel via binary ladder
+        v = wsel
+        fbit = jnp.zeros_like(pos)
+        for kk in (16, 8, 4, 2, 1):
+            t = jax.lax.shift_right_logical(v, jnp.uint32(kk)) != 0
+            fbit = fbit + jnp.where(t, kk, 0)
+            v = jnp.where(t, jax.lax.shift_right_logical(
+                v, jnp.uint32(kk)), v)
+        f = hw * 32 + fbit
+        k = pos - f
+        exists = hw >= 0
+        # diag valid at the landing cell?
+        ohf = _onehot(f, nw)
+        dvbit = ((DV & ohf) != 0).any(axis=0)
+        i_land = icur - k
+        # at the top wall (i == 0) only LEFT is possible
+        at_wall = i_land <= 0
+        move_diag = dvbit & ~at_wall
+        bad = act & (~exists | (k > 63) | (k < 0))
+        failed = failed | bad
+        emit_ok = act & ~bad
+        move = jnp.where(move_diag, DIAG, LEFT).astype(jnp.int32)
+        ev = jnp.where(emit_ok,
+                       ((jnp.minimum(k, 63) << 2) | move).astype(jnp.uint8),
+                       jnp.where(act, jnp.uint8(EV_FAIL), jnp.uint8(254)))
+        # advance to column j-1: diag keeps band pos, left adds 1
+        pos_n = jnp.where(move_diag, f, f + 1)
+        i_n = jnp.where(move_diag, i_land - 1, i_land)
+        pos = jnp.where(emit_ok, pos_n, pos)
+        icur = jnp.where(emit_ok, i_n, icur)
+        return (pos, icur, alive, failed), ev
+
+    UNROLL = 8
+    assert n_max % UNROLL == 0
+
+    def body_u(carry, xs):
+        (DVs, VPs), jss = xs
+        outs = []
+        for u in range(UNROLL):
+            carry, ev = body(carry, ((DVs[u], VPs[u]), jss[u]))
+            outs.append(ev)
+        return carry, jnp.stack(outs)
+
+    js = jnp.arange(n_max, 0, -1, dtype=jnp.int32)
+    planes_rev = planes[::-1]
+    init = (jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), bool), jnp.zeros((B,), bool))
+    (pos_f, i_f, alive, failed), evs = jax.lax.scan(
+        body_u, init,
+        ((planes_rev[:, 0].reshape(n_max // UNROLL, UNROLL, nw, B),
+          planes_rev[:, 1].reshape(n_max // UNROLL, UNROLL, nw, B)),
+         js.reshape(n_max // UNROLL, UNROLL)))
+    evs = evs.reshape(n_max, B)
+    ok = alive & ~failed & (i_f >= 0)
+    return evs, i_f, ok
+
+
+def expand_events(evs: np.ndarray, i_final: int, n: int,
+                  n_max: int) -> np.ndarray:
+    """Events (scan order j=n_max..1) -> op string start->end for one pair.
+    The walk visits columns n..1 (rows n_max-n .. n_max-1 of evs); each
+    event is k ups then one diag/left, in END->START order; i_final extra
+    ups precede everything (column 0)."""
+    rows = evs[n_max - n : n_max]
+    k = (rows >> 2).astype(np.int64)
+    mv = (rows & 3).astype(np.int64)
+    # walk order: [k ups, move] per visited column
+    reps = np.empty(2 * len(rows), np.int64)
+    vals = np.empty(2 * len(rows), np.int64)
+    reps[0::2] = k
+    reps[1::2] = 1
+    vals[0::2] = UP
+    vals[1::2] = mv
+    ops_rev = np.repeat(vals, reps)
+    ops = ops_rev[::-1]
+    if i_final > 0:
+        ops = np.concatenate([np.full(i_final, UP, np.int64), ops])
+    return ops.astype(np.int8)
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+
+
+@functools.partial(jax.jit, static_argnames=("nw",))
+def _build_streams(qpad: jax.Array, tpad: jax.Array, off: jax.Array,
+                   *, nw: int):
+    """Device-side stream construction from sentinel-padded int8 char
+    matrices: per-column text chars, incoming band-bottom query chars, and
+    the initial per-character match windows (bit r <-> q[r - off_b])."""
+    B, qw = qpad.shape
+    n_pad = tpad.shape[1]
+    W = 32 * nw
+    tch = tpad.T.astype(jnp.int32)
+    # column j injects q[j + W - off_b - 1]
+    idx = jnp.arange(1, n_pad + 1)[:, None] + (W - 1) - off[None, :]
+    qtop = jnp.take_along_axis(
+        qpad.T.astype(jnp.int32), jnp.clip(idx, 0, qw - 1), axis=0)
+    r = jnp.arange(W)
+    k = r[None, :] - off[:, None]
+    chars = jnp.where(
+        (k >= 0) & (k < qw),
+        jnp.take_along_axis(qpad.astype(jnp.int32),
+                            jnp.clip(k, 0, qw - 1), axis=1), 4)
+    bitv = (jnp.uint32(1) << (r & 31).astype(jnp.uint32)).reshape(1, nw, 32)
+    cm = chars.reshape(B, nw, 32)
+    win = jnp.stack([
+        jnp.where(cm == c, bitv, jnp.uint32(0)).sum(
+            axis=2, dtype=jnp.uint32).T
+        for c in range(4)])
+    return qtop, tch, win
+
+
+def myers_align(queries: List[np.ndarray], targets: List[np.ndarray],
+                nw: int = 8, max_plane_bytes: int = 1 << 30):
+    """Batched banded global alignment; returns list of dicts
+    {dist, reached, ok, ops} matching ops.align.band_align.  Pairs are
+    swapped internally so m >= n (ops transposed back); the band is
+    centered per pair on the (0,0)->(m,n) chord via a per-pair offset.
+    Long batches are processed in sub-batches bounding the traceback-plane
+    HBM footprint (64 B per pair-column)."""
+    if len(queries) > 64:
+        n_pad_est = ((max(max(len(q) for q in queries),
+                          max(len(t) for t in targets)) + 1023)
+                     // 1024) * 1024
+        per_pair = n_pad_est * 8 * nw
+        b_sub = max(64, int(max_plane_bytes // max(per_pair, 1)) // 64 * 64)
+        if len(queries) > b_sub:
+            out = []
+            for s in range(0, len(queries), b_sub):
+                out.extend(myers_align(queries[s : s + b_sub],
+                                       targets[s : s + b_sub], nw=nw,
+                                       max_plane_bytes=max_plane_bytes))
+            return out
+    W = 32 * nw
+    B0 = len(queries)
+    # bucket the batch size so jit caches across calls
+    padB = (-B0) % 64
+    queries = list(queries) + [np.zeros(4, np.int8)] * padB
+    targets = list(targets) + [np.zeros(4, np.int8)] * padB
+    B = len(queries)
+    swapped = []
+    qs, ts = [], []
+    for q, t in zip(queries, targets):
+        if len(q) >= len(t):
+            qs.append(np.asarray(q, np.uint8))
+            ts.append(np.asarray(t, np.uint8))
+            swapped.append(False)
+        else:
+            qs.append(np.asarray(t, np.uint8))
+            ts.append(np.asarray(q, np.uint8))
+            swapped.append(True)
+    m = np.array([len(q) for q in qs], np.int32)
+    n = np.array([len(t) for t in ts], np.int32)
+    off = np.clip((W - (m - n)) // 2, 16, W - 16).astype(np.int32)
+    feasible = ((m - n) < (W - off - 2)) & (n >= 1)
+    n_max = int(n.max())
+    # coarse shape buckets bound jit-cache growth across pipeline batches
+    n_pad = ((n_max + 1023) // 1024) * 1024
+
+    # host: sentinel-padded char matrices only (int8 keeps the h2d transfer
+    # small); the per-column streams and initial windows are built on device
+    m_max = int(m.max())
+    qp_w = ((m_max + W + 2 + 1023) // 1024) * 1024
+    qpad = np.full((B, qp_w), 4, np.int8)
+    tpad = np.full((B, n_pad), 4, np.int8)
+    for b in range(B):
+        qpad[b, : m[b]] = qs[b]
+        tpad[b, : n[b]] = ts[b]
+
+    qtop, tch, win0 = _build_streams(
+        jnp.asarray(qpad), jnp.asarray(tpad), jnp.asarray(off), nw=nw)
+    score, planes, final = myers_fwd(
+        win0, qtop, tch, jnp.asarray(n), jnp.asarray(off), nw=nw)
+    evs, i_f, ok = myers_tb(planes, jnp.asarray(m), jnp.asarray(n),
+                            jnp.asarray(off), nw=nw)
+    dist = tail_walk(np.asarray(score), np.asarray(final), m, n, off)
+    evs = np.asarray(evs)
+    i_f = np.asarray(i_f)
+    okv = np.asarray(ok) & feasible
+
+    # batch expansion: one flat np.repeat over every ok pair's events
+    vals_l, reps_l, lens = [], [], []
+    ok_idx = [b for b in range(B) if okv[b]]
+    for b in ok_idx:
+        rows = evs[n_pad - n[b] :, b]
+        k = (rows >> 2).astype(np.int64)
+        mv = (rows & 3).astype(np.int64)
+        reps = np.empty(2 * len(rows), np.int64)
+        vals = np.empty(2 * len(rows), np.int64)
+        reps[0::2] = k
+        reps[1::2] = 1
+        vals[0::2] = UP
+        vals[1::2] = mv
+        vals_l.append(vals)
+        reps_l.append(reps)
+        lens.append(int(k.sum()) + len(rows))
+    if ok_idx:
+        flat = np.repeat(np.concatenate(vals_l),
+                         np.concatenate(reps_l)).astype(np.int8)
+    bounds = np.cumsum([0] + lens)
+    swap_lut = np.array([DIAG, LEFT, UP, 3], np.int8)
+
+    res = [dict(dist=int(dist[b]), reached=False, ok=False,
+                ops=np.zeros(0, np.int8)) for b in range(B)]
+    for bi, b in enumerate(ok_idx):
+        ops = flat[bounds[bi] : bounds[bi + 1]][::-1]
+        if i_f[b] > 0:
+            ops = np.concatenate([np.full(int(i_f[b]), UP, np.int8), ops])
+        if swapped[b]:
+            ops = swap_lut[ops]
+        res[b] = dict(dist=int(dist[b]), reached=True, ok=True, ops=ops)
+    return res[:B0]

@@ -1,0 +1,83 @@
+"""Bit-parallel banded Myers aligner (ops/myers.py) vs the full-DP oracle.
+
+The formulation was derived and pre-validated in experiments/myers_proto.py;
+these tests pin the batched jnp implementation: exact distances, oracle
+tie-order-exact op strings, swapped (m < n) pairs, band-overflow flagging,
+and degenerate inputs.
+"""
+import numpy as np
+
+from oracles import edit_align_oracle, ops_cost
+
+from nextdenovo_tpu.io.simulate import mutate_read
+from nextdenovo_tpu.ops.myers import myers_align
+
+
+def test_random_batch_exact():
+    rng = np.random.default_rng(5)
+    qs, ts = [], []
+    for _ in range(32):
+        L = int(rng.integers(50, 1200))
+        t = rng.integers(0, 4, L).astype(np.uint8)
+        q = mutate_read(t, float(rng.uniform(0.0, 0.18)), rng)
+        qs.append(q.astype(np.int8))
+        ts.append(t.astype(np.int8))
+    res = myers_align(qs, ts, nw=8)
+    for b, r in enumerate(res):
+        assert r["ok"], b
+        d, _ = edit_align_oracle(np.asarray(qs[b], np.uint8),
+                                 np.asarray(ts[b], np.uint8))
+        c = ops_cost(qs[b], ts[b], r["ops"])
+        assert c == r["dist"] == d, (b, c, r["dist"], d)
+
+
+def test_tie_order_matches_oracle():
+    rng = np.random.default_rng(9)
+    for _ in range(20):
+        L = int(rng.integers(10, 70))
+        t = rng.integers(0, 4, L).astype(np.uint8)
+        q = mutate_read(t, 0.3, rng)
+        if len(q) < len(t):        # unswapped pairs reproduce oracle ties
+            continue
+        r = myers_align([q.astype(np.int8)], [t.astype(np.int8)])[0]
+        d, ops_or = edit_align_oracle(q, t)
+        assert r["ok"] and r["dist"] == d
+        assert np.array_equal(r["ops"], ops_or)
+
+
+def test_swapped_pair_ops_transpose():
+    rng = np.random.default_rng(3)
+    t = rng.integers(0, 4, 400).astype(np.uint8)
+    q = t[50:300].copy()           # much shorter query -> swap inside
+    r = myers_align([q.astype(np.int8)], [t.astype(np.int8)])[0]
+    assert r["ok"]
+    c = ops_cost(q.astype(np.int8), t.astype(np.int8), r["ops"])
+    assert c == r["dist"]
+    d, _ = edit_align_oracle(q, t)
+    assert c == d
+
+
+def test_band_overflow_flagged_not_wrong():
+    rng = np.random.default_rng(4)
+    t = rng.integers(0, 4, 2000).astype(np.uint8)
+    q = np.concatenate([t[:800], rng.integers(0, 4, 900).astype(np.uint8),
+                        t[800:]])  # 900bp insertion > band
+    r = myers_align([q.astype(np.int8)], [t.astype(np.int8)])[0]
+    assert not r["ok"]             # flagged for the retry tier
+
+
+def test_degenerate_lengths():
+    res = myers_align([np.zeros(0, np.int8), np.array([1, 2], np.int8)],
+                      [np.array([1], np.int8), np.zeros(0, np.int8)])
+    assert not res[0]["ok"] and not res[1]["ok"]
+
+
+def test_identical_and_single_edit():
+    t = np.array([0, 1, 2, 3] * 40, np.int8)
+    q = t.copy()
+    q2 = t.copy()
+    q2[37] ^= 1
+    res = myers_align([q, q2], [t, t])
+    assert res[0]["dist"] == 0 and np.all(res[0]["ops"] == 0)
+    assert res[1]["dist"] == 1
+    assert ops_cost(q2, t, res[1]["ops"]) == 1
