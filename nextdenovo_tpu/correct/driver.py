@@ -77,7 +77,7 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
                   min_cov: int = 4, max_lq_length: int = 10000,
                   min_error_corrected_ratio: float = 0.8, split: bool = False,
                   min_len_seed: int = 1000, interpret: bool | None = None,
-                  align_batch: int = 64, fast: bool = False):
+                  align_batch: int = 384, fast: bool = False):
     """Run correction for the given jobs.  Yields (seed, len, ide, seq-str)."""
     for job in jobs:
         seed_codes = store.get(job.seed)

@@ -59,7 +59,7 @@ class OvlInfoAln:
 
 
 def realign_overlaps(store: SeqStore, cand: OvlBlock, ext: int = 64,
-                     batch: int = 64, interpret: bool | None = None,
+                     batch: int = 384, interpret: bool | None = None,
                      min_ide: float = 0.05) -> OvlBlock:
     """Refine candidate overlap endpoints + identity with the banded aligner.
 
