@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import Dict, Iterator, List, Tuple
 
 import numpy as np
 
@@ -77,26 +77,27 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
                   min_cov: int = 4, max_lq_length: int = 10000,
                   min_error_corrected_ratio: float = 0.8, split: bool = False,
                   min_len_seed: int = 1000, interpret: bool | None = None,
-                  align_batch: int = 384, fast: bool = False):
-    """Run correction for the given jobs.  Yields (seed, len, ide, seq-str)."""
-    for job in jobs:
-        seed_codes = store.get(job.seed)
-        qs_list, t_pairs = [], []
-        for (t, rev, ss, se, sqs, sqe) in job.sups:
-            sup = store.subseq(t, sqs, sqe + 1, rc=bool(rev))
-            seg = seed_codes[ss : se + 1]
-            qs_list.append(sup.astype(np.int8))
-            t_pairs.append(seg.astype(np.int8))
-        # batched TPU alignment (bucketed by the wrapper's a_max rounding)
-        ops_all: List[Optional[np.ndarray]] = [None] * len(qs_list)
-        for b0 in range(0, len(qs_list), align_batch):
-            sl = slice(b0, min(len(qs_list), b0 + align_batch))
-            res = tpu_align.band_align(qs_list[sl], t_pairs[sl],
-                                       interpret=interpret,
-                                       hq=read_type == 3)
-            for j, r in enumerate(res):
-                if r["reached"] and r["ok"]:
-                    ops_all[b0 + j] = r["ops"].astype(np.uint8)
+                  align_batch: int = 384, fast: bool = False,
+                  lookahead: int = 4, cns_threads: int | None = None):
+    """Run correction for the given jobs.  Yields (seed, len, ide, seq-str)
+    in job order.
+
+    Alignment pairs are pooled ACROSS seeds: a group of jobs is gathered
+    until it holds >= align_batch*lookahead pairs, sorted by m+n (so each
+    kernel batch carries similar lengths and minimal padding), and aligned
+    in full `align_batch`-wide TPU batches.  The native consensus for each
+    fully-aligned seed then runs on a host thread pool (ctypes releases the
+    GIL), overlapping the next group's device alignment — the TPU analogue
+    of the reference's multiprocessing.Pool over seeds
+    (nextcorrect.py:232-235) fused with its per-seed align loop."""
+    import concurrent.futures as cf
+    import os as _os
+
+    if cns_threads is None:
+        cns_threads = max(1, min(8, (_os.cpu_count() or 4) - 1))
+    ex = cf.ThreadPoolExecutor(cns_threads)
+
+    def _consensus(job, seed_codes, qs_list, ops_all):
         sups, tss, tes, ops = [], [], [], []
         for i, o in enumerate(ops_all):
             if o is None:
@@ -105,13 +106,63 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
             tss.append(job.sups[i][2])
             tes.append(job.sups[i][3])
             ops.append(o)
-        ln, ide, seq = correct_seed(
+        return correct_seed(
             seed_codes, sups, tss, tes, ops, min_len_aln=min_len_aln,
             max_cov_aln=max_cov_aln, min_cov=min_cov,
             max_lq_length=min(max_lq_length, job.seed_len // 2 or 1),
             min_error_corrected_ratio=min_error_corrected_ratio, split=split,
             read_type=read_type, fast=fast)
-        yield job.seed, ln, ide, seq
+
+    pending: List[Tuple[int, "cf.Future"]] = []
+
+    def _flush(group):
+        # group: list of (job, seed_codes, qs_list, t_pairs)
+        flat = []
+        for gi, (_job, _sc, qs_list, t_pairs) in enumerate(group):
+            for si in range(len(qs_list)):
+                flat.append((len(qs_list[si]) + len(t_pairs[si]), gi, si))
+        flat.sort(key=lambda x: (x[0], x[1], x[2]))
+        ops_store = [[None] * len(g[2]) for g in group]
+        for b0 in range(0, len(flat), align_batch):
+            chunk = flat[b0:b0 + align_batch]
+            res = tpu_align.band_align(
+                [group[gi][2][si] for _, gi, si in chunk],
+                [group[gi][3][si] for _, gi, si in chunk],
+                interpret=interpret, hq=read_type == 3)
+            for (_, gi, si), r in zip(chunk, res):
+                if r["reached"] and r["ok"]:
+                    ops_store[gi][si] = r["ops"].astype(np.uint8)
+        for (job, sc, qs_list, _t), ops_all in zip(group, ops_store):
+            pending.append((job.seed,
+                            ex.submit(_consensus, job, sc, qs_list, ops_all)))
+
+    try:
+        group, npairs = [], 0
+        for job in jobs:
+            seed_codes = store.get(job.seed)
+            qs_list, t_pairs = [], []
+            for (t, rev, ss, se, sqs, sqe) in job.sups:
+                sup = store.subseq(t, sqs, sqe + 1, rc=bool(rev))
+                seg = seed_codes[ss : se + 1]
+                qs_list.append(sup.astype(np.int8))
+                t_pairs.append(seg.astype(np.int8))
+            group.append((job, seed_codes, qs_list, t_pairs))
+            npairs += len(qs_list)
+            if npairs >= align_batch * lookahead:
+                _flush(group)
+                group, npairs = [], 0
+                # drain finished heads (keeps memory bounded, order stable)
+                while pending and pending[0][1].done():
+                    seed, fut = pending.pop(0)
+                    ln, ide, seq = fut.result()
+                    yield seed, ln, ide, seq
+        if group:
+            _flush(group)
+        for seed, fut in pending:
+            ln, ide, seq = fut.result()
+            yield seed, ln, ide, seq
+    finally:
+        ex.shutdown(wait=True)
 
 
 def run_correction(store: SeqStore, sorted_blk, blacklist: Dict[int, str],

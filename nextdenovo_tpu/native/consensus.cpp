@@ -56,8 +56,10 @@ static inline int base_to_int(char c) {
   }
 }
 
-static int g_read_type = READS_ONT;
-static unsigned g_lqseq_max_length = DAG_MAX_LENGTH;
+// thread_local: nd_correct is called concurrently from the correction
+// driver's host consensus thread pool, with per-seed max_lq_length.
+static thread_local int g_read_type = READS_ONT;
+static thread_local unsigned g_lqseq_max_length = DAG_MAX_LENGTH;
 
 // ---------------------------------------------------------------------------
 // Scalar banded O(ND) aligner with traceback (align.c:428-561 semantics).
