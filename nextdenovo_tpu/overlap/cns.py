@@ -141,6 +141,97 @@ def realign_overlaps(store: SeqStore, cand: OvlBlock, ext: int = 64,
     return OvlBlock.from_arrays(**recs)
 
 
+def extend_overlap_ends(store: SeqStore, ovl: OvlBlock, max_ext: int = 1024,
+                        min_hang: int = 32, min_score: int = 8,
+                        interpret: bool | None = None) -> OvlBlock:
+    """Greedy end-extension of refined overlaps toward the read ends.
+
+    The TPU equivalent of the reference's greedy extension tier
+    (`extend_fwd`/`extend_rev` lib/align.c:254-427 and `nd_extend_ends`
+    minimap2/map.c:919-987): where both reads still have unaligned hang on
+    the same overlap side, the two tails are run through the ksw2-extz
+    extension kernel (ops/extend.py) and the endpoints advanced to the
+    best-scoring extension point.  The drop-factor cutoff of the scalar
+    walker maps to score maximisation here: extension past the point where
+    errors outweigh matches can only lower the score, so the best endpoint
+    IS the drop-limited greedy frontier.
+
+    Only records with hang > `min_hang` on a side are re-examined (smaller
+    hangs are already within the realign `ext` margin); tails are capped at
+    `max_ext` bases.  Returns a new OvlBlock with extended qs/qe/ts/te and
+    `match` grown by the extension-score lower bound (score/2 with the
+    default match=2 scoring).
+    """
+    from ..ops.extend import affine_extend
+
+    n = len(ovl)
+    if n == 0:
+        return ovl
+    cols = {k: np.array(getattr(ovl, k)).copy() for k in
+            ("qname", "rev", "qs", "qe", "tname", "ts", "te", "match", "ide")}
+    lens = np.asarray(store.length)
+    # side=0: extend right (past qe / Te); side=1: extend left (before
+    # qs / Ts), with both tails reversed so the kernel extends leftwards.
+    tasks: List[Tuple[int, int]] = []
+    qs_l: List[np.ndarray] = []
+    ts_l: List[np.ndarray] = []
+    for i in range(n):
+        q, t = int(cols["qname"][i]), int(cols["tname"][i])
+        rev = int(cols["rev"][i])
+        ql, tl = int(lens[q]), int(lens[t])
+        qs, qe = int(cols["qs"][i]), int(cols["qe"][i])
+        # T = t in alignment orientation; overlap spans [Ts, Te) of T
+        if rev:
+            Ts, Te = tl - int(cols["te"][i]), tl - int(cols["ts"][i])
+        else:
+            Ts, Te = int(cols["ts"][i]), int(cols["te"][i])
+        rh_q, rh_t = ql - qe, tl - Te
+        if min(rh_q, rh_t) > min_hang:
+            e = min(max_ext, rh_q, rh_t)
+            qtail = store.subseq(q, qe, qe + e)
+            if rev:  # T[Te:Te+e] = rc(t)[Te:Te+e] = rc(t[tl-Te-e : tl-Te])
+                ttail = store.subseq(t, tl - Te - e, tl - Te, rc=True)
+            else:
+                ttail = store.subseq(t, Te, Te + e)
+            tasks.append((i, 0))
+            qs_l.append(qtail.astype(np.int8))
+            ts_l.append(ttail.astype(np.int8))
+        if min(qs, Ts) > min_hang:
+            e = min(max_ext, qs, Ts)
+            qhead = store.subseq(q, qs - e, qs)[::-1]
+            if rev:  # T[Ts-e:Ts] = rc(t[tl-Ts : tl-Ts+e])
+                thead = store.subseq(t, tl - Ts, tl - Ts + e, rc=True)[::-1]
+            else:
+                thead = store.subseq(t, Ts - e, Ts)[::-1]
+            tasks.append((i, 1))
+            qs_l.append(np.ascontiguousarray(qhead).astype(np.int8))
+            ts_l.append(np.ascontiguousarray(thead).astype(np.int8))
+    if not tasks:
+        return ovl
+    res = affine_extend(qs_l, ts_l, interpret=interpret)
+    for (i, side), r in zip(tasks, res):
+        if r["score"] < min_score:
+            continue
+        dq, dt = int(r["qe"]), int(r["te"])
+        if dq <= 0 or dt <= 0:
+            continue
+        rev = int(cols["rev"][i])
+        if side == 0:
+            cols["qe"][i] += dq
+            if rev:
+                cols["ts"][i] -= dt
+            else:
+                cols["te"][i] += dt
+        else:
+            cols["qs"][i] -= dq
+            if rev:
+                cols["te"][i] += dt
+            else:
+                cols["ts"][i] -= dt
+        cols["match"][i] += r["score"] // 2
+    return OvlBlock.from_arrays(**cols)
+
+
 def filter_cns_overlaps(ovl: OvlBlock, lens: np.ndarray, maxhan1: int = 5000,
                         maxhan2: int = 500):
     """filter_ovl (lib/ovl.c:449-563): containment counting, dovetail
@@ -256,13 +347,16 @@ def bl_info_for_graph(info: Dict[int, OvlInfoAln], min_con_count: int = 2,
 def cns_overlap_stage(store: SeqStore, rids: np.ndarray, k: int = 17,
                       w: int = 17, maxhan1: int = 5000, maxhan2: int = 500,
                       min_span: int = 2000, min_cnt: int = 3,
-                      max_occ: int = 16, interpret: bool | None = None):
-    """Full step-2 stage: candidates -> realign -> filter.  Returns
-    (mode-10 OvlBlock, bl_info dict for the graph)."""
+                      max_occ: int = 16, extend_ends: bool = True,
+                      interpret: bool | None = None):
+    """Full step-2 stage: candidates -> realign -> [end-extend] -> filter.
+    Returns (mode-10 OvlBlock, bl_info dict for the graph)."""
     idx = build_index(store, rids, k=k, w=w, max_occ=max(64, max_occ * 4))
     cand = find_overlaps(store, rids, idx, k=k, w=w, max_occ=max_occ,
                          min_cnt=min_cnt, min_span=min_span)
     ovl = realign_overlaps(store, cand, interpret=interpret)
+    if extend_ends:
+        ovl = extend_overlap_ends(store, ovl, interpret=interpret)
     kept, info = filter_cns_overlaps(ovl, np.asarray(store.length),
                                      maxhan1=maxhan1, maxhan2=maxhan2)
     bl = bl_info_for_graph(info)

@@ -1,0 +1,81 @@
+"""Greedy end-extension of overlaps (extend_overlap_ends).
+
+Reference semantics: lib/align.c:254-427 extend_fwd/rev and
+minimap2/map.c:919-987 nd_extend_ends — grow refined overlap endpoints
+toward the read ends while the extension still scores positively.
+"""
+import numpy as np
+
+from nextdenovo_tpu.io.seqstore import SeqStore
+from nextdenovo_tpu.io.simulate import mutate_read, simulate_genome
+from nextdenovo_tpu.overlap.cns import extend_overlap_ends
+from nextdenovo_tpu.overlap.records import OvlBlock
+
+
+def _mkblock(recs):
+    keys = ("qname", "rev", "qs", "qe", "tname", "ts", "te", "match", "ide")
+    return OvlBlock.from_arrays(**{k: np.array([r[i] for r in recs], np.int32)
+                                   for i, k in enumerate(keys)})
+
+
+def _rc(c):
+    return (3 - np.asarray(c))[::-1].copy()
+
+
+def test_extend_fwd_reaches_read_ends():
+    rng = np.random.default_rng(0)
+    g = simulate_genome(9000, seed=1)
+    # q = g[0:6000] + noise, t = g[3000:9000] + noise: true dovetail
+    q = mutate_read(g[:6000], 0.04, rng)
+    t = mutate_read(g[3000:], 0.04, rng)
+    store = SeqStore.from_codes([q, t])
+    # candidate endpoints chopped 400 bp short on both overlap ends
+    qs, qe = 3000 + 400, len(q) - 400
+    ts, te = 400, 3000 - 400
+    blk = _mkblock([(0, 0, qs, qe, 1, ts, te, 2000, 9500)])
+    out = extend_overlap_ends(store, blk, min_hang=32)
+    assert len(out) == 1
+    # left end of q's overlap and of t must move back near the true start
+    assert int(out.qs[0]) <= 3060, int(out.qs[0])
+    assert int(out.ts[0]) <= 60, int(out.ts[0])
+    # right ends must move close to the read ends
+    assert int(out.qe[0]) >= len(q) - 60, int(out.qe[0])
+    assert int(out.te[0]) >= 3000 - 60, int(out.te[0])
+    assert int(out.match[0]) > 2000
+
+
+def test_extend_rev_strand_coordinates():
+    rng = np.random.default_rng(2)
+    g = simulate_genome(9000, seed=3)
+    q = mutate_read(g[:6000], 0.04, rng)
+    t = mutate_read(_rc(g[3000:]), 0.04, rng)  # t is rc of the 3' chunk
+    store = SeqStore.from_codes([q, t])
+    tl = len(t)
+    # true overlap: q[3000:6000] ~ rc(t)[0:3000] = t fwd coords [tl-3000, tl)
+    qs, qe = 3400, len(q) - 400
+    ts, te = tl - 3000 + 400, tl - 400
+    blk = _mkblock([(0, 1, qs, qe, 1, ts, te, 2000, 9500)])
+    out = extend_overlap_ends(store, blk, min_hang=32)
+    assert int(out.qs[0]) <= 3060
+    assert int(out.qe[0]) >= len(q) - 60
+    # in fwd t coords the overlap must now reach t's right end and back
+    # toward tl-3000
+    assert int(out.te[0]) >= tl - 60, int(out.te[0])
+    assert int(out.ts[0]) <= tl - 3000 + 60, int(out.ts[0])
+
+
+def test_no_extension_when_no_hang_or_garbage():
+    rng = np.random.default_rng(4)
+    g = simulate_genome(4000, seed=5)
+    q = mutate_read(g, 0.04, rng)
+    t = rng.integers(0, 4, 4000).astype(np.uint8)  # unrelated read
+    store = SeqStore.from_codes([q, t])
+    # full-length exact record: hangs are 0, nothing to do
+    blk = _mkblock([(0, 0, 0, len(q), 1, 0, 4000, 3500, 9500)])
+    out = extend_overlap_ends(store, blk)
+    assert int(out.qs[0]) == 0 and int(out.qe[0]) == len(q)
+    # mid-read record against garbage: extension must not move endpoints
+    # materially (score < min_score or tiny best frontier)
+    blk = _mkblock([(0, 0, 1000, 2000, 1, 1000, 2000, 800, 9500)])
+    out = extend_overlap_ends(store, blk, min_score=8)
+    assert int(out.qs[0]) >= 950 and int(out.qe[0]) <= 2100
