@@ -5,7 +5,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 metric = giga cell-updates/s (band cells) of the ksw2-class affine-gap
 extension kernel (ops/extend.py) — the BASELINE.json headline metric
 ("GCUPS/chip on ksw2-extend DP") — on a realistic mapping workload
-(noisy ~10 kb read pairs @ 12% error, batch 512).
+(noisy ~10 kb read pairs @ 12% error, batch 4096 — step-3-style mapping
+jobs carry millions of pairs, so the kernel runs at full occupancy).
 vs_baseline = TPU pairs/s over the reference-equivalent scalar banded
 affine DP (libndtpu nd_affine_extend: same band, same semantics as the
 kernel; the role ksw2_extz2_sse plays in the reference) on one host core.
@@ -32,7 +33,7 @@ def main():
 
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
-    B, L, ROWS = 512, 10_000, 64
+    B, L, ROWS = 4096, 10_000, 64
     ts = [rng.integers(0, 4, L).astype(np.int8) for _ in range(B)]
     qs = [mutate_read(t.astype(np.uint8), 0.12, rng).astype(np.int8)
           for t in ts]
