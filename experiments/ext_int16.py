@@ -1,0 +1,266 @@
+"""int16-state variant of the affine-extend kernel (perf experiment).
+
+Scores for <=10 kb pairs fit int16 (max 2*10000 < 32767); NINF16 = -16384
+with per-step clamping keeps E/F/H decay from wrapping.  int16 packs two
+values per 32-bit VPU lane, so every (rows,128) op processes 2x the cells.
+Run: python experiments/ext_int16.py [B] [rows]
+"""
+import functools
+import sys
+import time
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/.ndtpu_jit_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, "/root/repo")
+from nextdenovo_tpu.ops.align import LANES, PACK, STEPS_PER_GRID, SUBLANES
+from nextdenovo_tpu.ops.extend import (HALF, QF, TF, affine_extend_fwd,
+                                       pad_for_extend)
+from nextdenovo_tpu.io.simulate import mutate_read
+
+NINF16 = -16384
+CHUNK = 64
+
+
+def _lo_base(a0):
+    return a0 // 2 - HALF
+
+
+def _tile_window16(ref, start, nrows):
+    a0 = pl.multiple_of((start // LANES) * LANES, LANES)
+    r = start % LANES
+    loads = [ref[:, pl.ds(a0 + k * LANES, LANES)] for k in range(3)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (nrows, LANES), 1)
+    rows = []
+    for k in range(2):
+        lo = pltpu.roll(loads[k], -r, axis=1)
+        hi = pltpu.roll(loads[k + 1], -r, axis=1)
+        rows.append(jnp.where(lane < LANES - r, lo, hi))
+    return rows[0], rows[1]
+
+
+def _ext_kernel16(mnv_ref, q_ref, rt_ref, out_ref,
+                  h1, h2, ev, fv, best, besta, endv, *, n_ch, match, mism,
+                  gapo, gape, n_max, tf, rows):
+    c = pl.program_id(1)
+    ninf = jnp.int16(NINF16)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1).astype(jnp.int16)
+    goe = jnp.int16(gapo + gape)
+    ge = jnp.int16(gape)
+
+    @pl.when(c == 0)
+    def _init():
+        full = jnp.full((rows, LANES), ninf, jnp.int16)
+        h1[...] = full
+        h2[...] = full
+        ev[...] = full
+        fv[...] = full
+        best[...] = full
+        endv[...] = full
+        besta[...] = jnp.zeros((rows, LANES), jnp.int16)
+
+    mnv = mnv_ref[...]
+    m_col = mnv[:, 0:1]
+    n_col = mnv[:, 1:2]
+    QP = q_ref.shape[1]
+    TP = rt_ref.shape[1]
+
+    def word_body(wb, _):
+        a0 = (c * CHUNK + wb) * PACK
+        lo0 = _lo_base(a0)
+        QW0, QW1 = _tile_window16(q_ref, jnp.clip(QF + lo0 - 1, 0,
+                                                  QP - 2 * LANES), rows)
+        TW0, TW1 = _tile_window16(rt_ref, jnp.clip(tf + n_max - a0 + lo0 - 8,
+                                                   0, TP - 2 * LANES), rows)
+        # windows stay int32; only DP state is int16
+        h1v, h2v, evv, fvv = h1[...], h2[...], ev[...], fv[...]
+        bestv, bestav, endvv = best[...], besta[...], endv[...]
+        lane32 = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        i_v = (lo0 + lane32).astype(jnp.int16)
+        j_v = (a0 - lo0 - lane32).astype(jnp.int16)
+        one = jnp.int16(1)
+
+        for s in range(PACK):
+            d1 = 1 if s % 2 else 0
+            off_q = (s + 1) // 2
+            off_t = 8 + (s + 1) // 2 - s
+            qb = jnp.where(lane32 < LANES - off_q,
+                           jnp.roll(QW0, -off_q, axis=1) if off_q else QW0,
+                           jnp.roll(QW1, -off_q, axis=1) if off_q else QW1)
+            tb = jnp.where(lane32 < LANES - off_t,
+                           jnp.roll(TW0, -off_t, axis=1),
+                           jnp.roll(TW1, -off_t, axis=1))
+            if s > 0:
+                i_v = i_v + (one if d1 else jnp.int16(0))
+                j_v = j_v + (jnp.int16(0) if d1 else one)
+            if d1 == 0:
+                h_up = jnp.where(lane32 == 0, ninf, jnp.roll(h1v, 1, axis=1))
+                f_up = jnp.where(lane32 == 0, ninf, jnp.roll(fvv, 1, axis=1))
+                h_left, e_left = h1v, evv
+            else:
+                h_left = jnp.where(lane32 == LANES - 1, ninf,
+                                   jnp.roll(h1v, -1, axis=1))
+                e_left = jnp.where(lane32 == LANES - 1, ninf,
+                                   jnp.roll(evv, -1, axis=1))
+                h_up, f_up = h1v, fvv
+
+            e_new = jnp.maximum(jnp.maximum(h_left - goe, e_left - ge), ninf)
+            f_new = jnp.maximum(jnp.maximum(h_up - goe, f_up - ge), ninf)
+            sub = jnp.where(qb == tb, jnp.int16(match), jnp.int16(-mism))
+            i0 = i_v == 0
+            j0 = j_v == 0
+            diag = jnp.where(i0 | j0, ninf, jnp.maximum(h2v + sub, ninf))
+            e_new = jnp.where(j0, ninf, e_new)
+            f_new = jnp.where(i0, ninf, f_new)
+            h_new = jnp.maximum(diag, jnp.maximum(e_new, f_new))
+            h_new = jnp.where(i0 & j0, jnp.int16(0), h_new)
+            invalid = (i_v < 0) | (i_v > m_col) | (j_v < 0) | (j_v > n_col)
+            h_new = jnp.where(invalid, ninf, h_new)
+            e_new = jnp.where(invalid, ninf, e_new)
+            f_new = jnp.where(invalid, ninf, f_new)
+
+            upd = h_new > bestv
+            bestv = jnp.where(upd, h_new, bestv)
+            bestav = jnp.where(upd, i_v + j_v, bestav)
+            endvv = jnp.where((i_v == m_col) & (j_v == n_col), h_new, endvv)
+            h2v = h1v
+            h1v = h_new
+            evv = e_new
+            fvv = f_new
+
+        h1[...] = h1v
+        h2[...] = h2v
+        ev[...] = evv
+        fv[...] = fvv
+        best[...] = bestv
+        besta[...] = bestav
+        endv[...] = endvv
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, word_body, 0)
+
+    @pl.when(c == n_ch - 1)
+    def _out():
+        out_ref[0, 0, :, :] = best[...].astype(jnp.int32)
+        out_ref[0, 1, :, :] = besta[...].astype(jnp.int32)
+        out_ref[0, 2, :, :] = endv[...].astype(jnp.int32)
+        out_ref[0, 3, :, :] = jnp.zeros((rows, LANES), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "a_max", "match", "mism", "gapo", "gape", "n_max", "tf", "rows",
+    "interpret"))
+def affine_extend_fwd16(qpad, rtpad, mn, a_max=4096, match=2, mism=4,
+                        gapo=4, gape=2, n_max=0, tf=TF, rows=32,
+                        interpret=False):
+    B, QP = qpad.shape
+    TP = rtpad.shape[1]
+    assert B % rows == 0 and rows % SUBLANES == 0
+    BT = B // rows
+    n_ch = a_max // STEPS_PER_GRID
+    assert rows % 16 == 0, "int16 tiles are (16,128)"
+    mnv = jnp.zeros((B, 128), jnp.int16)
+    mnv = mnv.at[:, 0].set(mn[:, 0].astype(jnp.int16))
+    mnv = mnv.at[:, 1].set(mn[:, 1].astype(jnp.int16))
+    kernel = functools.partial(_ext_kernel16, n_ch=n_ch, match=match,
+                               mism=mism, gapo=gapo, gape=gape, n_max=n_max,
+                               tf=tf, rows=rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(BT, n_ch),
+        in_specs=[
+            pl.BlockSpec((rows, 128), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, QP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, TP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, rows, LANES),
+                               lambda bt, c: (bt, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BT, 4, rows, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.int16)
+                        for _ in range(7)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(mnv, qpad, rtpad)
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    rng = np.random.default_rng(0)
+    L = 10_000
+    ts = [rng.integers(0, 4, L).astype(np.int8) for _ in range(B)]
+    qs = [mutate_read(t.astype(np.uint8), 0.12, rng).astype(np.int8)
+          for t in ts]
+    m = np.array([len(q) for q in qs], np.int32)
+    n = np.array([len(t) for t in ts], np.int32)
+    a_max = ((int((m + n).max()) + 1 + 1023) // 1024) * 1024
+
+    def bucket(x, q=2048):
+        return ((int(x) + q - 1) // q) * q
+
+    m_max, n_max = bucket(m.max()), bucket(n.max())
+    tf = ((TF + max(0, (m_max - n_max + 1) // 2)) + 7) // 8 * 8
+    qpad = jnp.asarray(pad_for_extend(qs, m_max, QF))
+    TP = ((tf + n_max + 3 * 128 + 127) // 128) * 128
+    rt = np.full((B, TP), 4, np.int32)
+    for b, t in enumerate(ts):
+        t = np.asarray(t)[::-1]
+        rt[b, tf + n_max - len(t): tf + n_max] = t
+    rt[:, tf + n_max:] = 5
+    rtpad = jnp.asarray(rt)
+    mn = jnp.asarray(np.stack([m, n], 1))
+
+    o32 = np.asarray(affine_extend_fwd(qpad, rtpad, mn, a_max=a_max,
+                                       n_max=n_max, tf=tf, rows=ROWS))
+    try:
+        o16 = np.asarray(affine_extend_fwd16(qpad, rtpad, mn, a_max=a_max,
+                                             n_max=n_max, tf=tf, rows=ROWS))
+    except Exception as e:
+        print("int16 FAIL:", type(e).__name__, str(e)[:3000])
+        return
+    # compare planes (NINF values differ by constant; mask them)
+    ok = True
+    for p in range(3):
+        a, b = o32[:, p], o16[:, p]
+        mask = a <= -(1 << 27)
+        if p != 1 and not np.array_equal(a[~mask], b[~mask]):
+            d = np.nonzero(a[~mask] != b[~mask])[0]
+            print(f"plane {p}: MISMATCH at {len(d)} cells,",
+                  a[~mask][d[:5]], b[~mask][d[:5]])
+            ok = False
+        if p != 1 and not np.all(b[mask] <= NINF16 + 64):
+            print(f"plane {p}: NINF cells not ninf16")
+            ok = False
+    # besta only meaningful where best > ninf
+    vm = o32[:, 0] > -(1 << 27)
+    if not np.array_equal(o32[:, 1][vm], o16[:, 1][vm]):
+        print("besta mismatch")
+        ok = False
+    print("CORRECT" if ok else "INCORRECT")
+
+    for tag, fn in [("int32", affine_extend_fwd), ("int16", affine_extend_fwd16)]:
+        out = fn(qpad, rtpad, mn, a_max=a_max, n_max=n_max, tf=tf, rows=ROWS)
+        _ = np.asarray(out)
+        reps = 3
+        t0 = time.time()
+        for _i in range(reps):
+            out = fn(qpad, rtpad, mn, a_max=a_max, n_max=n_max, tf=tf,
+                     rows=ROWS)
+            _ = np.asarray(out)
+        dt = (time.time() - t0) / reps
+        print(f"{tag}: {B*a_max*128/dt/1e9:7.2f} Gcells/s ({dt*1e3:.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()
