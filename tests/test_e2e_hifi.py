@@ -1,0 +1,73 @@
+"""End-to-end pipeline on a HiFi workload (read_type = hifi).
+
+Exercises the HiFi-specific paths in one run: -k51 -w51 long-kmer raw
+sketching (mm_sketch_nextdenovo_longkmer equivalent, config.py:89-92),
+hq banded alignment (align_hq preset) and the HiFi kmer/phasing consensus
+branch (generate_lqseqs_from_tags_kmer equivalents).
+"""
+import os
+
+import numpy as np
+
+from nextdenovo_tpu.io.fastx import read_fastx, write_fasta
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+from nextdenovo_tpu.pipeline.config import load_config
+from nextdenovo_tpu.pipeline.run import run_pipeline
+
+
+def _kmer_identity(ctg: np.ndarray, g: np.ndarray, K: int = 31) -> float:
+    g = np.asarray(g).astype(np.uint64)
+    ctg = np.asarray(ctg).astype(np.uint64)
+    mul = 4 ** np.arange(K, dtype=np.uint64)
+
+    def kmers(c):
+        v = np.lib.stride_tricks.sliding_window_view(c, K)
+        return set((v * mul).sum(1).tolist())
+
+    truth = kmers(g) | kmers((3 - g)[::-1].copy())
+    cv = (np.lib.stride_tricks.sliding_window_view(ctg, K) * mul).sum(1)
+    return float(np.fromiter((int(x) in truth for x in cv.tolist()),
+                             bool).mean())
+
+
+def test_pipeline_hifi_end_to_end(tmp_path):
+    glen = 60_000
+    g = simulate_genome(glen, seed=11)
+    # HiFi: long accurate reads, ~0.5% error
+    sim = simulate_reads(g, coverage=18, mean_len=12000, error_rate=0.005,
+                         seed=12, min_len=4000)
+    write_fasta(str(tmp_path / "reads.fa"),
+                [(f"m{i}", r) for i, r in enumerate(sim.reads)])
+    (tmp_path / "input.fofn").write_text("reads.fa\n")
+    (tmp_path / "run.cfg").write_text(f"""
+[General]
+task = all
+input_type = raw
+read_type = hifi
+input_fofn = ./input.fofn
+workdir = ./rundir
+
+[correct_option]
+read_cutoff = 1k
+genome_size = {glen}
+seed_depth = 10
+""")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cfg = load_config(str(tmp_path / "run.cfg"))
+        assert cfg.read_type_code == 3
+        run_pipeline(cfg)
+        # hifi presets are derived at db_stat time (config.derive)
+        assert cfg.raw_k == 51 and cfg.raw_w == 51
+        assert cfg.max_lq_length == 1000
+        asm = os.path.join("rundir", "05.ctg_graph", "nd.asm.fasta")
+        ctgs = [np.asarray(s) for _, s in read_fastx(asm)]
+    finally:
+        os.chdir(cwd)
+    assert ctgs, "no contigs assembled"
+    best = max(ctgs, key=len)
+    # a HiFi assembly of a linear 60 kb genome must recover most of it
+    assert len(best) > 0.7 * glen, len(best)
+    ide = _kmer_identity(best, g)
+    assert ide > 0.95, ide
