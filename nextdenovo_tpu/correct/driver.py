@@ -173,8 +173,12 @@ def run_correction(store: SeqStore, sorted_blk, blacklist: Dict[int, str],
                    read_type: int = 1, min_len_seed: int = 1000,
                    min_error_corrected_ratio: float = 0.8, split: bool = True,
                    interpret: bool | None = None, resume_path: str | None = None,
-                   fast: bool = False, **kw):
+                   fast: bool = False, shard: Tuple[int, int] | None = None,
+                   **kw):
     """Full correction pass -> (corrected SeqStore, names).
+
+    shard=(n_hosts, host_id): process only every n_hosts-th seed job
+    (round-robin), for the multi-host launcher (parallel/launcher.py).
 
     split=True mirrors the driver's `-s` behavior: corrected seeds are split
     at uncorrected (lowercase) regions (nextcorrect.py:237-247).
@@ -190,6 +194,9 @@ def run_correction(store: SeqStore, sorted_blk, blacklist: Dict[int, str],
                                    k: v for k, v in kw.items()
                                    if k in ("min_len_aln", "min_cov_seed",
                                             "max_cov_aln")}))
+    if shard is not None:
+        n_hosts, host_id = shard
+        jobs = jobs[host_id::n_hosts]
     done: Dict[int, list] = {}
     if resume_path and os.path.exists(resume_path):
         with open(resume_path) as fh:

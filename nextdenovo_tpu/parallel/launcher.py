@@ -1,0 +1,143 @@
+"""Multi-host pipeline launcher (shared-filesystem SPMD).
+
+The reference scales out by tiling stages into shell-script jobs that
+Paralleltask submits to cluster nodes, with all dataflow through a shared
+filesystem (nextDenovo:426-467, SURVEY §2.8).  The TPU-native equivalent
+keeps the shared-FS contract but replaces the job matrix with N identical
+host processes running THIS pipeline: every host executes the same
+`run_pipeline`, the embarrassingly parallel stages (raw_align overlap
+queries, seed_cns correction jobs) are round-robin sharded by host id, and
+the sequential stages (sort, graph) run on host 0 while the others wait on
+the stage's durable `.done` marker.  Synchronization is by barrier files
+under `<workdir>/.sync/` — the same crash-safe, resumable semantics as the
+reference's `.done` markers (doc/FAQ.rst:76-79).
+
+On a real TPU pod each host process drives its own chip(s);
+`init_distributed()` wires `jax.distributed` when a coordinator is given
+(single-host runs skip it).  Launch:
+
+    python -m nextdenovo_tpu.parallel.launcher run.cfg \
+        --hosts N --host-id K [--coordinator IP:PORT]
+
+or programmatically: run_pipeline(cfg, hosts=HostContext(N, K, workdir)).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+log = logging.getLogger("nextdenovo_tpu")
+
+
+class HostContext:
+    """Identity + synchronization for one host of an N-host run."""
+
+    def __init__(self, n_hosts: int, host_id: int, workdir: str,
+                 poll_s: float = 0.25, timeout_s: float = 24 * 3600):
+        assert 0 <= host_id < n_hosts
+        self.n_hosts = int(n_hosts)
+        self.host_id = int(host_id)
+        self.workdir = workdir
+        self.poll_s = poll_s
+        self.timeout_s = timeout_s
+        self.sync_dir = os.path.join(workdir, ".sync")
+        os.makedirs(self.sync_dir, exist_ok=True)
+
+    # -- identity ---------------------------------------------------------
+    def is_main(self) -> bool:
+        return self.host_id == 0
+
+    def shard(self, n: int) -> np.ndarray:
+        """Round-robin indices owned by this host (deterministic)."""
+        return np.arange(self.host_id, int(n), self.n_hosts)
+
+    def tag(self, name: str) -> str:
+        return f"{name}.h{self.host_id}"
+
+    # -- synchronization --------------------------------------------------
+    def barrier(self, name: str) -> None:
+        """All hosts write `<name>.h<K>` then wait for all N files."""
+        open(os.path.join(self.sync_dir, self.tag(name)), "w").close()
+        want = [os.path.join(self.sync_dir, f"{name}.h{k}")
+                for k in range(self.n_hosts)]
+        self._poll(lambda: all(os.path.exists(p) for p in want),
+                   f"barrier {name}")
+
+    def wait_done(self, stage) -> None:
+        """Wait until another host marks the stage's `.done`."""
+        self._poll(stage.done, f"stage {os.path.basename(stage.dir)}")
+
+    def _poll(self, pred, what: str) -> None:
+        t0 = time.time()
+        warned = 0.0
+        while not pred():
+            dt = time.time() - t0
+            if dt > self.timeout_s:
+                raise TimeoutError(f"host {self.host_id}: timed out on {what}")
+            if dt - warned > 60:
+                log.info("host %d: waiting on %s (%.0fs)",
+                         self.host_id, what, dt)
+                warned = dt
+            time.sleep(self.poll_s)
+
+
+class SingleHost(HostContext):
+    """Degenerate 1-host context: shard = identity, sync = no-op."""
+
+    def __init__(self):
+        self.n_hosts, self.host_id = 1, 0
+        self.poll_s = self.timeout_s = 0
+
+    def shard(self, n: int) -> np.ndarray:
+        return np.arange(int(n))
+
+    def barrier(self, name: str) -> None:
+        pass
+
+    def wait_done(self, stage) -> None:
+        raise RuntimeError("single-host wait_done should be unreachable")
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Wire jax.distributed for a real multi-host TPU pod.  No-op without a
+    coordinator (local / single-host / CPU test runs)."""
+    if not coordinator:
+        return
+    import jax
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    from ..pipeline.config import load_config
+    from ..pipeline.run import run_pipeline
+
+    p = argparse.ArgumentParser(
+        prog="nextdenovo_tpu.parallel.launcher",
+        description="multi-host shared-filesystem pipeline launcher")
+    p.add_argument("cfg")
+    p.add_argument("--hosts", type=int, default=1)
+    p.add_argument("--host-id", type=int, default=0)
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator IP:PORT (pods only)")
+    a = p.parse_args(argv)
+    init_distributed(a.coordinator, a.hosts, a.host_id)
+    cfg = load_config(a.cfg)
+    logging.basicConfig(
+        level=logging.INFO,
+        format=f"%(asctime)s h{a.host_id} %(levelname)s %(message)s")
+    hosts = (HostContext(a.hosts, a.host_id, cfg.workdir)
+             if a.hosts > 1 else None)
+    run_pipeline(cfg, hosts=hosts)
+
+
+if __name__ == "__main__":
+    main()

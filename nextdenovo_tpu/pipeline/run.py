@@ -57,12 +57,23 @@ class Stage:
         return os.path.join(self.dir, f)
 
 
-def run_pipeline(cfg: Config, interpret: bool | None = None):
+def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
+    """hosts: optional parallel.launcher.HostContext — N identical host
+    processes share the workdir; raw_align / seed_cns / cns_align realign
+    are round-robin sharded by host, sequential stages run on host 0 while
+    the others wait on the stage's `.done` marker (SURVEY §2.8 job-matrix
+    equivalent; polish sharding is the remaining scale-out item)."""
+    from ..parallel.launcher import SingleHost
+
+    hs = hosts if hosts is not None else SingleHost()
+    multi = hs.n_hosts > 1
     os.makedirs(cfg.workdir, exist_ok=True)
     t_start = time.time()
 
     # ---- db_stat + db_split --------------------------------------------
     st = Stage(cfg.workdir, "00.db")
+    if multi and not hs.is_main() and not st.done():
+        hs.wait_done(st)
     if st.done():
         store = SeqStore.load(st.path("reads"))
         meta = json.load(open(st.path("meta.json")))
@@ -104,22 +115,42 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
     else:
         # ---- raw_align --------------------------------------------------
         st = Stage(cfg.workdir, "01.raw_align")
-        if st.done():
-            raw_ovl = OvlBlock.load(st.path("raw.ovl"))
-        else:
-            with span("raw_align", reads=len(store)):
-                idx = build_index(store, rids, k=cfg.raw_k, w=cfg.raw_w,
-                                  max_occ=64)
-                seed_rids = rids[seed_mask]
-                raw_ovl = find_overlaps(store, seed_rids, idx, k=cfg.raw_k,
-                                        w=cfg.raw_w, max_occ=16, min_cnt=4,
-                                        min_span=500)
-            log.info("raw_align: %d overlap records", len(raw_ovl))
-            raw_ovl.save(st.path("raw.ovl"))
-            st.mark()
+        if not st.done():
+            seed_rids = rids[seed_mask]
+            mine = seed_rids[hs.shard(len(seed_rids))]
+            part_p = st.path(f"raw.ovl.h{hs.host_id}") if multi \
+                else st.path("raw.ovl")
+            if not os.path.exists(part_p + ".npz"):
+                with span("raw_align", reads=len(store), queries=len(mine)):
+                    idx = build_index(store, rids, k=cfg.raw_k, w=cfg.raw_w,
+                                      max_occ=64)
+                    raw_part = find_overlaps(store, mine, idx, k=cfg.raw_k,
+                                             w=cfg.raw_w, max_occ=16,
+                                             min_cnt=4, min_span=500)
+                raw_part.save(part_p)
+            if multi:
+                hs.barrier("raw_align")
+                if hs.is_main():
+                    parts = [OvlBlock.load(st.path(f"raw.ovl.h{k}"))
+                             for k in range(hs.n_hosts)]
+                    merged = OvlBlock.concat_all(parts)
+                    # stable qname sort == single-host emission order
+                    # (find_overlaps iterates query rids ascending)
+                    order = np.argsort(np.asarray(merged.qname),
+                                       kind="stable")
+                    merged.take(order).save(st.path("raw.ovl"))
+                    st.mark()
+                else:
+                    hs.wait_done(st)
+            else:
+                st.mark()
+        raw_ovl = OvlBlock.load(st.path("raw.ovl"))
+        log.info("raw_align: %d overlap records", len(raw_ovl))
 
         # ---- sort_align -------------------------------------------------
         st = Stage(cfg.workdir, "02.sort_align")
+        if multi and not hs.is_main() and not st.done():
+            hs.wait_done(st)
         if st.done():
             sorted_blk = OvlBlock.load(st.path("sorted.ovl"))
             blacklist = {int(k): v for k, v in
@@ -137,53 +168,127 @@ def run_pipeline(cfg: Config, interpret: bool | None = None):
 
         # ---- seed_cns ---------------------------------------------------
         st = Stage(cfg.workdir, "03.seed_cns")
-        if st.done():
-            cns_store = SeqStore.load(st.path("cns"))
-        else:
-            with span("seed_cns", records=len(sorted_blk)):
-                cns_store = run_correction(
-                    store, sorted_blk, blacklist,
-                    resume_path=st.path("cns.progress.jsonl"),
-                    read_type=cfg.read_type_code,
-                    min_len_seed=cfg.min_len_seed,
-                    min_error_corrected_ratio=cfg.min_error_corrected_ratio,
-                    split=cfg.split_corrected, interpret=interpret,
-                    fast=cfg.fast_correct,
-                    min_len_aln=cfg.min_len_aln,
-                    min_cov_seed=cfg.min_cov_seed,
-                    max_cov_aln=cfg.max_cov_aln, min_cov=cfg.min_cov_base,
-                    max_lq_length=cfg.max_lq_length)
-            log.info("seed_cns: %d corrected reads, %d bases",
-                     len(cns_store), cns_store.total_bases)
-            cns_store.save(st.path("cns"))
+        if not st.done():
+            part_p = st.path(f"cns.h{hs.host_id}") if multi else st.path("cns")
+            if not os.path.exists(part_p + ".npz"):
+                with span("seed_cns", records=len(sorted_blk)):
+                    cns_part = run_correction(
+                        store, sorted_blk, blacklist,
+                        resume_path=st.path(
+                            f"cns.progress.h{hs.host_id}.jsonl"
+                            if multi else "cns.progress.jsonl"),
+                        shard=(hs.n_hosts, hs.host_id) if multi else None,
+                        read_type=cfg.read_type_code,
+                        min_len_seed=cfg.min_len_seed,
+                        min_error_corrected_ratio=cfg.min_error_corrected_ratio,
+                        split=cfg.split_corrected, interpret=interpret,
+                        fast=cfg.fast_correct,
+                        min_len_aln=cfg.min_len_aln,
+                        min_cov_seed=cfg.min_cov_seed,
+                        max_cov_aln=cfg.max_cov_aln, min_cov=cfg.min_cov_base,
+                        max_lq_length=cfg.max_lq_length)
+                cns_part.save(part_p)
+            if multi:
+                hs.barrier("seed_cns")
+                if hs.is_main():
+                    seqs, names = [], []
+                    for k in range(hs.n_hosts):
+                        p = SeqStore.load(st.path(f"cns.h{k}"))
+                        seqs.extend(p.get(i) for i in range(len(p)))
+                        names.extend(p.names)
+
+                    def _key(n):  # "123" / "123_2" -> (seed, piece)
+                        a, _, b = n.partition("_")
+                        return (int(a), int(b) if b else 0)
+
+                    order = sorted(range(len(names)),
+                                   key=lambda i: _key(names[i]))
+                    SeqStore.from_codes(
+                        [seqs[i] for i in order],
+                        names=[names[i] for i in order],
+                    ).save(st.path("cns"))
+                    st.mark()
+                else:
+                    hs.wait_done(st)
+            else:
+                st.mark()
+        cns_store = SeqStore.load(st.path("cns"))
+        if hs.is_main() and not os.path.exists(st.path("cns.fasta")):
             write_fasta(st.path("cns.fasta"),
                         [(n, cns_store.get(i))
                          for i, n in enumerate(cns_store.names)])
-            st.mark()
+        log.info("seed_cns: %d corrected reads, %d bases",
+                 len(cns_store), cns_store.total_bases)
 
     if cfg.task == "correct":
         return dict(cns=cns_store)
 
     # ---- cns_align ------------------------------------------------------
     st = Stage(cfg.workdir, "04.cns_align")
-    if st.done():
-        cns_ovl = OvlBlock.load(st.path("cns.filt.dovt.ovl"))
-        bl = {int(k): v for k, v in json.load(open(st.path("cnsbl.json"))).items()}
-    else:
-        cns_rids = np.arange(len(cns_store))
-        with span("cns_align", reads=len(cns_store)):
-            cns_ovl, bl = cns_overlap_stage(
-                cns_store, cns_rids, k=cfg.cns_k, w=cfg.cns_w,
-                maxhan1=cfg.maxhan1, maxhan2=cfg.maxhan2,
-                min_span=cfg.cns_min_span, interpret=interpret)
-        log.info("cns_align: %d dovetail records, %d graph reads",
-                 len(cns_ovl), len(bl))
-        cns_ovl.save(st.path("cns.filt.dovt.ovl"))
-        json.dump(bl, open(st.path("cnsbl.json"), "w"))
-        st.mark()
+    if not st.done():
+        if multi:
+            # shard the candidate+realign phase (the device-heavy part);
+            # the global per-read filter/blacklist runs on host 0
+            from ..overlap.cns import (bl_info_for_graph,
+                                       extend_overlap_ends,
+                                       filter_cns_overlaps, realign_overlaps)
+            cns_rids = np.arange(len(cns_store))
+            mine = cns_rids[hs.shard(len(cns_rids))]
+            part_p = st.path(f"cns.realn.h{hs.host_id}")
+            if not os.path.exists(part_p + ".npz"):
+                with span("cns_align", reads=len(cns_store),
+                          queries=len(mine)):
+                    cidx = build_index(cns_store, cns_rids, k=cfg.cns_k,
+                                       w=cfg.cns_w, max_occ=64)
+                    cand = find_overlaps(cns_store, mine, cidx, k=cfg.cns_k,
+                                         w=cfg.cns_w, max_occ=16, min_cnt=3,
+                                         min_span=cfg.cns_min_span)
+                    part = realign_overlaps(cns_store, cand,
+                                            interpret=interpret)
+                    part = extend_overlap_ends(cns_store, part,
+                                               interpret=interpret)
+                part.save(part_p)
+            hs.barrier("cns_align")
+            if hs.is_main():
+                merged = OvlBlock.concat_all(
+                    [OvlBlock.load(st.path(f"cns.realn.h{k}"))
+                     for k in range(hs.n_hosts)])
+                order = np.argsort(np.asarray(merged.qname), kind="stable")
+                merged = merged.take(order)
+                kept, info = filter_cns_overlaps(
+                    merged, np.asarray(cns_store.length),
+                    maxhan1=cfg.maxhan1, maxhan2=cfg.maxhan2)
+                cns_ovl, bl = kept, bl_info_for_graph(info)
+                cns_ovl.save(st.path("cns.filt.dovt.ovl"))
+                json.dump(bl, open(st.path("cnsbl.json"), "w"))
+                st.mark()
+            else:
+                hs.wait_done(st)
+        else:
+            cns_rids = np.arange(len(cns_store))
+            with span("cns_align", reads=len(cns_store)):
+                cns_ovl, bl = cns_overlap_stage(
+                    cns_store, cns_rids, k=cfg.cns_k, w=cfg.cns_w,
+                    maxhan1=cfg.maxhan1, maxhan2=cfg.maxhan2,
+                    min_span=cfg.cns_min_span, interpret=interpret)
+            cns_ovl.save(st.path("cns.filt.dovt.ovl"))
+            json.dump(bl, open(st.path("cnsbl.json"), "w"))
+            st.mark()
+    cns_ovl = OvlBlock.load(st.path("cns.filt.dovt.ovl"))
+    bl = {int(k): v for k, v in json.load(open(st.path("cnsbl.json"))).items()}
+    log.info("cns_align: %d dovetail records, %d graph reads",
+             len(cns_ovl), len(bl))
 
     # ---- ctg_graph ------------------------------------------------------
     st = Stage(cfg.workdir, "05.ctg_graph")
+    if multi and not hs.is_main():
+        # graph + polish are host-0 work (single-process in the reference
+        # too, ng/opt.c:10); other hosts collect the finished assembly
+        hs.wait_done(st)
+        seqs = [s for _, s in read_fastx(st.path("nd.asm.fasta"))]
+        stats = stat_n50(np.array([len(s) for s in seqs])) if seqs else {}
+        return dict(cns=cns_store, contigs=seqs, stats=stats,
+                    fasta=st.path("nd.asm.fasta"))
     read_lens = {i: int(cns_store.length[i]) for i in range(len(cns_store))}
     with span("ctg_graph", records=len(cns_ovl)):
         sg, seqs = assemble(cns_ovl, read_lens, bl_info=bl,

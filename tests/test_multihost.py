@@ -1,0 +1,76 @@
+"""Multi-host launcher: N host processes sharing a workdir must produce the
+same assembly as a single host (parallel/launcher.py; SURVEY §2.8 job-matrix
+equivalent)."""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from nextdenovo_tpu.io.fastx import read_fastx, write_fasta
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+from nextdenovo_tpu.pipeline.config import load_config
+from nextdenovo_tpu.pipeline.run import run_pipeline
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _workload(d, workdir):
+    glen = 50_000
+    g = simulate_genome(glen, seed=21)
+    sim = simulate_reads(g, coverage=18, mean_len=9000, error_rate=0.09,
+                         seed=22, min_len=2000)
+    write_fasta(str(d / "reads.fa"),
+                [(f"r{i}", r) for i, r in enumerate(sim.reads)])
+    (d / "input.fofn").write_text("reads.fa\n")
+    cfgp = d / f"run_{os.path.basename(workdir)}.cfg"
+    cfgp.write_text(f"""
+[General]
+task = all
+input_type = raw
+read_type = ont
+input_fofn = ./input.fofn
+workdir = ./{workdir}
+
+[correct_option]
+read_cutoff = 1k
+genome_size = {glen}
+seed_depth = 10
+""")
+    return str(cfgp)
+
+
+def test_two_hosts_match_single_host(tmp_path):
+    cfg1 = _workload(tmp_path, "wd_single")
+    cfg2 = _workload(tmp_path, "wd_multi")
+
+    # single host, in process
+    out1 = run_pipeline(load_config(cfg1))
+    single = sorted((len(s), s.tobytes()) for _, s in
+                    read_fastx(out1["fasta"]))
+    assert single, "single-host produced no contigs"
+
+    # two host processes sharing a workdir
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "nextdenovo_tpu.parallel.launcher", cfg2,
+         "--hosts", "2", "--host-id", str(k)],
+        cwd=str(tmp_path), env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT) for k in range(2)]
+    outs = [p.communicate(timeout=1100)[0] for p in procs]
+    for k, p in enumerate(procs):
+        assert p.returncode == 0, \
+            f"host {k} failed:\n{outs[k].decode()[-3000:]}"
+
+    fasta = tmp_path / "wd_multi" / "05.ctg_graph" / "nd.asm.fasta"
+    multi = sorted((len(s), s.tobytes()) for _, s in read_fastx(str(fasta)))
+    assert multi == single
+
+    # both hosts really did shard the work
+    cns_dir = tmp_path / "wd_multi" / "03.seed_cns"
+    assert (cns_dir / "cns.h0.npz").exists()
+    assert (cns_dir / "cns.h1.npz").exists()
