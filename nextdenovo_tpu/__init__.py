@@ -27,18 +27,36 @@ import os as _os
 
 def _setup_jax_cache():
     """Persistent compilation cache: Mosaic/XLA compiles of the DP kernels
-    are expensive (tens of seconds); cache them across processes."""
+    are expensive (tens of seconds); cache them across processes.
+
+    The cache dir is fingerprinted per (jax version, machine, CPU flags):
+    XLA:CPU AOT executables embed the COMPILING machine's feature set, and
+    loading one produced by a different host (shared filesystems, CI) can
+    SIGILL/segfault — observed as a test-suite crash when another machine's
+    entries landed in a shared cache dir."""
     try:
+        import hashlib
+        import platform
+
         import jax
 
         # the axon TPU plugin overrides JAX_PLATFORMS at load; honor an
         # explicit cpu request (tests, CPU-only pipelines)
         if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
             jax.config.update("jax_platforms", "cpu")
-        cache = _os.environ.get(
+        base = _os.environ.get(
             "NDT_JAX_CACHE",
             _os.path.join(_os.path.dirname(__file__), "..", ".jax_cache"))
-        jax.config.update("jax_compilation_cache_dir", cache)
+        try:
+            with open("/proc/cpuinfo") as fh:
+                flags = "".join(l for l in fh if l.startswith("flags"))[:4096]
+        except OSError:
+            flags = platform.processor()
+        fp = hashlib.sha1(
+            f"{jax.__version__}|{platform.machine()}|{flags}".encode()
+        ).hexdigest()[:12]
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.path.join(base, fp))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # pragma: no cover - cache is best-effort
         pass

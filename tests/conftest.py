@@ -16,5 +16,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # The axon TPU plugin overrides JAX_PLATFORMS at load time; force cpu via config.
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The full suite accumulates hundreds of XLA:CPU executables in one
+    process and eventually segfaults inside a pjit execution (observed at
+    tests/test_sketch_wide.py after ~76 green tests; every smaller subset
+    passes, pointing at executable accumulation in the CPU client rather
+    than any single test).  Clearing per module bounds the live set; the
+    persistent on-disk cache keeps recompiles cheap."""
+    yield
+    jax.clear_caches()
