@@ -43,19 +43,35 @@ class MiniIndex(NamedTuple):
     lens: jnp.ndarray     # int32 (n_reads,) read length lookup
 
 
-@functools.partial(jax.jit, static_argnames=("max_occ",))
 def _build_index(h, rid, pos, strand, nvalid, lens, max_occ: int):
-    order = jnp.argsort(h)
+    """Host-side (numpy) hash-sort + high-frequency filter.
+
+    Deliberately NOT a device program: the build is a one-off O(n log n)
+    sort of a few million uint32s (milliseconds on host), while a single
+    multi-million-element 1-D sort on TPU triggers a pathological XLA
+    compile (observed: >20 min, unbounded, at a 1 Mb-genome index of 3.4M
+    minimizers).  The resulting arrays are consumed as device operands by
+    the jitted _match_block, which is the hot path."""
+    h = np.asarray(h)
+    rid = np.asarray(rid, np.int32)
+    pos = np.asarray(pos, np.int32)
+    strand = np.asarray(strand, np.int32)
+    order = np.argsort(h, kind="stable")
     h, rid, pos, strand = h[order], rid[order], pos[order], strand[order]
     # high-frequency filter (minimap2 -f analogue): drop hashes with more
     # than max_occ entries entirely
-    starts = segment_starts(h)
-    cnt = segment_sum(jnp.ones_like(rid), starts)
+    starts = np.ones(len(h), bool)
+    if len(h) > 1:
+        starts[1:] = h[1:] != h[:-1]
+    seg = np.cumsum(starts) - 1
+    cnt = np.bincount(seg, minlength=seg[-1] + 1 if len(seg) else 0)[seg] \
+        if len(seg) else np.zeros(0, np.int64)
     keep = (cnt <= max_occ) & (rid >= 0)
-    h = jnp.where(keep, h, jnp.uint32(0xFFFFFFFF))
-    order2 = jnp.argsort(h)
-    return MiniIndex(h[order2], rid[order2], pos[order2], strand[order2],
-                     jnp.sum(keep.astype(jnp.int32)), lens)
+    h = np.where(keep, h, np.uint32(0xFFFFFFFF))
+    order2 = np.argsort(h, kind="stable")
+    return MiniIndex(jnp.asarray(h[order2]), jnp.asarray(rid[order2]),
+                     jnp.asarray(pos[order2]), jnp.asarray(strand[order2]),
+                     jnp.int32(int(keep.sum())), jnp.asarray(lens))
 
 
 def _bucket_len(L: int, lo: int = 4096) -> int:
@@ -88,10 +104,19 @@ def _sketch_batch(store: SeqStore, sub: np.ndarray, lens: np.ndarray,
 
 def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
                 max_occ: int = 64, batch_rows: int = 32) -> MiniIndex:
-    """Sketch reads `rids` of `store` and build a queryable index."""
+    """Sketch reads `rids` of `store` and build a queryable index.
+
+    Reads are batched in length order so each (batch_rows, Lp) sketch
+    shape stays at the smallest power-of-two bucket for its batch: with
+    arrival-order batching one long read forces every batch containing it
+    to a larger Lp, multiplying both padding work and distinct compile
+    shapes (each one-off compile is expensive, and very large ones have
+    pathological compile times on remote-compile setups).  Index entry
+    order is irrelevant — _build_index re-sorts by hash."""
     lens = np.asarray(store.length, np.int64)
     parts = []
     rids = np.asarray(rids)
+    rids = rids[np.argsort(lens[rids], kind="stable")] if len(rids) else rids
     for s in range(0, len(rids), batch_rows):
         sub = rids[s : s + batch_rows]
         m = _sketch_batch(store, sub, lens, k, w, batch_rows)
@@ -231,6 +256,11 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
     diag_shift = int(np.log2(diag_bin))
     out = []
     query_rids = np.asarray(query_rids)
+    # batch queries in length order (see build_index: bounds sketch shape
+    # buckets); output is canonicalized by a stable qname sort below, so
+    # record order is independent of batching order
+    if len(query_rids):
+        query_rids = query_rids[np.argsort(lens[query_rids], kind="stable")]
     for s in range(0, len(query_rids), batch_rows):
         sub = query_rids[s : s + batch_rows]
         m = _sketch_batch(store, sub, lens, k, w, batch_rows)
@@ -252,4 +282,7 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
         if len(blk):
             blk = blk.take(np.asarray(blk.qname) >= 0)
         out.append(blk)
-    return OvlBlock.concat_all(out)
+    res = OvlBlock.concat_all(out)
+    if len(res):
+        res = res.take(np.argsort(np.asarray(res.qname), kind="stable"))
+    return res
