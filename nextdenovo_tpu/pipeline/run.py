@@ -45,6 +45,16 @@ class Stage:
     def __init__(self, workdir: str, name: str):
         self.dir = os.path.join(workdir, name)
         os.makedirs(self.dir, exist_ok=True)
+        # Drop executables compiled by earlier stages: hundreds of live XLA
+        # programs in one process eventually corrupt the runtime (observed
+        # as segfaults inside later compiles, both in the CPU test suite and
+        # in TPU pipeline runs at 1 Mb scale).  The on-disk compilation
+        # cache keeps stage-internal recompiles cheap.
+        try:
+            import jax
+            jax.clear_caches()
+        except Exception:
+            pass
 
     def done(self) -> bool:
         return os.path.exists(os.path.join(self.dir, ".done"))
