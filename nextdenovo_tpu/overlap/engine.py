@@ -178,9 +178,18 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base,
     key_t = t_rid * 2 + rel
     key_q = jnp.where(take, qr, I32MAX)
     key_b = dbin * jnp.int32(1 << 10) + jnp.minimum(qpos >> 8, (1 << 10) - 1)
-    srt = jax.lax.sort([key_q, key_t, key_b, t_pos, qpos, diag],
-                       num_keys=3)
-    key_q, key_t, key_b, t_pos, qpos, diag = srt
+    # lexicographic (key_q, key_t, key_b) via three stable single-key
+    # passes over a permutation vector + one gather per column: a single
+    # multi-operand lax.sort at this size has pathological XLA compile
+    # times at larger shape buckets (KERNEL_NOTES "1 Mb scale blocker"),
+    # while 2-operand sorts compile fast.  Stable passes also make the
+    # tie order deterministic (original flat order), which the fused sort
+    # (is_stable=False) never guaranteed.
+    perm = jax.lax.broadcasted_iota(jnp.int32, (A,), 0)
+    for kcol in (key_b, key_t, key_q):  # minor -> major
+        _, perm = jax.lax.sort_key_val(kcol[perm], perm, is_stable=True)
+    key_q, key_t, key_b, t_pos, qpos, diag = (
+        x[perm] for x in (key_q, key_t, key_b, t_pos, qpos, diag))
     valid = key_q != I32MAX
     dbin = key_b >> 10
 
