@@ -83,10 +83,13 @@ def _bucket_len(L: int, lo: int = 4096) -> int:
 
 
 def _sketch_batch(store: SeqStore, sub: np.ndarray, lens: np.ndarray,
-                  k: int, w: int, batch_rows: int, hpc: bool = False):
+                  k: int, w: int, batch_rows: int, hpc: bool = False,
+                  cap: int | None = None):
     """Sketch a fixed-shape (batch_rows, Lp) batch; sub may be shorter than
     batch_rows (padded with empty rows).  k > 31 or hpc routes to the
-    long-kmer/HPC sketcher (the HiFi -k51 -w51 path, sketch.c:283)."""
+    long-kmer/HPC sketcher (the HiFi -k51 -w51 path, sketch.c:283).
+    cap: override the minimizer-array capacity — callers pass a constant
+    so downstream consumers see one operand shape across length buckets."""
     L = int(lens[sub].max()) if len(sub) else 1
     Lp = _bucket_len(L)
     codes = np.zeros((batch_rows, Lp), np.int32)
@@ -95,7 +98,8 @@ def _sketch_batch(store: SeqStore, sub: np.ndarray, lens: np.ndarray,
         c = store.get(int(r))
         codes[i, : len(c)] = c
         blens[i] = len(c)
-    cap = int(2 * batch_rows * Lp // max(1, w) + 1024)
+    if cap is None:
+        cap = int(2 * batch_rows * Lp // max(1, w) + 1024)
     if k > 31 or hpc:
         return sketch_wide(jnp.asarray(codes), jnp.asarray(blens), k=k, w=w,
                            cap=cap, hpc=hpc)
@@ -117,9 +121,17 @@ def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
     parts = []
     rids = np.asarray(rids)
     rids = rids[np.argsort(lens[rids], kind="stable")] if len(rids) else rids
-    for s in range(0, len(rids), batch_rows):
-        sub = rids[s : s + batch_rows]
-        m = _sketch_batch(store, sub, lens, k, w, batch_rows)
+    rows_lp = batch_rows * 16384   # rows scale down as reads get longer
+    s = 0
+    while s < len(rids):
+        Lp = _bucket_len(int(lens[rids[s]]))
+        rows = max(1, min(batch_rows, rows_lp // Lp))
+        sub = rids[s : s + rows]
+        Lp = _bucket_len(int(lens[sub].max()))
+        rows = max(1, min(batch_rows, rows_lp // Lp))
+        sub = rids[s : s + rows]
+        s += len(sub)
+        m = _sketch_batch(store, sub, lens, k, w, rows)
         n = int(m.n)
         parts.append((np.asarray(m.rid[:n]), np.asarray(m.pos[:n]),
                       np.asarray(m.hash[:n]), np.asarray(m.strand[:n]), sub))
@@ -270,9 +282,26 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
     # record order is independent of batching order
     if len(query_rids):
         query_rids = query_rids[np.argsort(lens[query_rids], kind="stable")]
-    for s in range(0, len(query_rids), batch_rows):
-        sub = query_rids[s : s + batch_rows]
-        m = _sketch_batch(store, sub, lens, k, w, batch_rows)
+    # rows * Lp is held constant across length buckets (fewer rows for
+    # longer reads), so the minimizer cap — and with the fixed-size
+    # q_rid_base below, EVERY _match_block operand shape — is identical
+    # for all buckets up to rows_lp: one compiled program serves 16 kb
+    # and 64 kb reads alike instead of a per-bucket compile ladder
+    # (KERNEL_NOTES "1 Mb scale blocker").
+    rows_lp = batch_rows * 16384
+    s = 0
+    while s < len(query_rids):
+        Lp = _bucket_len(int(lens[query_rids[s]]))
+        rows = max(1, min(batch_rows, rows_lp // Lp))
+        sub = query_rids[s : s + rows]
+        # the batch's longest read (length-sorted: the last) sets the
+        # true bucket; re-derive rows in case it crosses a boundary
+        Lp = _bucket_len(int(lens[sub].max()))
+        rows = max(1, min(batch_rows, rows_lp // Lp))
+        sub = query_rids[s : s + rows]
+        s += len(sub)
+        m = _sketch_batch(store, sub, lens, k, w, rows,
+                          cap=2 * rows_lp // max(1, w) + 1024)
         base = np.full(batch_rows, -1, np.int32)
         base[: len(sub)] = sub
         cap_out = 256 * batch_rows + 256
