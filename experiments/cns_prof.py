@@ -1,0 +1,58 @@
+"""Profile the native consensus phases on a representative ONT correction
+workload: where does nd_correct wall time go (update_msa / score_msa /
+generate_cns / lq POA), and how does it compare with the TPU alignment
+feed?  Drives the device-MSA kernel decision (SURVEY §7 phase 5).
+
+Run: python experiments/cns_prof.py [genome_kb=300] [coverage=30]
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    glen = int(sys.argv[1]) * 1000 if len(sys.argv) > 1 else 300_000
+    cov = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+
+    from nextdenovo_tpu.correct.driver import run_correction
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.native import prof_report
+    from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+    from nextdenovo_tpu.overlap.sort import sort_filter_overlaps
+
+    g = simulate_genome(glen, seed=7)
+    sim = simulate_reads(g, coverage=cov, mean_len=12_000, error_rate=0.10,
+                         seed=8, min_len=3000)
+    store = SeqStore.from_codes(sim.reads)
+    print(f"workload: {glen/1e3:.0f} kb genome, {len(store)} reads, "
+          f"{store.total_bases/1e6:.1f} Mb")
+    rids = np.arange(len(store))
+    t0 = time.time()
+    idx = build_index(store, rids, k=15, w=5)
+    ovl = find_overlaps(store, rids, idx, k=15, w=5)
+    t_ovl = time.time() - t0
+    lens = np.asarray(store.length)
+    is_seed = lens >= np.quantile(lens, 0.6)
+    res = sort_filter_overlaps(ovl, is_seed, lens, max_bin_cov=40)
+    t0 = time.time()
+    cns = run_correction(store, res.block, res.blacklist,
+                         min_len_seed=3000, min_cov_seed=4)
+    t_cns = time.time() - t0
+    prof = prof_report()
+    n = prof.pop("n_calls")
+    total_native = sum(prof.values())
+    print(f"overlap: {t_ovl:.1f}s   correction stage: {t_cns:.1f}s "
+          f"({len(cns)} corrected reads)")
+    print(f"nd_correct: {n:.0f} calls, {total_native:.2f}s native total "
+          f"({100*total_native/t_cns:.0f}% of stage wall)")
+    for k, v in sorted(prof.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:18s} {v:8.2f}s  {100*v/max(total_native,1e-9):5.1f}%")
+
+
+if __name__ == "__main__":
+    main()

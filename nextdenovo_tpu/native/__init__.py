@@ -52,7 +52,18 @@ def _load():
     lib.nd_affine_extend.argtypes = [
         u8p, ctypes.c_int32, u8p, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.nd_prof_report.restype = None
+    lib.nd_prof_report.argtypes = [ctypes.POINTER(ctypes.c_double)]
     return lib
+
+
+def prof_report() -> dict:
+    """Accumulated wall seconds per nd_correct phase (process lifetime)."""
+    buf = (ctypes.c_double * 8)()
+    lib().nd_prof_report(buf)
+    keys = ("tags", "update_msa", "score_msa", "generate_cns", "lqseqs",
+            "poa_iterate", "update_consensus", "n_calls")
+    return dict(zip(keys, list(buf)))
 
 
 _lib = None

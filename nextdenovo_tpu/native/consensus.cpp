@@ -13,6 +13,8 @@
 
 #include <algorithm>
 #include <array>
+#include <atomic>
+#include <chrono>
 #include <climits>
 #include <cassert>
 #include <cmath>
@@ -23,6 +25,23 @@
 #include <vector>
 
 namespace {
+
+// -- phase profiler (nd_prof_report): per-phase accumulated seconds --------
+// 0=tags 1=update_msa 2=score_msa 3=generate_cns 4=lqseqs 5=poa/iterate
+// 6=update_consensus 7=calls
+std::atomic<long long> g_prof_ns[8];
+
+struct ProfSpan {
+  int phase;
+  std::chrono::steady_clock::time_point t0;
+  explicit ProfSpan(int p) : phase(p), t0(std::chrono::steady_clock::now()) {}
+  ~ProfSpan() {
+    auto dt = std::chrono::steady_clock::now() - t0;
+    g_prof_ns[phase].fetch_add(
+        std::chrono::duration_cast<std::chrono::nanoseconds>(dt).count(),
+        std::memory_order_relaxed);
+  }
+};
 
 constexpr int DAG_MAX_LENGTH = 10000;   // nextcorrect.h:3
 constexpr double DAG_MAX_RATIO = 0.8;   // nextcorrect.h:4
@@ -1695,9 +1714,11 @@ NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
   g_read_type = read_type;
   g_lqseq_max_length = std::min<unsigned>(max_lq_length, DAG_MAX_LENGTH);
 
+  g_prof_ns[7].fetch_add(1, std::memory_order_relaxed);
   std::vector<MsaPos> msa(seed_len);
   std::vector<TagsList> tags_list;
   long long total_cov_aln = 0;
+  ProfSpan *tag_span = new ProfSpan(0);
 
   // support 0: the seed itself (nextCorrect i==0, nextcorrect.c:2279-2282)
   {
@@ -1766,10 +1787,19 @@ NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
     get_align_tags(q_t, t_t, aln_t_s, &tags_list.back(), &msa);
   }
 
+  delete tag_span;
+
   // MSA scoring + consensus (get_cns_from_align_tags, nextcorrect.c:2130)
-  update_msa(&msa, tags_list);
+  {
+    ProfSpan sp(1);
+    update_msa(&msa, tags_list);
+  }
   int factor = read_type == READS_HIFI ? 4 : 3;
-  Tag best = score_msa(msa, seed_len, factor, 3000, /*tail_window=*/true);
+  Tag best;
+  {
+    ProfSpan sp(2);
+    best = score_msa(msa, seed_len, factor, 3000, /*tail_window=*/true);
+  }
   if (best.t_pos < 0) return error_seed(2);
 
   if (fast)  // -fast: no lq re-consensus (nextcorrect.c:2207-2209)
@@ -1777,23 +1807,43 @@ NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
 
   Consensus cons;
   std::vector<LqWin> lqwins;
-  bool ok = read_type == READS_HIFI
-                ? generate_cns_hifi(msa, best, seed_len, min_cov,
-                                    min_error_corrected_ratio, tags_list[0],
-                                    &cons, &lqwins)
-                : generate_cns(msa, best, seed_len, min_cov,
-                               min_error_corrected_ratio, &cons, &lqwins);
+  bool ok;
+  {
+    ProfSpan sp(3);
+    ok = read_type == READS_HIFI
+             ? generate_cns_hifi(msa, best, seed_len, min_cov,
+                                 min_error_corrected_ratio, tags_list[0],
+                                 &cons, &lqwins)
+             : generate_cns(msa, best, seed_len, min_cov,
+                            min_error_corrected_ratio, &cons, &lqwins);
+  }
   if (!ok) return error_seed(2);
 
-  if (read_type == READS_HIFI)
-    generate_lqseqs_from_tags_kmer(lqwins, tags_list, split);
-  else
-    generate_lqseqs_from_tags(lqwins, tags_list, split);
-  iterate_consensus(lqwins, 2);
+  {
+    ProfSpan sp(4);
+    if (read_type == READS_HIFI)
+      generate_lqseqs_from_tags_kmer(lqwins, tags_list, split);
+    else
+      generate_lqseqs_from_tags(lqwins, tags_list, split);
+  }
+  {
+    ProfSpan sp(5);
+    iterate_consensus(lqwins, 2);
+  }
+  ProfSpan sp(6);
   NdCns *res = update_consensus(lqwins, cons, keep_all != 0);
   if (!keep_all && res->len > 1000 && res->identity > 0.8)
     trim_terminal_ssr(res);
   return res;
+}
+
+// Per-phase accumulated seconds since process start (thread-safe):
+// [tags, update_msa, score_msa, generate_cns, lqseqs, poa_iterate,
+//  update_consensus, n_calls]
+void nd_prof_report(double *out) {
+  for (int i = 0; i < 7; i++)
+    out[i] = g_prof_ns[i].load(std::memory_order_relaxed) * 1e-9;
+  out[7] = (double)g_prof_ns[7].load(std::memory_order_relaxed);
 }
 
 void nd_free_cns(NdCns *c) {

@@ -56,6 +56,11 @@ void nd_affine_extend(const uint8_t *q, int32_t m, const uint8_t *t,
                       int32_t n, int32_t match, int32_t mism, int32_t gapo,
                       int32_t gape, int32_t *out);
 
+// Per-phase accumulated wall seconds inside nd_correct since process start
+// (thread-safe): out[8] = {tags, update_msa, score_msa, generate_cns,
+// lqseqs, poa_iterate, update_consensus, n_calls}.
+void nd_prof_report(double *out);
+
 
 #ifdef __cplusplus
 }

@@ -290,60 +290,125 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
              len(cns_ovl), len(bl))
 
     # ---- ctg_graph ------------------------------------------------------
+    # graph building is host-0 work (single-process in the reference too,
+    # ng/opt.c:10); draft contigs + per-node qv are persisted so every host
+    # can join the sharded polish stage below.
     st = Stage(cfg.workdir, "05.ctg_graph")
-    if multi and not hs.is_main():
-        # graph + polish are host-0 work (single-process in the reference
-        # too, ng/opt.c:10); other hosts collect the finished assembly
+    if multi and not hs.is_main() and not st.done():
         hs.wait_done(st)
-        seqs = [s for _, s in read_fastx(st.path("nd.asm.fasta"))]
-        stats = stat_n50(np.array([len(s) for s in seqs])) if seqs else {}
-        return dict(cns=cns_store, contigs=seqs, stats=stats,
-                    fasta=st.path("nd.asm.fasta"))
-    read_lens = {i: int(cns_store.length[i]) for i in range(len(cns_store))}
-    with span("ctg_graph", records=len(cns_ovl)):
-        sg, seqs = assemble(cns_ovl, read_lens, bl_info=bl,
-                            get_read=lambda r: cns_store.get(r),
-                            min_ctg_len=cfg.min_ctg_len, alt_ctg=cfg.alt_ctg)
-    names = [f"ctg{i:06d}" for i in range(len(seqs))]
-    paths = getattr(sg, "last_paths", [None] * len(seqs))
-    node_meta = getattr(sg, "last_node_meta", None)
-    from ..graph.output import (stat_table, write_ctg_fasta, write_ctg_gfa,
-                                write_ctg_paths, write_graphml)
-    write_ctg_fasta(st.path("nd.asm.p.fasta"), sg, seqs, paths,
-                    min_len=cfg.min_ctg_len, node_meta=node_meta)
-    write_ctg_gfa(st.path("nd.asm.p.gfa"), sg, seqs, paths)
-    write_graphml(st.path("nd.asm.p.graphml"), sg)
-    write_ctg_paths(st.path("nd.asm.p.path"), sg, paths)
-
-    # ---- ctg_align + ctg_cns (polish) -----------------------------------
-    if cfg.polish and seqs:
-        from ..polish.driver import run_polish
-
-        # reference maps the raw seed reads back to contigs
-        # (ctg_align, nextDenovo:368-415); fall back to cns reads
-        if cfg.input_type == "raw":
-            seed_rids = np.nonzero(seed_mask)[0]
-            map_store = SeqStore.from_codes([store.get(int(r))
-                                             for r in seed_rids])
-        else:
-            map_store = cns_store
+    if st.done():
+        draft = SeqStore.load(st.path("draft"))
+        seqs = [draft.get(i) for i in range(len(draft))]
+        node_qv = None
+        if os.path.exists(st.path("node_qv.json")):
+            node_qv = json.load(open(st.path("node_qv.json")))
+    else:
+        read_lens = {i: int(cns_store.length[i])
+                     for i in range(len(cns_store))}
+        with span("ctg_graph", records=len(cns_ovl)):
+            sg, seqs = assemble(cns_ovl, read_lens, bl_info=bl,
+                                get_read=lambda r: cns_store.get(r),
+                                min_ctg_len=cfg.min_ctg_len,
+                                alt_ctg=cfg.alt_ctg)
+        paths = getattr(sg, "last_paths", [None] * len(seqs))
+        node_meta = getattr(sg, "last_node_meta", None)
+        from ..graph.output import (write_ctg_fasta, write_ctg_gfa,
+                                    write_ctg_paths, write_graphml)
+        write_ctg_fasta(st.path("nd.asm.p.fasta"), sg, seqs, paths,
+                        min_len=cfg.min_ctg_len, node_meta=node_meta)
+        write_ctg_gfa(st.path("nd.asm.p.gfa"), sg, seqs, paths)
+        write_graphml(st.path("nd.asm.p.graphml"), sg)
+        write_ctg_paths(st.path("nd.asm.p.path"), sg, paths)
         node_qv = None
         if node_meta is not None:
             node_qv = [[dict(p=m["off"], ide=m["ide"], ort=m["ort"],
                              irt=m["irt"]) for m in meta]
                        for meta in node_meta]
-        with span("ctg_cns", contigs=len(seqs)):
-            seqs = run_polish(seqs, map_store, read_type=cfg.read_type_code,
-                              node_qv=node_qv, split=cfg.ctg_split,
-                              interpret=interpret)
-        seqs = [s for s in seqs if len(s) >= cfg.min_ctg_len]
-        seqs.sort(key=len, reverse=True)
-    write_fasta(st.path("nd.asm.fasta"), list(zip(names, seqs)))
+            json.dump(node_qv, open(st.path("node_qv.json"), "w"),
+                      default=int)
+        SeqStore.from_codes(seqs).save(st.path("draft"))
+        st.mark()
+
+    # ---- ctg_align + ctg_cns (polish) -----------------------------------
+    # Sharded across hosts like the reference's ctg_align/ctg_cns job
+    # matrices (nextDenovo:368-467): the read->contig mapping is split by
+    # read, the window re-consensus by contig; host 0 gathers.
+    st = Stage(cfg.workdir, "06.ctg_cns")
+    if not st.done():
+        if cfg.polish and seqs:
+            from ..polish.driver import (collect_per_ctg, map_polish_reads,
+                                         polish_one)
+
+            # reference maps the raw seed reads back to contigs
+            # (ctg_align, nextDenovo:368-415); fall back to cns reads
+            if cfg.input_type == "raw":
+                seed_rids = np.nonzero(seed_mask)[0]
+                map_store = SeqStore.from_codes([store.get(int(r))
+                                                 for r in seed_rids])
+            else:
+                map_store = cns_store
+            map_p = st.path(f"map.h{hs.host_id}" if multi else "map")
+            if not os.path.exists(map_p + ".npz"):
+                with span("ctg_align", contigs=len(seqs)):
+                    part = map_polish_reads(
+                        seqs, map_store,
+                        shard=(hs.n_hosts, hs.host_id) if multi else None)
+                part.save(map_p)
+            hs.barrier("polish_map")
+            if multi:
+                merged = OvlBlock.concat_all(
+                    [OvlBlock.load(st.path(f"map.h{k}"))
+                     for k in range(hs.n_hosts)])
+                # stable qname sort == single-host emission order
+                ovl = merged.take(np.argsort(np.asarray(merged.qname),
+                                             kind="stable"))
+            else:
+                ovl = OvlBlock.load(map_p)
+            pieces_p = st.path(f"pieces.h{hs.host_id}" if multi
+                               else "pieces")
+            if not os.path.exists(pieces_p + ".npz"):
+                per_ctg = collect_per_ctg(ovl, len(seqs), map_store)
+                keyed = []
+                with span("ctg_cns", contigs=len(seqs)):
+                    for ci in hs.shard(len(seqs)):
+                        ci = int(ci)
+                        qv = (node_qv[ci] if node_qv and ci < len(node_qv)
+                              else [])
+                        for j, p in enumerate(polish_one(
+                                seqs[ci], per_ctg[ci], map_store, qv,
+                                read_type=cfg.read_type_code,
+                                split=cfg.ctg_split, interpret=interpret)):
+                            keyed.append((f"{ci:06d}.{j:03d}", p))
+                        log.info("polish: contig %d done", ci)
+                SeqStore.from_codes([p for _, p in keyed],
+                                    names=[n for n, _ in keyed]
+                                    ).save(pieces_p)
+            hs.barrier("polish_cns")
+            if hs.is_main():
+                all_pieces = []
+                for k in range(hs.n_hosts):
+                    p = SeqStore.load(st.path(f"pieces.h{k}" if multi
+                                              else "pieces"))
+                    all_pieces += [(n, p.get(i))
+                                   for i, n in enumerate(p.names)]
+                all_pieces.sort(key=lambda x: x[0])
+                seqs = [s for _, s in all_pieces
+                        if len(s) >= cfg.min_ctg_len]
+                seqs.sort(key=len, reverse=True)
+        if hs.is_main():
+            from ..graph.output import stat_table
+
+            names = [f"ctg{i:06d}" for i in range(len(seqs))]
+            write_fasta(st.path("nd.asm.fasta"), list(zip(names, seqs)))
+            stats = stat_n50(np.array([len(s) for s in seqs])) if seqs else {}
+            with open(st.path("nd.asm.stat"), "w") as fh:
+                fh.write(stat_table(seqs, cfg.genome_size or None))
+                fh.write("\n" + json.dumps(stats, indent=1, default=int))
+            st.mark()
+        else:
+            hs.wait_done(st)
+    seqs = [s for _, s in read_fastx(st.path("nd.asm.fasta"))]
     stats = stat_n50(np.array([len(s) for s in seqs])) if seqs else {}
-    with open(st.path("nd.asm.stat"), "w") as fh:
-        fh.write(stat_table(seqs, cfg.genome_size or None))
-        fh.write("\n" + json.dumps(stats, indent=1, default=int))
-    st.mark()
     tracer = get_tracer()
     if tracer.enabled:
         tracer.dump_jsonl(os.path.join(cfg.workdir, "trace.jsonl"))

@@ -159,25 +159,29 @@ def _codes_str(codes: np.ndarray) -> str:
                                             ].tobytes().decode()
 
 
-def run_polish(contigs: List[np.ndarray], reads: SeqStore,
-               k: int = 15, w: int = 10, read_type: int = 1,
-               min_cov: int = 3, window: int = 25000,
-               node_qv: Optional[List[List[dict]]] = None,
-               split: bool = True, struct_min_reads: int = 150,
-               interpret=None) -> List[np.ndarray]:
-    """Polish every contig with the read set.  Returns polished contigs
-    (possibly more than the input when `split` breaks unsupported joins,
-    the reference's ctg_cns `-sp` behaviour)."""
-    if not contigs:
-        return []
-    # map reads against contigs: the engine indexes targets (contigs here);
-    # record coords place reads (query) onto contigs (target)
-    joint = SeqStore.from_codes(contigs + [reads.get(i) for i in range(len(reads))])
+def map_polish_reads(contigs: List[np.ndarray], reads: SeqStore,
+                     k: int = 15, w: int = 10,
+                     shard: Optional[tuple] = None):
+    """ctg_align equivalent: map every read onto the draft contigs via the
+    minimizer engine (contigs indexed, reads queried).  Returns an OvlBlock.
+
+    shard=(n_hosts, host_id): query only every n_hosts-th read (round-robin)
+    — the multi-host launcher's job-matrix split of the reference's
+    ctg_align stage (nextDenovo:368-415)."""
+    joint = SeqStore.from_codes(contigs + [reads.get(i)
+                                           for i in range(len(reads))])
     n_ctg = len(contigs)
     rid_reads = np.arange(n_ctg, n_ctg + len(reads))
+    if shard is not None:
+        n_hosts, host_id = shard
+        rid_reads = rid_reads[host_id::n_hosts]
     idx = build_index(joint, np.arange(n_ctg), k=k, w=w, max_occ=256)
-    ovl = find_overlaps(joint, rid_reads, idx, k=k, w=w, max_occ=8,
-                        min_cnt=4, min_span=500)
+    return find_overlaps(joint, rid_reads, idx, k=k, w=w, max_occ=8,
+                         min_cnt=4, min_span=500)
+
+
+def collect_per_ctg(ovl, n_ctg: int, reads: SeqStore) -> List[List[dict]]:
+    """Group mapping records per contig (record order preserved)."""
     per_ctg: List[List[dict]] = [[] for _ in range(n_ctg)]
     for i in range(len(ovl)):
         t = int(ovl.tname[i])
@@ -188,28 +192,65 @@ def run_polish(contigs: List[np.ndarray], reads: SeqStore,
                 qs=int(ovl.qs[i]), qe=int(ovl.qe[i]),
                 ts=int(ovl.ts[i]), te=int(ovl.te[i]),
                 qlen=int(reads.length[rid])))
+    return per_ctg
+
+
+def polish_one(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
+               qv: List[dict], read_type: int = 1, min_cov: int = 3,
+               window: int = 25000, split: bool = True,
+               struct_min_reads: int = 150,
+               interpret=None) -> List[np.ndarray]:
+    """Polish one contig -> its polished pieces (>1 when the structural
+    pass splits an unsupported join, ctg_cns `-sp`)."""
+    ana = analyze_contig(
+        len(ctg), recs, qv,
+        lambda rid, s, e, rc: reads.subseq(rid, s, e, rc=rc),
+        min_reads=struct_min_reads)
+    splits = ana["splits"] if split else []
+    cuts = sorted((s + e) // 2 for s, e in splits)
+    bounds = [0] + [c for c in cuts if 0 < c < len(ctg)] + [len(ctg)]
+    pieces = []
+    for a, b in zip(bounds, bounds[1:]):
+        if b - a < 1:
+            continue
+        pieces.append(polish_contig(
+            ctg, recs, reads, window=window, min_cov=min_cov,
+            read_type=read_type, pseudo=ana["pseudo"], region=(a, b),
+            interpret=interpret))
+    return pieces
+
+
+def run_polish(contigs: List[np.ndarray], reads: SeqStore,
+               k: int = 15, w: int = 10, read_type: int = 1,
+               min_cov: int = 3, window: int = 25000,
+               node_qv: Optional[List[List[dict]]] = None,
+               split: bool = True, struct_min_reads: int = 150,
+               interpret=None, ovl=None,
+               contig_ids=None) -> List[np.ndarray]:
+    """Polish every contig with the read set.  Returns polished contigs
+    (possibly more than the input when `split` breaks unsupported joins,
+    the reference's ctg_cns `-sp` behaviour).
+
+    ovl: precomputed mapping block (map_polish_reads), e.g. gathered from
+    sharded multi-host mapping.  contig_ids: polish only these contigs
+    (multi-host contig shard); output order follows contig_ids."""
+    if not contigs:
+        return []
+    if ovl is None:
+        ovl = map_polish_reads(contigs, reads, k=k, w=w)
+    per_ctg = collect_per_ctg(ovl, len(contigs), reads)
     out = []
-    for ci, ctg in enumerate(contigs):
+    ids = range(len(contigs)) if contig_ids is None else contig_ids
+    for ci in ids:
+        ctg = contigs[ci]
         recs = per_ctg[ci]
         qv = node_qv[ci] if node_qv and ci < len(node_qv) else []
-        ana = analyze_contig(
-            len(ctg), recs, qv,
-            lambda rid, s, e, rc: reads.subseq(rid, s, e, rc=rc),
-            min_reads=struct_min_reads)
-        splits = ana["splits"] if split else []
-        cuts = sorted((s + e) // 2 for s, e in splits)
-        bounds = [0] + [c for c in cuts if 0 < c < len(ctg)] + [len(ctg)]
-        pieces = []
-        for a, b in zip(bounds, bounds[1:]):
-            if b - a < 1:
-                continue
-            pieces.append(polish_contig(
-                ctg, recs, reads, window=window, min_cov=min_cov,
-                read_type=read_type, pseudo=ana["pseudo"], region=(a, b),
-                interpret=interpret))
+        pieces = polish_one(ctg, recs, reads, qv, read_type=read_type,
+                            min_cov=min_cov, window=window, split=split,
+                            struct_min_reads=struct_min_reads,
+                            interpret=interpret)
         out.extend(pieces)
-        log.info("polish: contig %d %d -> %s bp (%d reads, %d gapseqs, "
-                 "%d splits)", ci, len(ctg),
-                 "+".join(str(len(p)) for p in pieces), len(recs),
-                 len(ana["pseudo"]), len(splits))
+        log.info("polish: contig %d %d -> %s bp (%d reads, %d splits)",
+                 ci, len(ctg), "+".join(str(len(p)) for p in pieces),
+                 len(recs), len(pieces) - 1)
     return out

@@ -61,7 +61,7 @@ seed_depth = 10
         # hifi presets are derived at db_stat time (config.derive)
         assert cfg.raw_k == 51 and cfg.raw_w == 51
         assert cfg.max_lq_length == 1000
-        asm = os.path.join("rundir", "05.ctg_graph", "nd.asm.fasta")
+        asm = os.path.join("rundir", "06.ctg_cns", "nd.asm.fasta")
         ctgs = [np.asarray(s) for _, s in read_fastx(asm)]
     finally:
         os.chdir(cwd)

@@ -66,7 +66,7 @@ def test_two_hosts_match_single_host(tmp_path):
         assert p.returncode == 0, \
             f"host {k} failed:\n{outs[k].decode()[-3000:]}"
 
-    fasta = tmp_path / "wd_multi" / "05.ctg_graph" / "nd.asm.fasta"
+    fasta = tmp_path / "wd_multi" / "06.ctg_cns" / "nd.asm.fasta"
     multi = sorted((len(s), s.tobytes()) for _, s in read_fastx(str(fasta)))
     assert multi == single
 
@@ -74,3 +74,8 @@ def test_two_hosts_match_single_host(tmp_path):
     cns_dir = tmp_path / "wd_multi" / "03.seed_cns"
     assert (cns_dir / "cns.h0.npz").exists()
     assert (cns_dir / "cns.h1.npz").exists()
+    polish_dir = tmp_path / "wd_multi" / "06.ctg_cns"
+    assert (polish_dir / "map.h0.npz").exists()
+    assert (polish_dir / "map.h1.npz").exists()
+    assert (polish_dir / "pieces.h0.npz").exists()
+    assert (polish_dir / "pieces.h1.npz").exists()
