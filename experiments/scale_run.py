@@ -1,0 +1,102 @@
+"""End-to-end scale run on the active backend (TPU by default): simulate a
+genome, assemble it, report per-stage wall time + assembly quality (QUAST-
+style proxies: contig count, N50, genome fraction, 31-mer identity).
+
+The reference's validation culture is exactly this (SURVEY §4: assemble
+known genomes, compare metrics — doc/TEST2-4.rst); this script is our
+equivalent harness for synthetic genomes at increasing scale.
+
+Run: python experiments/scale_run.py [genome_kb=1000] [coverage=30]
+     [mean_len=12000] [workdir=/tmp/ndtpu_scale]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def kmer_identity(contigs, genome, k=31, stride=7):
+    """Fraction of sampled contig k-mers present in the genome (both
+    strands) — a fast proxy for per-base identity."""
+    def kset(arr, stride=1):
+        a = np.asarray(arr, np.uint64)
+        if len(a) < k:
+            return set()
+        v = np.zeros(len(a) - k + 1, np.uint64)
+        for j in range(k):
+            v = (v << np.uint64(2)) | a[j : len(a) - k + 1 + j]
+        return set(v[::stride].tolist())
+
+    gk = kset(genome) | kset((np.asarray(genome) ^ 3)[::-1])
+    hit = tot = 0
+    for c in contigs:
+        ck = kset(c, stride=stride)
+        hit += sum(1 for v in ck if v in gk)
+        tot += len(ck)
+    return hit / max(1, tot)
+
+
+def main():
+    glen = int(float(sys.argv[1]) * 1000) if len(sys.argv) > 1 else 1_000_000
+    cov = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    mean_len = int(sys.argv[3]) if len(sys.argv) > 3 else 12_000
+    workdir = sys.argv[4] if len(sys.argv) > 4 else "/tmp/ndtpu_scale"
+
+    import logging
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(asctime)s %(levelname)s] %(message)s")
+    import jax
+    from nextdenovo_tpu.io.fastx import write_fasta
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.pipeline.config import load_config
+    from nextdenovo_tpu.pipeline.run import run_pipeline
+
+    os.makedirs(workdir, exist_ok=True)
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
+    g = simulate_genome(glen, seed=5)
+    sim = simulate_reads(g, coverage=cov, mean_len=mean_len, error_rate=0.10,
+                         seed=6, min_len=3000)
+    lens = np.array([len(r) for r in sim.reads])
+    print(f"workload: {glen/1e6:.2f} Mb genome, {cov}x, {len(sim.reads)} reads, "
+          f"len p50/p95/max = {np.percentile(lens,50):.0f}/"
+          f"{np.percentile(lens,95):.0f}/{lens.max()}")
+    reads_fa = os.path.join(workdir, "reads.fa")
+    if not os.path.exists(reads_fa):
+        write_fasta(reads_fa, [(f"r{i}", r) for i, r in enumerate(sim.reads)])
+    with open(os.path.join(workdir, "input.fofn"), "w") as fh:
+        fh.write(reads_fa + "\n")
+    cfgp = os.path.join(workdir, "run.cfg")
+    with open(cfgp, "w") as fh:
+        fh.write(f"""
+[General]
+task = all
+input_type = raw
+read_type = ont
+input_fofn = {workdir}/input.fofn
+workdir = {workdir}/rundir
+
+[correct_option]
+read_cutoff = 1k
+genome_size = {glen}
+seed_depth = 12
+""")
+    t0 = time.time()
+    out = run_pipeline(load_config(cfgp))
+    wall = time.time() - t0
+    contigs = out["contigs"]
+    total = sum(len(c) for c in contigs)
+    ident = kmer_identity(contigs, g)
+    res = dict(genome_mb=glen / 1e6, coverage=cov, wall_s=round(wall, 1),
+               n_contigs=len(contigs),
+               n50=int(out["stats"].get("N50", (0,))[0]) if out["stats"] else 0,
+               total_bp=total, genome_frac=round(total / glen, 3),
+               kmer31_identity=round(ident, 4))
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -137,11 +137,15 @@ def sliding_min_pair(val, idx, w: int):
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "cap"))
 def sketch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
-           cap: int) -> Minimizers:
+           cap: int, own_lo=None, own_hi=None) -> Minimizers:
     """Minimizers of a read batch.
 
     codes: (B, L) int32 base codes (padded); lengths: (B,) int32.
     cap: static max number of emitted minimizers (flat across batch).
+    own_lo/own_hi: optional (B,) int32 — emit only minimizers whose
+    position falls in [own_lo, own_hi).  Used by halo-chunked sketching of
+    long reads: each chunk owns a disjoint slice, the halos make the
+    window minima around the slice identical to a full-read computation.
     """
     B, L = codes.shape
     (fhi, flo), (rhi, rlo) = kmer_pack(codes, k)
@@ -165,6 +169,8 @@ def sketch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
         wvalid = (pos - d >= 0) & (pos - d + w + k - 1 <= lengths[:, None])
         sel = sel | (jnp.where(wvalid, shifted, -1) == pos)
     sel = sel & valid_k & (h != UMAX)
+    if own_lo is not None:
+        sel = sel & (pos >= own_lo[:, None]) & (pos < own_hi[:, None])
 
     flat = sel.reshape(-1)
     (hits,) = jnp.nonzero(flat, size=cap, fill_value=B * L)
@@ -291,9 +297,13 @@ def hpc_compress(codes: jnp.ndarray, lengths: jnp.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("k", "w", "cap", "hpc"))
 def sketch_wide(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
-                cap: int, hpc: bool = False) -> Minimizers:
+                cap: int, hpc: bool = False, own_lo=None,
+                own_hi=None) -> Minimizers:
     """Long-k (k <= 63) minimizer sketch, optionally homopolymer-compressed.
-    Positions are reported in original read coordinates."""
+    Positions are reported in original read coordinates.  own_lo/own_hi
+    (optional, (B,) int32): emit only minimizers whose ORIGINAL-coordinate
+    position falls in [own_lo, own_hi) — the halo-chunking hook (see
+    sketch())."""
     B, L = codes.shape
     if hpc:
         codes, pos_map, lengths = hpc_compress(codes, lengths)
@@ -316,6 +326,9 @@ def sketch_wide(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
         wvalid = (pos - d >= 0) & (pos - d + w + k - 1 <= lengths[:, None])
         sel = sel | (jnp.where(wvalid, shifted, -1) == pos)
     sel = sel & valid_k & (h != UMAX)
+    if own_lo is not None:
+        opos = pos_map if hpc else pos  # ownership is in original coords
+        sel = sel & (opos >= own_lo[:, None]) & (opos < own_hi[:, None])
 
     flat = sel.reshape(-1)
     (hits,) = jnp.nonzero(flat, size=cap, fill_value=B * L)

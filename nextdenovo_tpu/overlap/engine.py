@@ -82,63 +82,120 @@ def _bucket_len(L: int, lo: int = 4096) -> int:
     return p
 
 
-def _sketch_batch(store: SeqStore, sub: np.ndarray, lens: np.ndarray,
-                  k: int, w: int, batch_rows: int, hpc: bool = False,
-                  cap: int | None = None):
-    """Sketch a fixed-shape (batch_rows, Lp) batch; sub may be shorter than
-    batch_rows (padded with empty rows).  k > 31 or hpc routes to the
-    long-kmer/HPC sketcher (the HiFi -k51 -w51 path, sketch.c:283).
-    cap: override the minimizer-array capacity — callers pass a constant
-    so downstream consumers see one operand shape across length buckets."""
-    L = int(lens[sub].max()) if len(sub) else 1
-    Lp = _bucket_len(L)
+# Hard cap on sketch-row buffer length.  Reads longer than this are split
+# into halo-chunked rows, so no sketch / match shape bucket beyond
+# (batch_rows, CHUNK_LP) ever exists — the Lp=65536 one-off compile that
+# dominated 1 Mb-scale runs (KERNEL_NOTES "1 Mb scale blocker") is gone by
+# construction.
+CHUNK_LP = 16384
+
+
+def _chunk_rows(rids, lens, k: int, w: int, hpc: bool = False):
+    """Split reads into sketch rows of buffer length <= CHUNK_LP.
+
+    Each row OWNS a base range of its read and carries halos: a left halo
+    of w-1 bases (every window that can select an owned position starts at
+    most w-1 before it) and a right halo of w+k-2 bases (those windows'
+    k-mers are complete).  With the sketcher's own_lo/own_hi gate, the
+    union of owned minimizers over chunks is exactly the full-read
+    minimizer set.  HPC rows (runs compress) use inflated original-coord
+    halos — 16x + 64 covers any realistic homopolymer-run content.
+
+    Returns a list of rows (rid, g0, own_lo, own_hi, buf_len) with
+    own_lo/own_hi buffer-local and g0 the buffer's original-coord start.
+    """
+    if hpc:
+        halo_l = (w - 1) * 16 + 64
+        halo_r = (w + k - 1) * 16 + 64
+    else:
+        halo_l = w - 1
+        halo_r = w + k - 2
+    own_len = CHUNK_LP - halo_l - halo_r
+    assert own_len > 0
+    rows = []
+    for r in rids:
+        L = int(lens[r])
+        if L <= CHUNK_LP:
+            rows.append((int(r), 0, 0, L, L))
+            continue
+        o = 0
+        while o < L:
+            o1 = min(o + own_len, L)
+            g0 = max(0, o - halo_l)
+            g1 = min(L, o1 + halo_r)
+            rows.append((int(r), g0, o - g0, o1 - g0, g1 - g0))
+            o = o1
+    return rows
+
+
+def _sketch_rows(store: SeqStore, rows, k: int, w: int, batch_rows: int,
+                 hpc: bool = False, cap: int | None = None):
+    """Sketch a batch of chunk rows as one fixed-shape (batch_rows, Lp)
+    launch; rows may be shorter than batch_rows (padded with empty rows).
+    k > 31 or hpc routes to the long-kmer/HPC sketcher (the HiFi -k51 -w51
+    path, sketch.c:283).  Returned positions are BUFFER-local; callers add
+    each row's g0.  cap: override the minimizer-array capacity — callers
+    pass a constant so downstream consumers see one operand shape across
+    length buckets."""
+    Lb = max(r[4] for r in rows) if rows else 1
+    Lp = _bucket_len(Lb)
     codes = np.zeros((batch_rows, Lp), np.int32)
     blens = np.zeros(batch_rows, np.int32)
-    for i, r in enumerate(sub):
-        c = store.get(int(r))
+    olo = np.zeros(batch_rows, np.int32)
+    ohi = np.zeros(batch_rows, np.int32)
+    for i, (r, g0, lo, hi, bl) in enumerate(rows):
+        c = store.get(int(r))[g0 : g0 + bl]
         codes[i, : len(c)] = c
         blens[i] = len(c)
+        olo[i], ohi[i] = lo, hi
     if cap is None:
         cap = int(2 * batch_rows * Lp // max(1, w) + 1024)
     if k > 31 or hpc:
         return sketch_wide(jnp.asarray(codes), jnp.asarray(blens), k=k, w=w,
-                           cap=cap, hpc=hpc)
-    return sketch(jnp.asarray(codes), jnp.asarray(blens), k=k, w=w, cap=cap)
+                           cap=cap, hpc=hpc, own_lo=jnp.asarray(olo),
+                           own_hi=jnp.asarray(ohi))
+    return sketch(jnp.asarray(codes), jnp.asarray(blens), k=k, w=w, cap=cap,
+                  own_lo=jnp.asarray(olo), own_hi=jnp.asarray(ohi))
 
 
 def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
-                max_occ: int = 64, batch_rows: int = 32) -> MiniIndex:
+                max_occ: int = 64, batch_rows: int = 32,
+                hpc: bool = False) -> MiniIndex:
     """Sketch reads `rids` of `store` and build a queryable index.
 
     Reads are batched in length order so each (batch_rows, Lp) sketch
-    shape stays at the smallest power-of-two bucket for its batch: with
-    arrival-order batching one long read forces every batch containing it
-    to a larger Lp, multiplying both padding work and distinct compile
-    shapes (each one-off compile is expensive, and very large ones have
-    pathological compile times on remote-compile setups).  Index entry
-    order is irrelevant — _build_index re-sorts by hash."""
+    shape stays at the smallest power-of-two bucket for its batch, and
+    long reads are halo-chunked (_chunk_rows) so Lp never exceeds
+    CHUNK_LP.  Index entry order is irrelevant — _build_index re-sorts by
+    hash."""
     lens = np.asarray(store.length, np.int64)
     parts = []
     rids = np.asarray(rids)
     rids = rids[np.argsort(lens[rids], kind="stable")] if len(rids) else rids
-    rows_lp = batch_rows * 16384   # rows scale down as reads get longer
+    rows = _chunk_rows(rids, lens, k, w, hpc=hpc)
+    rows_lp = batch_rows * CHUNK_LP
     s = 0
-    while s < len(rids):
-        Lp = _bucket_len(int(lens[rids[s]]))
-        rows = max(1, min(batch_rows, rows_lp // Lp))
-        sub = rids[s : s + rows]
-        Lp = _bucket_len(int(lens[sub].max()))
-        rows = max(1, min(batch_rows, rows_lp // Lp))
-        sub = rids[s : s + rows]
+    while s < len(rows):
+        Lp = _bucket_len(rows[s][4])
+        nr = max(1, min(batch_rows, rows_lp // Lp))
+        sub = rows[s : s + nr]
+        Lp = _bucket_len(max(r[4] for r in sub))
+        nr = max(1, min(batch_rows, rows_lp // Lp))
+        sub = rows[s : s + nr]
         s += len(sub)
-        m = _sketch_batch(store, sub, lens, k, w, rows)
+        m = _sketch_rows(store, sub, k, w, nr, hpc=hpc)
         n = int(m.n)
-        parts.append((np.asarray(m.rid[:n]), np.asarray(m.pos[:n]),
-                      np.asarray(m.hash[:n]), np.asarray(m.strand[:n]), sub))
-    rid = np.concatenate([s[r] for r, _, _, _, s in parts]) if parts else np.zeros(0, np.int64)
-    pos = np.concatenate([p for _, p, _, _, _ in parts]) if parts else np.zeros(0, np.int32)
-    h = np.concatenate([hh for _, _, hh, _, _ in parts]) if parts else np.zeros(0, np.uint32)
-    st = np.concatenate([ss for _, _, _, ss, _ in parts]) if parts else np.zeros(0, np.int32)
+        row_rid = np.full(nr, -1, np.int64)
+        row_g0 = np.zeros(nr, np.int32)
+        for i, rr in enumerate(sub):
+            row_rid[i], row_g0[i] = rr[0], rr[1]
+        mr = np.asarray(m.rid[:n])
+        parts.append((row_rid[mr], np.asarray(m.pos[:n]) + row_g0[mr],
+                      np.asarray(m.hash[:n]), np.asarray(m.strand[:n])))
+    rid = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
+    pos = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int32)
+    h = np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.uint32)
+    st = np.concatenate([p[3] for p in parts]) if parts else np.zeros(0, np.int32)
     return _build_index(jnp.asarray(h), jnp.asarray(rid, jnp.int32),
                         jnp.asarray(pos, jnp.int32), jnp.asarray(st, jnp.int32),
                         jnp.int32(len(h)), jnp.asarray(lens, jnp.int32),
@@ -149,13 +206,17 @@ def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
     jax.jit,
     static_argnames=("k", "max_occ", "diag_shift", "min_cnt", "min_span",
                      "cap_out"))
-def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base,
+def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
                  idx: MiniIndex, k: int, max_occ: int, diag_shift: int,
                  min_cnt: int, min_span: int, cap_out: int):
     """Anchors + diagonal voting for one sketched query batch.
 
     qm_*: flat minimizer arrays (cap_mini,), rid local (row) ids, -1 = pad.
-    q_rid_base: (B,) int32 mapping local row -> global rid.
+    q_rid_base: (B,) int32 mapping local row -> global rid.  Several rows
+    may map to the same global rid (halo chunks of one long read): grouping
+    is by GLOBAL rid, so anchors from all chunks of a read vote together.
+    q_pos_base: (B,) int32 original-coord start of each row's buffer,
+    added to qm_pos so positions/diagonals are in whole-read coords.
     Returns (records dict of (cap_out,) int32 arrays, n_out, n_groups_overflow)
     """
     M = qm_rid.shape[0]
@@ -165,7 +226,7 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base,
     cnt = jnp.minimum(hi - lo, max_occ)
 
     q_grid = q_rid_base[jnp.maximum(qm_rid, 0)]
-    qlen = idx.lens[q_grid]
+    qm_pos = qm_pos + q_pos_base[jnp.maximum(qm_rid, 0)]
 
     # anchor expansion: (M, max_occ)
     occ = jax.lax.broadcasted_iota(jnp.int32, (M, max_occ), 1)
@@ -178,7 +239,7 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base,
     take = take & (t_rid != q_grid[:, None]) & (t_rid >= 0)
 
     qpos = jnp.broadcast_to(qm_pos[:, None], (M, max_occ))
-    qr = jnp.broadcast_to(qm_rid[:, None], (M, max_occ))
+    qr = jnp.broadcast_to(q_grid[:, None], (M, max_occ))
     diag = jnp.where(rel == 0, qpos - t_pos, qpos + t_pos)
 
     # flatten + sort by (q local rid, target key, diag-bin/qpos)
@@ -254,9 +315,8 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base,
     got = hits < A
     hc = jnp.minimum(hits, A - 1)
     g = lambda x: jnp.where(got, x[hc], 0)
-    q_local = g(key_q)
     rec = dict(
-        qname=jnp.where(got, q_rid_base[jnp.clip(q_local, 0, q_rid_base.shape[0] - 1)], -1),
+        qname=jnp.where(got, key_q[hc], -1),
         rev=g(key_t) & 1,
         qs=g(qs), qe=g(qe),
         tname=g(key_t) >> 1,
@@ -282,31 +342,49 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
     # record order is independent of batching order
     if len(query_rids):
         query_rids = query_rids[np.argsort(lens[query_rids], kind="stable")]
-    # rows * Lp is held constant across length buckets (fewer rows for
-    # longer reads), so the minimizer cap — and with the fixed-size
-    # q_rid_base below, EVERY _match_block operand shape — is identical
-    # for all buckets up to rows_lp: one compiled program serves 16 kb
-    # and 64 kb reads alike instead of a per-bucket compile ladder
-    # (KERNEL_NOTES "1 Mb scale blocker").
-    rows_lp = batch_rows * 16384
-    s = 0
-    while s < len(query_rids):
-        Lp = _bucket_len(int(lens[query_rids[s]]))
-        rows = max(1, min(batch_rows, rows_lp // Lp))
-        sub = query_rids[s : s + rows]
-        # the batch's longest read (length-sorted: the last) sets the
-        # true bucket; re-derive rows in case it crosses a boundary
-        Lp = _bucket_len(int(lens[sub].max()))
-        rows = max(1, min(batch_rows, rows_lp // Lp))
-        sub = query_rids[s : s + rows]
-        s += len(sub)
-        m = _sketch_batch(store, sub, lens, k, w, rows,
-                          cap=2 * rows_lp // max(1, w) + 1024)
+    # long reads are halo-chunked to CHUNK_LP rows (_chunk_rows), and every
+    # batch is (batch_rows, Lp<=CHUNK_LP), so with the constant minimizer
+    # cap EVERY _match_block operand shape is identical across buckets: one
+    # compiled program serves 4 kb and 1 Mb reads alike instead of a
+    # per-bucket compile ladder (KERNEL_NOTES "1 Mb scale blocker").
+    # Chunks of one read in the same batch merge into whole-read records
+    # inside _match_block (global-rid grouping).  Batch packing is
+    # CANONICAL PER READ: a read's chunks share a batch with other reads
+    # only when they all fit; a read with more chunks than fit starts
+    # fresh batches and splits at fixed multiples of batch_rows.  Emitted
+    # records are therefore a function of the read alone — independent of
+    # how queries are partitioned across hosts/batches (the launcher's
+    # 2-host == 1-host bit-exactness guarantee).
+    batches = []
+    cur = []
+    for r in query_rids:
+        rrows = _chunk_rows([r], lens, k, w)
+        if len(cur) + len(rrows) <= batch_rows:
+            cur.extend(rrows)
+        else:
+            if cur:
+                batches.append(cur)
+            while len(rrows) > batch_rows:
+                batches.append(rrows[:batch_rows])
+                rrows = rrows[batch_rows:]
+            cur = rrows
+        if len(cur) == batch_rows:
+            batches.append(cur)
+            cur = []
+    if cur:
+        batches.append(cur)
+    rows_lp = batch_rows * CHUNK_LP
+    for sub in batches:
+        m = _sketch_rows(store, sub, k, w, batch_rows,
+                         cap=2 * rows_lp // max(1, w) + 1024)
         base = np.full(batch_rows, -1, np.int32)
-        base[: len(sub)] = sub
+        pbase = np.zeros(batch_rows, np.int32)
+        for i, rr in enumerate(sub):
+            base[i], pbase[i] = rr[0], rr[1]
         cap_out = 256 * batch_rows + 256
         rec, n_out, overflow = _match_block(
-            m.rid, m.pos, m.hash, m.strand, jnp.asarray(base), idx,
+            m.rid, m.pos, m.hash, m.strand, jnp.asarray(base),
+            jnp.asarray(pbase), idx,
             k=k, max_occ=max_occ, diag_shift=diag_shift, min_cnt=min_cnt,
             min_span=min_span, cap_out=cap_out)
         n = int(n_out)

@@ -1,0 +1,109 @@
+"""Halo-chunked sketching: long reads are split into CHUNK_LP-bounded rows
+(engine._chunk_rows) whose owned minimizers union to EXACTLY the full-read
+minimizer set, so no sketch/match shape bucket beyond CHUNK_LP ever exists
+(the 1 Mb-scale compile blocker).  Reference behavior being replaced: the
+scalar sketcher walks the whole read (minimap2/sketch.c:77-143), so read
+length never affects its output — chunking must be invisible."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import nextdenovo_tpu.overlap.engine as eng
+from nextdenovo_tpu.ops.sketch import sketch, sketch_wide
+
+
+class FakeStore:
+    def __init__(self, seqs):
+        self.seqs = [np.asarray(s, np.int32) for s in seqs]
+        self.length = np.array([len(s) for s in self.seqs], np.int64)
+
+    def get(self, rid):
+        return self.seqs[int(rid)]
+
+
+def _full_sketch(codes, k, w, wide=False, hpc=False):
+    L = len(codes)
+    Lp = eng._bucket_len(L)
+    buf = np.zeros((1, Lp), np.int32)
+    buf[0, :L] = codes
+    fn = sketch_wide if wide or hpc else sketch
+    kw = dict(hpc=hpc) if (wide or hpc) else {}
+    m = fn(jnp.asarray(buf), jnp.asarray(np.array([L], np.int32)), k=k, w=w,
+           cap=4 * Lp // w + 512, **kw)
+    n = int(m.n)
+    return set(zip(np.asarray(m.pos[:n]).tolist(),
+                   np.asarray(m.hash[:n]).tolist(),
+                   np.asarray(m.strand[:n]).tolist()))
+
+
+def _chunked_sketch(store, rid, k, w, chunk_lp, hpc=False):
+    rows = eng._chunk_rows([rid], store.length, k, w, hpc=hpc)
+    assert len(rows) > 1, "test must actually chunk"
+    got = set()
+    for row in rows:
+        m = eng._sketch_rows(store, [row], k, w, 1, hpc=hpc)
+        n = int(m.n)
+        for p, h, s in zip(np.asarray(m.pos[:n]), np.asarray(m.hash[:n]),
+                           np.asarray(m.strand[:n])):
+            key = (int(p) + row[1], int(h), int(s))
+            assert key not in got, "chunks emitted a duplicate minimizer"
+            got.add(key)
+    return got
+
+
+def test_chunked_equals_full(monkeypatch):
+    monkeypatch.setattr(eng, "CHUNK_LP", 2048)
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 4, 6500).astype(np.int32)
+    store = FakeStore([codes])
+    for k, w in [(17, 17), (15, 5)]:
+        full = _full_sketch(codes, k, w)
+        chunked = _chunked_sketch(store, 0, k, w, 2048)
+        assert chunked == full, (k, w, len(chunked), len(full))
+
+
+def test_chunked_equals_full_widek(monkeypatch):
+    monkeypatch.setattr(eng, "CHUNK_LP", 2048)
+    rng = np.random.default_rng(8)
+    codes = rng.integers(0, 4, 5000).astype(np.int32)
+    store = FakeStore([codes])
+    full = _full_sketch(codes, 51, 17, wide=True)
+    chunked = _chunked_sketch(store, 0, 51, 17, 2048)
+    assert chunked == full
+
+
+def test_chunked_equals_full_hpc(monkeypatch):
+    monkeypatch.setattr(eng, "CHUNK_LP", 2048)
+    rng = np.random.default_rng(9)
+    # inject homopolymer runs so hpc actually compresses
+    base = rng.integers(0, 4, 4000).astype(np.int32)
+    runs = rng.integers(1, 6, 4000)
+    codes = np.repeat(base, runs)[:6000].astype(np.int32)
+    store = FakeStore([codes])
+    full = _full_sketch(codes, 21, 11, hpc=True)
+    chunked = _chunked_sketch(store, 0, 21, 11, 2048, hpc=True)
+    assert chunked == full
+
+
+def test_short_read_single_row():
+    rows = eng._chunk_rows([0], np.array([1000], np.int64), 17, 17)
+    assert rows == [(0, 0, 0, 1000, 1000)]
+
+
+def test_find_overlaps_across_chunks(monkeypatch):
+    """Two long reads sharing a true overlap are still found when both are
+    halo-chunked, and the reported span covers the shared region."""
+    monkeypatch.setattr(eng, "CHUNK_LP", 2048)
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 4, 9000).astype(np.int32)
+    a, b = g[:6000], g[3000:]
+    store = FakeStore([a, b])
+    idx = eng.build_index(store, np.array([0]), k=15, w=5, batch_rows=4)
+    blk = eng.find_overlaps(store, np.array([1]), idx, k=15, w=5,
+                            min_cnt=4, min_span=500, batch_rows=4)
+    assert len(blk) >= 1
+    q = np.asarray(blk.qname)
+    t = np.asarray(blk.tname)
+    assert set(q.tolist()) == {1} and set(t.tolist()) == {0}
+    span = (np.asarray(blk.qe) - np.asarray(blk.qs)).sum()
+    assert span >= 2000  # most of the 3000 bp true overlap, possibly split
