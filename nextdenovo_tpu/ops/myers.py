@@ -369,6 +369,17 @@ def expand_events(evs: np.ndarray, i_final: int, n: int,
 # host wrapper
 
 
+def _half_octave(x: int, lo: int = 1024) -> int:
+    """Round up to the half-octave grid {lo, 1.5lo, 2lo, 3lo, 4lo, ...}."""
+    p = lo
+    while True:
+        if x <= p:
+            return p
+        if x <= p + p // 2:
+            return p + p // 2
+        p *= 2
+
+
 @functools.partial(jax.jit, static_argnames=("nw",))
 def _build_streams(qpad: jax.Array, tpad: jax.Array, off: jax.Array,
                    *, nw: int):
@@ -442,13 +453,18 @@ def myers_align(queries: List[np.ndarray], targets: List[np.ndarray],
     off = np.clip((W - (m - n)) // 2, 16, W - 16).astype(np.int32)
     feasible = ((m - n) < (W - off - 2)) & (n >= 1)
     n_max = int(n.max())
-    # coarse shape buckets bound jit-cache growth across pipeline batches
-    n_pad = ((n_max + 1023) // 1024) * 1024
+    # Half-octave shape buckets (1024, 1536, 2048, 3072, ...): every myers
+    # call with n up to 64 kb hits one of ~12 shapes instead of a 1 kb
+    # -granular ladder — each distinct (n_pad, qp_w) is a fresh fwd+tb
+    # compile, and one-off compiles (not device work) dominated cold-start
+    # correction at 1 Mb scale.  Padding waste is <= 33% and callers sort
+    # pairs by length, so real waste is far lower.
+    n_pad = _half_octave(n_max + 1)
 
     # host: sentinel-padded char matrices only (int8 keeps the h2d transfer
     # small); the per-column streams and initial windows are built on device
     m_max = int(m.max())
-    qp_w = ((m_max + W + 2 + 1023) // 1024) * 1024
+    qp_w = _half_octave(m_max + W + 2)
     qpad = np.full((B, qp_w), 4, np.int8)
     tpad = np.full((B, n_pad), 4, np.int8)
     for b in range(B):
