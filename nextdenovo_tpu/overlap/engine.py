@@ -139,7 +139,9 @@ def _sketch_rows(store: SeqStore, rows, k: int, w: int, batch_rows: int,
     length buckets."""
     Lb = max(r[4] for r in rows) if rows else 1
     Lp = _bucket_len(Lb)
-    codes = np.zeros((batch_rows, Lp), np.int32)
+    # int8 keeps the host->device transfer 4x smaller (base codes are 0..4);
+    # the sketchers mask to 2 bits on device
+    codes = np.zeros((batch_rows, Lp), np.int8)
     blens = np.zeros(batch_rows, np.int32)
     olo = np.zeros(batch_rows, np.int32)
     ohi = np.zeros(batch_rows, np.int32)
@@ -175,6 +177,20 @@ def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
     rows = _chunk_rows(rids, lens, k, w, hpc=hpc)
     rows_lp = batch_rows * CHUNK_LP
     s = 0
+    # dispatch-pipeline: enqueue up to PIPE sketch launches before pulling
+    # results, so host buffer fill + h2d transfers overlap device compute
+    # (jax dispatch is async; the pull is the only sync point)
+    PIPE = 16
+    inflight = []
+
+    def _drain(k_keep):
+        while len(inflight) > k_keep:
+            m, row_rid, row_g0 = inflight.pop(0)
+            n = int(m.n)
+            mr = np.asarray(m.rid[:n])
+            parts.append((row_rid[mr], np.asarray(m.pos[:n]) + row_g0[mr],
+                          np.asarray(m.hash[:n]), np.asarray(m.strand[:n])))
+
     while s < len(rows):
         Lp = _bucket_len(rows[s][4])
         nr = max(1, min(batch_rows, rows_lp // Lp))
@@ -184,14 +200,13 @@ def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
         sub = rows[s : s + nr]
         s += len(sub)
         m = _sketch_rows(store, sub, k, w, nr, hpc=hpc)
-        n = int(m.n)
         row_rid = np.full(nr, -1, np.int64)
         row_g0 = np.zeros(nr, np.int32)
         for i, rr in enumerate(sub):
             row_rid[i], row_g0[i] = rr[0], rr[1]
-        mr = np.asarray(m.rid[:n])
-        parts.append((row_rid[mr], np.asarray(m.pos[:n]) + row_g0[mr],
-                      np.asarray(m.hash[:n]), np.asarray(m.strand[:n])))
+        inflight.append((m, row_rid, row_g0))
+        _drain(PIPE)
+    _drain(0)
     rid = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
     pos = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int32)
     h = np.concatenate([p[2] for p in parts]) if parts else np.zeros(0, np.uint32)
@@ -374,6 +389,26 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
     if cur:
         batches.append(cur)
     rows_lp = batch_rows * CHUNK_LP
+    # dispatch-pipeline (see build_index): keep up to PIPE sketch+match
+    # launches in flight so host fill + transfers overlap device compute
+    PIPE = 16
+    inflight = []
+
+    def _drain(k_keep):
+        while len(inflight) > k_keep:
+            rec, n_out, overflow = inflight.pop(0)
+            n = int(n_out)
+            if int(overflow) > 0:
+                # rare: too many candidate groups; caller batches are small
+                # enough in practice, but record the loss loudly
+                import logging
+                logging.getLogger(__name__).warning(
+                    "overlap emit overflow: %d records dropped", int(overflow))
+            blk = OvlBlock({kk: np.asarray(v[:n]) for kk, v in rec.items()})
+            if len(blk):
+                blk = blk.take(np.asarray(blk.qname) >= 0)
+            out.append(blk)
+
     for sub in batches:
         m = _sketch_rows(store, sub, k, w, batch_rows,
                          cap=2 * rows_lp // max(1, w) + 1024)
@@ -382,22 +417,13 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
         for i, rr in enumerate(sub):
             base[i], pbase[i] = rr[0], rr[1]
         cap_out = 256 * batch_rows + 256
-        rec, n_out, overflow = _match_block(
+        inflight.append(_match_block(
             m.rid, m.pos, m.hash, m.strand, jnp.asarray(base),
             jnp.asarray(pbase), idx,
             k=k, max_occ=max_occ, diag_shift=diag_shift, min_cnt=min_cnt,
-            min_span=min_span, cap_out=cap_out)
-        n = int(n_out)
-        if int(overflow) > 0:
-            # rare: too many candidate groups; caller batches are small enough
-            # in practice, but record the loss loudly
-            import logging
-            logging.getLogger(__name__).warning(
-                "overlap emit overflow: %d records dropped", int(overflow))
-        blk = OvlBlock({kk: np.asarray(v[:n]) for kk, v in rec.items()})
-        if len(blk):
-            blk = blk.take(np.asarray(blk.qname) >= 0)
-        out.append(blk)
+            min_span=min_span, cap_out=cap_out))
+        _drain(PIPE)
+    _drain(0)
     res = OvlBlock.concat_all(out)
     if len(res):
         res = res.take(np.argsort(np.asarray(res.qname), kind="stable"))
