@@ -1,0 +1,140 @@
+"""Diagnose contig breaks of a scale_run workdir: map each contig back to
+the simulated genome (minimizer voting, host numpy), list the uncovered gaps
+/ adjacencies, then for each junction check (a) corrected-read coverage over
+the junction, (b) whether cns overlaps linking the flanking reads exist
+before/after the dovetail filter — separating correction gaps, overlap
+recall losses, filter losses, and graph-cleaning losses.
+
+Run: python experiments/diag_breaks.py /tmp/ndtpu_scale1m_warm [genome_kb=1000]
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def locate(seq, genome_k, k=31, stride=1):
+    """Median genome position voted by the sequence's k-mers (fwd only);
+    returns (pos_of_seq_start, votes)."""
+    a = np.asarray(seq, np.uint64)
+    if len(a) < k:
+        return None, 0
+    v = np.zeros(len(a) - k + 1, np.uint64)
+    for j in range(k):
+        v = (v << np.uint64(2)) | a[j : len(a) - k + 1 + j]
+    idx = np.arange(0, len(v), stride)
+    hits = []
+    for i in idx:
+        p = genome_k.get(int(v[i]))
+        if p is not None:
+            hits.append(p - i)
+    if not hits:
+        return None, 0
+    return int(np.median(hits)), len(hits)
+
+
+def main():
+    wd = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ndtpu_scale1m_warm"
+    glen = int(float(sys.argv[2]) * 1000) if len(sys.argv) > 2 else 1_000_000
+
+    from nextdenovo_tpu.io.fastx import read_fastx
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome
+    from nextdenovo_tpu.overlap.records import OvlBlock
+
+    g = simulate_genome(glen, seed=5)
+    k = 31
+    gk = {}
+    a = np.asarray(g, np.uint64)
+    v = np.zeros(len(a) - k + 1, np.uint64)
+    for j in range(k):
+        v = (v << np.uint64(2)) | a[j : len(a) - k + 1 + j]
+    for i in range(0, len(v), 1):
+        gk.setdefault(int(v[i]), i)
+
+    rd = os.path.join(wd, "rundir")
+    ctgs = list(read_fastx(os.path.join(rd, "06.ctg_cns", "nd.asm.fasta")))
+    print(f"{len(ctgs)} contigs")
+    spans = []
+    for name, s in ctgs:
+        p_f, votes_f = locate(s, gk)
+        p_r, votes_r = locate((np.asarray(s) ^ 3)[::-1], gk)
+        if votes_f >= votes_r:
+            p, votes, strand = p_f, votes_f, "+"
+        else:
+            p, votes, strand = p_r, votes_r, "-"
+        if p is None:
+            print(f"  {name}: UNPLACED len={len(s)}")
+            continue
+        spans.append((p, p + len(s), name, strand, len(s)))
+        print(f"  {name}: {strand} genome [{p}, {p+len(s)}) len={len(s)} votes={votes}")
+    spans.sort()
+    print("\njunctions / gaps:")
+    junctions = []
+    cov_end = 0
+    for (s0, e0, n0, st0, l0) in spans:
+        if s0 > cov_end:
+            print(f"  GAP [{cov_end}, {s0}) len={s0-cov_end}")
+            junctions.append((cov_end, s0))
+        elif cov_end > 0:
+            print(f"  overlap/adjacency at {s0} (prev end {cov_end}, ovl={cov_end-s0})")
+            junctions.append((s0 - 100, s0 + 100))
+        cov_end = max(cov_end, e0)
+    if cov_end < glen:
+        print(f"  GAP [{cov_end}, {glen}) tail")
+
+    # corrected reads placement
+    cns = SeqStore.load(os.path.join(rd, "03.seed_cns", "cns"))
+    print(f"\n{len(cns)} corrected reads; placing...")
+    placements = []
+    for i in range(len(cns)):
+        s = cns.get(i)
+        p_f, v_f = locate(s, gk, stride=37)
+        p_r, v_r = locate((np.asarray(s) ^ 3)[::-1], gk, stride=37)
+        if max(v_f, v_r) == 0:
+            placements.append(None)
+        elif v_f >= v_r:
+            placements.append((p_f, p_f + len(s), 0))
+        else:
+            placements.append((p_r, p_r + len(s), 1))
+    unplaced = sum(1 for p in placements if p is None)
+    print(f"  {unplaced} unplaced corrected reads")
+
+    # coverage over junctions by corrected reads
+    cov = np.zeros(glen + 1, np.int32)
+    for p in placements:
+        if p:
+            cov[max(0, p[0])] += 1
+            cov[min(glen, max(0, p[1]))] -= 1
+    cov = np.cumsum(cov)[:-1]
+    for (a0, b0) in junctions:
+        a0c, b0c = max(0, a0), min(glen, b0)
+        region = cov[a0c:b0c] if b0c > a0c else np.array([0])
+        print(f"  junction [{a0}, {b0}): corrected-read cov min={region.min()} "
+              f"median={np.median(region):.0f}")
+        # reads spanning the junction center by >=2kb each side
+        cpt = (a0c + b0c) // 2
+        span_reads = [i for i, p in enumerate(placements)
+                      if p and p[0] <= cpt - 2000 and p[1] >= cpt + 2000]
+        print(f"    reads spanning center+-2kb: {len(span_reads)} -> {span_reads[:8]}")
+
+    # cns overlap records around junctions
+    ovl = OvlBlock.load(os.path.join(rd, "04.cns_align", "cns.filt.dovt.ovl"))
+    q = np.asarray(ovl.qname); t = np.asarray(ovl.tname)
+    print(f"\n{len(ovl)} dovetail cns records")
+    for (a0, b0) in junctions:
+        cpt = (max(0, a0) + min(glen, b0)) // 2
+        left = [i for i, p in enumerate(placements) if p and cpt - 30000 <= p[1] <= cpt + 3000]
+        right = [i for i, p in enumerate(placements) if p and cpt - 3000 <= p[0] <= cpt + 30000]
+        pairs = {(int(qq), int(tt)) for qq, tt in zip(q, t)}
+        linked = [(l, r) for l in left for r in right
+                  if (l, r) in pairs or (r, l) in pairs]
+        print(f"  junction {cpt}: {len(left)} left-enders, {len(right)} "
+              f"right-starters, {len(linked)} dovetail links")
+
+
+if __name__ == "__main__":
+    main()

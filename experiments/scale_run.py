@@ -82,7 +82,6 @@ workdir = {workdir}/rundir
 [correct_option]
 read_cutoff = 1k
 genome_size = {glen}
-seed_depth = 12
 """)
     t0 = time.time()
     out = run_pipeline(load_config(cfgp))

@@ -81,6 +81,21 @@ class Config:
             idx = int(np.searchsorted(cum, target))
             idx = min(idx, len(ls) - 1)
             self.seed_cutoff = int(ls[idx])
+            # reference floor + re-adjust (seq_stat.c:103, recal_seed_cutoff
+            # :41-52): if the depth-derived cutoff lands under 10 kb, seeds
+            # become all reads >= 10 kb, extended further only when those
+            # carry < 20x (to 25x) — short marginal seeds are mostly
+            # contained in longer reads and would be blacklisted anyway.
+            MIN_SEED_CUTOFF, MIN_SEED_DEPTH = 10_000, 20
+            if self.seed_cutoff < MIN_SEED_CUTOFF and self.genome_size > 0:
+                i = int(np.searchsorted(-ls, -MIN_SEED_CUTOFF, side="right"))
+                cov = int(cum[i - 1]) if i else 0
+                if cov // self.genome_size < MIN_SEED_DEPTH:
+                    lim = self.genome_size * (MIN_SEED_DEPTH + 5)
+                    while i < len(ls) and cov < lim:
+                        cov += int(ls[i])
+                        i += 1
+                self.seed_cutoff = int(ls[i - 1]) if i else int(ls[0])
         if self.genome_size > 0:
             total_depth = total_bases // self.genome_size
             self.sort_max_depth = (total_depth - 2) if total_depth <= 30 \
