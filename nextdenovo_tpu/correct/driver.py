@@ -120,22 +120,23 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
     pending: List[Tuple[int, "cf.Future"]] = []
 
     def _flush(group):
-        # group: list of (job, seed_codes, qs_list, t_pairs)
+        # group: list of (job, seed_codes, qs_list, t_pairs).  All pairs go
+        # to ONE band_align call, length-sorted so the aligner's internal
+        # sub-batches (software-pipelined two deep, ops/myers.py) carry
+        # similar lengths with minimal padding.
         flat = []
         for gi, (_job, _sc, qs_list, t_pairs) in enumerate(group):
             for si in range(len(qs_list)):
                 flat.append((len(qs_list[si]) + len(t_pairs[si]), gi, si))
         flat.sort(key=lambda x: (x[0], x[1], x[2]))
         ops_store = [[None] * len(g[2]) for g in group]
-        for b0 in range(0, len(flat), align_batch):
-            chunk = flat[b0:b0 + align_batch]
-            res = tpu_align.band_align(
-                [group[gi][2][si] for _, gi, si in chunk],
-                [group[gi][3][si] for _, gi, si in chunk],
-                interpret=interpret, hq=read_type == 3)
-            for (_, gi, si), r in zip(chunk, res):
-                if r["reached"] and r["ok"]:
-                    ops_store[gi][si] = r["ops"].astype(np.uint8)
+        res = tpu_align.band_align(
+            [group[gi][2][si] for _, gi, si in flat],
+            [group[gi][3][si] for _, gi, si in flat],
+            interpret=interpret, hq=read_type == 3)
+        for (_, gi, si), r in zip(flat, res):
+            if r["reached"] and r["ok"]:
+                ops_store[gi][si] = r["ops"].astype(np.uint8)
         for (job, sc, qs_list, _t), ops_all in zip(group, ops_store):
             pending.append((job.seed,
                             ex.submit(_consensus, job, sc, qs_list, ops_all)))

@@ -416,7 +416,10 @@ def myers_align(queries: List[np.ndarray], targets: List[np.ndarray],
     swapped internally so m >= n (ops transposed back); the band is
     centered per pair on the (0,0)->(m,n) chord via a per-pair offset.
     Long batches are processed in sub-batches bounding the traceback-plane
-    HBM footprint (64 B per pair-column)."""
+    HBM footprint (64 B per pair-column), software-pipelined two deep:
+    sub-batch i+1's fwd/tb launches are dispatched before sub-batch i's
+    results are pulled, so host-side event expansion and d2h transfers
+    overlap device compute."""
     if len(queries) > 64:
         n_pad_est = ((max(max(len(q) for q in queries),
                           max(len(t) for t in targets)) + 1023)
@@ -425,11 +428,21 @@ def myers_align(queries: List[np.ndarray], targets: List[np.ndarray],
         b_sub = max(64, int(max_plane_bytes // max(per_pair, 1)) // 64 * 64)
         if len(queries) > b_sub:
             out = []
+            pending = None
             for s in range(0, len(queries), b_sub):
-                out.extend(myers_align(queries[s : s + b_sub],
-                                       targets[s : s + b_sub], nw=nw,
-                                       max_plane_bytes=max_plane_bytes))
+                h = _myers_dispatch(queries[s : s + b_sub],
+                                    targets[s : s + b_sub], nw)
+                if pending is not None:
+                    out.extend(_myers_finish(pending))
+                pending = h
+            out.extend(_myers_finish(pending))
             return out
+    return _myers_finish(_myers_dispatch(queries, targets, nw))
+
+
+def _myers_dispatch(queries, targets, nw: int):
+    """Launch fwd + tb for one sub-batch; no device pulls (all outputs stay
+    as in-flight jax arrays in the returned handle)."""
     W = 32 * nw
     B0 = len(queries)
     # bucket the batch size so jit caches across calls
@@ -477,10 +490,21 @@ def myers_align(queries: List[np.ndarray], targets: List[np.ndarray],
         win0, qtop, tch, jnp.asarray(n), jnp.asarray(off), nw=nw)
     evs, i_f, ok = myers_tb(planes, jnp.asarray(m), jnp.asarray(n),
                             jnp.asarray(off), nw=nw)
-    dist = tail_walk(np.asarray(score), np.asarray(final), m, n, off)
-    evs = np.asarray(evs)
-    i_f = np.asarray(i_f)
-    okv = np.asarray(ok) & feasible
+    return dict(score=score, final=final, evs=evs, i_f=i_f, ok=ok, m=m, n=n,
+                off=off, swapped=swapped, feasible=feasible, n_pad=n_pad,
+                B=B, B0=B0)
+
+
+def _myers_finish(h):
+    """Pull one dispatched sub-batch and expand events to op arrays."""
+    m, n, off = h["m"], h["n"], h["off"]
+    swapped, feasible = h["swapped"], h["feasible"]
+    n_pad, B, B0 = h["n_pad"], h["B"], h["B0"]
+    dist = tail_walk(np.asarray(h["score"]), np.asarray(h["final"]),
+                     m, n, off)
+    evs = np.asarray(h["evs"])
+    i_f = np.asarray(h["i_f"])
+    okv = np.asarray(h["ok"]) & feasible
 
     # batch expansion: one flat np.repeat over every ok pair's events
     vals_l, reps_l, lens = [], [], []
