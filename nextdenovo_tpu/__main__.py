@@ -1,0 +1,170 @@
+"""Unified CLI: ``python -m nextdenovo_tpu <cmd> ...``.
+
+The reference ships its functionality as separate binaries (`nextDenovo`,
+`bin/seq_stat`, `bin/seq_bit`, `bin/ovl_cvt`, `bin/nextgraph`; SURVEY §2.5).
+Here the same surface is one dispatcher over the library:
+
+  run <run.cfg>            pipeline driver            (nextDenovo:564-836)
+  launch <run.cfg> ...     multi-host launcher        (Paralleltask fan-out)
+  seq_stat -f fofn -g SZ   read stats + seed_cutoff   (util/seq_stat.c:55-136)
+  seq_bit  <in> <out>      fasta <-> 2bit store       (util/seq_bit.c:12-33)
+  ovl_cvt  <in> <out>      .ovl.npz <-> text          (util/ovl_cvt.c:8-50)
+  stat     <fasta>         N10..N90 table             (lib/kit.py:190)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _iter_fofn(fofn: str):
+    with open(fofn) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                yield line
+
+
+def cmd_seq_stat(argv) -> int:
+    from .io.fastx import read_fastx
+    from .pipeline.config import Config, parse_num_unit
+
+    p = argparse.ArgumentParser(prog="seq_stat")
+    p.add_argument("-f", "--fofn", required=True, help="fofn of fasta/fastq[.gz]")
+    p.add_argument("-g", "--genome_size", default="0")
+    p.add_argument("-d", "--seed_depth", type=int, default=45)
+    p.add_argument("-c", "--read_cutoff", type=int, default=1000)
+    a = p.parse_args(argv)
+
+    lengths = []
+    for path in _iter_fofn(a.fofn):
+        for _name, codes in read_fastx(path):
+            lengths.append(len(codes))
+    lengths = np.asarray(lengths, np.int64)
+    raw_total, raw_count = int(lengths.sum()), len(lengths)
+    lengths = lengths[lengths >= a.read_cutoff]
+    st = _n50_dict(lengths)
+
+    print(f"[Read length stat]")
+    print(f"{'Types':<12}{'Count (#)':>14}{'Length (bp)':>16}")
+    edges = [1_000, 5_000, 10_000, 15_000, 20_000, 30_000, 40_000]
+    prev = 0
+    for e in edges:
+        sel = (lengths >= prev) & (lengths < e)
+        print(f"{prev//1000}-{e//1000} kb{'':<4}{int(sel.sum()):>14}"
+              f"{int(lengths[sel].sum()):>16}")
+        prev = e
+    sel = lengths >= prev
+    print(f">={prev//1000} kb{'':<5}{int(sel.sum()):>14}{int(lengths[sel].sum()):>16}")
+    print()
+    print(f"[Read length cutoff] {a.read_cutoff}")
+    print(f"raw reads: {raw_count}  bases: {raw_total}")
+    print(f"clean reads: {st['count']}  bases: {st['total']}")
+    for frac in range(10, 100, 10):
+        L, c = st[f"N{frac}"]
+        print(f"N{frac:<4}{L:>14}{c:>14}")
+    gs = parse_num_unit(a.genome_size)
+    if gs > 0:
+        cfg = Config(genome_size=gs, seed_depth=a.seed_depth)
+        cfg.derive(st["total"], lengths)
+        print(f"genome size: {gs}  depth: {st['total'] // gs}x")
+        print(f"[suggested seed_cutoff] {cfg.seed_cutoff}")
+    return 0
+
+
+def _n50_dict(lengths):
+    from .io.seqstore import stat_n50
+    if len(lengths) == 0:
+        return {"total": 0, "count": 0, "mean": 0, "max": 0, "min": 0,
+                **{f"N{f}": (0, 0) for f in range(10, 100, 10)}}
+    return stat_n50(lengths)
+
+
+def cmd_seq_bit(argv) -> int:
+    from .io.fastx import read_fastx, write_fasta, codes_to_str
+    from .io.seqstore import SeqStore
+
+    p = argparse.ArgumentParser(prog="seq_bit")
+    p.add_argument("input", help="fasta/fastq[.gz] or a SeqStore .npz")
+    p.add_argument("output", help=".npz (pack) or .fa/.fasta (unpack)")
+    a = p.parse_args(argv)
+    if a.input.endswith(".npz"):
+        store = SeqStore.load(a.input)
+        names = store.names if store.names is not None else \
+            [str(i) for i in range(len(store))]
+        write_fasta(a.output, ((str(names[i]), store.get(i))
+                               for i in range(len(store))))
+        print(f"unpacked {len(store)} reads -> {a.output}")
+    else:
+        seqs, names = [], []
+        for name, codes in read_fastx(a.input):
+            names.append(name)
+            seqs.append(codes)
+        store = SeqStore.from_codes(seqs, names=names)
+        store.save(a.output)
+        print(f"packed {len(store)} reads ({store.total_bases} bp) -> {a.output}")
+    return 0
+
+
+def cmd_ovl_cvt(argv) -> int:
+    from .overlap.records import OvlBlock
+
+    p = argparse.ArgumentParser(prog="ovl_cvt")
+    p.add_argument("input", help=".ovl.npz or text")
+    p.add_argument("output", help="text or .ovl.npz")
+    a = p.parse_args(argv)
+    if a.input.endswith(".npz"):
+        blk = OvlBlock.load(a.input)
+        with open(a.output, "w") as fh:
+            fh.write(blk.to_text())
+    else:
+        with open(a.input) as fh:
+            blk = OvlBlock.from_text(fh.read())
+        blk.save(a.output)
+    print(f"{a.input} -> {a.output}")
+    return 0
+
+
+def cmd_stat(argv) -> int:
+    from .graph.output import stat_table
+    from .io.fastx import read_fastx
+    from .pipeline.config import parse_num_unit
+
+    p = argparse.ArgumentParser(prog="stat")
+    p.add_argument("fasta")
+    p.add_argument("-g", "--genome_size", default="0")
+    a = p.parse_args(argv)
+    seqs = [codes for _n, codes in read_fastx(a.fasta)]
+    gs = parse_num_unit(a.genome_size)
+    sys.stdout.write(stat_table(seqs, gs or None))
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    cmds = {
+        "seq_stat": cmd_seq_stat,
+        "seq_bit": cmd_seq_bit,
+        "ovl_cvt": cmd_ovl_cvt,
+        "stat": cmd_stat,
+    }
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "run":
+        from .pipeline.run import main as run_main
+        return run_main(rest) or 0
+    if cmd == "launch":
+        from .parallel.launcher import main as launch_main
+        return launch_main(rest) or 0
+    if cmd in cmds:
+        return cmds[cmd](rest)
+    print(f"unknown command: {cmd}\n{__doc__}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

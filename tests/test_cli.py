@@ -1,0 +1,78 @@
+"""CLI dispatcher parity (python -m nextdenovo_tpu <cmd>): the reference's
+standalone binaries seq_stat / seq_bit / ovl_cvt / assembly stat
+(SURVEY §2.5) as subcommands over the library."""
+import os
+
+import numpy as np
+import pytest
+
+from nextdenovo_tpu.__main__ import main as cli_main
+from nextdenovo_tpu.io.fastx import read_fastx, write_fasta
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def reads_fa(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    g = simulate_genome(20_000, seed=11)
+    sim = simulate_reads(g, coverage=8, mean_len=4000, error_rate=0.05,
+                         seed=12, min_len=1500)
+    fa = str(d / "reads.fa")
+    write_fasta(fa, [(f"r{i}", r) for i, r in enumerate(sim.reads)])
+    return fa
+
+
+def test_seq_stat(reads_fa, tmp_path, capsys):
+    fofn = str(tmp_path / "input.fofn")
+    with open(fofn, "w") as fh:
+        fh.write(reads_fa + "\n")
+    rc = cli_main(["seq_stat", "-f", fofn, "-g", "20k", "-d", "5"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "[suggested seed_cutoff]" in out
+    assert "N50" in out
+
+
+def test_seq_bit_roundtrip(reads_fa, tmp_path):
+    npz = str(tmp_path / "reads.npz")
+    back = str(tmp_path / "back.fa")
+    assert cli_main(["seq_bit", reads_fa, npz]) == 0
+    assert cli_main(["seq_bit", npz, back]) == 0
+    orig = dict(read_fastx(reads_fa))
+    rt = dict(read_fastx(back))
+    assert orig.keys() == rt.keys()
+    for k in orig:
+        assert np.array_equal(orig[k], rt[k])
+
+
+def test_ovl_cvt_roundtrip(tmp_path):
+    from nextdenovo_tpu.overlap.records import OvlBlock
+
+    blk = OvlBlock.from_arrays(
+        qname=np.array([1, 2], np.int32), tname=np.array([3, 4], np.int32),
+        qs=np.array([0, 10], np.int32), qe=np.array([500, 900], np.int32),
+        ts=np.array([5, 0], np.int32), te=np.array([505, 880], np.int32),
+        rev=np.array([0, 1], np.int32), match=np.array([400, 700], np.int32),
+        qlen=np.array([600, 1000], np.int32),
+        tlen=np.array([700, 900], np.int32))
+    npz = str(tmp_path / "a.ovl.npz")
+    txt = str(tmp_path / "a.txt")
+    npz2 = str(tmp_path / "b.ovl.npz")
+    blk.save(npz)
+    assert cli_main(["ovl_cvt", npz, txt]) == 0
+    assert cli_main(["ovl_cvt", txt, npz2]) == 0
+    b2 = OvlBlock.load(npz2)
+    assert len(b2) == 2
+    assert np.array_equal(b2.qname, blk.qname)
+    assert np.array_equal(b2.match, blk.match)
+
+
+def test_stat(reads_fa, capsys):
+    assert cli_main(["stat", reads_fa, "-g", "20k"]) == 0
+    out = capsys.readouterr().out
+    assert "Total" in out and "N50" in out
+
+
+def test_help_and_unknown(capsys):
+    assert cli_main([]) == 0
+    assert cli_main(["nope"]) == 2
