@@ -35,7 +35,8 @@ def cmd_seq_stat(argv) -> int:
     p.add_argument("-f", "--fofn", required=True, help="fofn of fasta/fastq[.gz]")
     p.add_argument("-g", "--genome_size", default="0")
     p.add_argument("-d", "--seed_depth", type=int, default=45)
-    p.add_argument("-c", "--read_cutoff", type=int, default=1000)
+    p.add_argument("-c", "--read_cutoff", type=parse_num_unit, default=1000,
+                   help="min read length, k/m/g units accepted (default 1k)")
     a = p.parse_args(argv)
 
     lengths = []
@@ -66,11 +67,13 @@ def cmd_seq_stat(argv) -> int:
         L, c = st[f"N{frac}"]
         print(f"N{frac:<4}{L:>14}{c:>14}")
     gs = parse_num_unit(a.genome_size)
-    if gs > 0:
+    if gs > 0 and len(lengths):
         cfg = Config(genome_size=gs, seed_depth=a.seed_depth)
         cfg.derive(st["total"], lengths)
         print(f"genome size: {gs}  depth: {st['total'] // gs}x")
         print(f"[suggested seed_cutoff] {cfg.seed_cutoff}")
+    elif gs > 0:
+        print("no reads survive the cutoff; no seed_cutoff suggestion")
     return 0
 
 
@@ -155,6 +158,10 @@ def main(argv=None) -> int:
         return 0
     cmd, rest = argv[0], argv[1:]
     if cmd == "run":
+        if not rest:
+            print("usage: python -m nextdenovo_tpu run <run.cfg>",
+                  file=sys.stderr)
+            return 1
         from .pipeline.run import main as run_main
         return run_main(rest) or 0
     if cmd == "launch":

@@ -25,8 +25,9 @@ def _build():
 
 
 def _load():
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(
-            os.path.join(_DIR, "consensus.cpp")):
+    srcs = [os.path.join(_DIR, f) for f in ("consensus.cpp", "ovl_filter.cpp")]
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < max(
+            os.path.getmtime(s) for s in srcs):
         _build()
     lib = ctypes.CDLL(_LIB)
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -54,6 +55,12 @@ def _load():
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i32p]
     lib.nd_prof_report.restype = None
     lib.nd_prof_report.argtypes = [ctypes.POINTER(ctypes.c_double)]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.nd_ovl_sort_filter.restype = None
+    lib.nd_ovl_sort_filter.argtypes = [
+        i32p, ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        u8p, u8p]
     return lib
 
 
@@ -117,6 +124,35 @@ def correct_seed(seed: np.ndarray, sup_seqs: Sequence[np.ndarray],
            c.seq.decode() if c.seq else "")
     L.nd_free_cns(res)
     return out
+
+
+def ovl_sort_filter(recs8: np.ndarray, seed_bounds: np.ndarray,
+                    seed_ids: np.ndarray, seed_lens: np.ndarray,
+                    max_bin_cov: int, max_flank_len: int, min_seed_len: int,
+                    is_hq: bool):
+    """Native per-seed overlap filter (ovl_sort equivalent).
+
+    recs8: (n, 8) int32 rows (qname, rev, qs, qe, tname, ts, te, match),
+    INCLUSIVE ends, sorted by (qname, -match, span, tname, ts); each seed's
+    rows contiguous at [seed_bounds[i], seed_bounds[i+1]).  Returns
+    (keep bool (n,), marks uint8 (n_seeds,): 0 none / 1 'c' / 2 'k')."""
+    L = lib()
+    recs8 = np.ascontiguousarray(recs8, np.int32)
+    n = recs8.shape[0]
+    sb = np.ascontiguousarray(seed_bounds, np.int64)
+    sid = np.ascontiguousarray(seed_ids, np.int32)
+    sl = np.ascontiguousarray(seed_lens, np.int32)
+    keep = np.zeros(n, np.uint8)
+    marks = np.zeros(len(sid), np.uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    L.nd_ovl_sort_filter(
+        recs8.ctypes.data_as(i32p), n, sb.ctypes.data_as(i64p),
+        sid.ctypes.data_as(i32p), sl.ctypes.data_as(i32p), len(sid),
+        max_bin_cov, max_flank_len, min_seed_len, 1 if is_hq else 0,
+        keep.ctypes.data_as(u8p), marks.ctypes.data_as(u8p))
+    return keep.astype(bool), marks
 
 
 def poa(seqs: List[str]) -> str:

@@ -1,0 +1,377 @@
+// Native ovl_sort filter: per-seed coverage-bin depth cap, chimera
+// detection and blacklist marking over the seed-sorted overlap array.
+//
+// Exact port of the (tested) Python reference implementation in
+// nextdenovo_tpu/overlap/sort.py::_filter_seed_group, which itself mirrors
+// /root/reference/util/ovl_sort.c (encode_ovl_filter :657-723, ovl_filter
+// :433-560, check_chimer :317-334, check_chimer_hq :287-315, check_chimer2
+// :337-375, del_repeat_alns :386-431).  The per-record accept loop is
+// inherently sequential (each accept feeds the coverage bins that gate the
+// next), so it lives here in C++ — the Python loop tops out around 10^5
+// records/s, days of CPU at the 10^8-record scale of real genomes.
+//
+// Records are int32 rows (qname, rev, qs, qe, tname, ts, te, match) with
+// INCLUSIVE ends, sorted by (qname asc, match desc, span asc, tname, ts);
+// each seed's rows are one contiguous slice.  The virtual per-seed "self"
+// record of the Python version is handled implicitly (it is always kept and
+// emitted by the Python wrapper).
+#include <stdint.h>
+#include <string.h>
+
+#include <algorithm>
+#include <cmath>
+#include <vector>
+
+namespace {
+
+constexpr int BIN_OFFSET = 6;
+constexpr int MAX_OVL_COV = 150;
+constexpr int BIN_TOLERANCE_EDGE = 50;
+constexpr int BIN_TOLERANCE_COUNT = 5;
+constexpr int MIN_CONTAINED_COUNT = 2;
+
+struct Rec {          // mutable working copy of one record
+  int32_t qname, qs, qe, tname, match;
+};
+
+// check_chimer (ovl_sort.c:317-334 / sort.py:_check_chimer)
+int check_chimer(const std::vector<int32_t> &bins, int n) {
+  int lable = 0, llable = 0, rlable = 0;
+  for (int i = 1; i < n - 1; i++) {
+    if (bins[i] > 20) {
+      llable++;
+      if (lable) {
+        rlable++;
+        if (rlable >= 5) break;
+      }
+    } else {
+      int l = std::max(i - 5, 0);
+      int r = std::min(i + 5, n - 1);
+      if (llable > 5 && (bins[l] > 20 || bins[r] > 20) &&
+          bins[i] <= std::max(3, std::min(bins[l], bins[r]) / 5))
+        lable = i;
+    }
+  }
+  if (rlable < 5) lable = 0;
+  return lable;
+}
+
+// check_chimer_hq (ovl_sort.c:287-315): interior low-coverage bin not
+// spanned by any overlap.  recs excludes the self record.
+int check_chimer_hq(const std::vector<int32_t> &bins, int n,
+                    const std::vector<Rec> &recs) {
+  int l = 0;
+  while (l < n && bins[l] < 2) l++;
+  int r = n;
+  while (r > 0 && bins[r - 1] < 2) r--;
+  const int flank = 15;
+  for (int i = l + 1; i < r - 1; i++) {
+    if (bins[i] <= 1) {
+      int s = (i > l + flank) ? (i - flank) << BIN_OFFSET : l << BIN_OFFSET;
+      int e = (i + flank < r) ? (i + flank) << BIN_OFFSET : r << BIN_OFFSET;
+      bool spanned = false;
+      for (const Rec &o : recs)
+        if (o.qs < s && o.qe > e) { spanned = true; break; }
+      if (!spanned) return i;
+    }
+  }
+  return 0;
+}
+
+// del_repeat_alns (ovl_sort.c:386-431): zero the qe of repeat-induced
+// duplicates, then re-cap coverage; fills `bins` for check_chimer_hq.
+void del_repeat_alns(std::vector<Rec> &recs, int32_t qlen,
+                     int32_t max_flank_len, int32_t max_bin_cov,
+                     std::vector<int32_t> &bins) {
+  const int j = BIN_OFFSET + 1;
+  const int offset = 1 + (qlen >> j);
+  std::vector<int32_t> ep(2 * offset + 4, 0);
+  const int ep_last = (int)ep.size() - 1;
+  for (const Rec &o : recs) {
+    ep[(o.qs + 10) >> j] += 1;
+    ep[std::min(((o.qe - 10) >> j) + offset, ep_last)] += 1;
+  }
+  const int median = 5;
+  const int flank_len = max_flank_len > 100 ? max_flank_len * 3 : 300;
+  for (Rec &o : recs) {
+    if (o.qs <= flank_len && o.qe + flank_len >= qlen) continue;
+    int s = (o.qs + 10) >> j;
+    int e = std::min(((o.qe - 10) >> j) + offset, ep_last);
+    if (ep[s] >= median && ep[e] >= median) o.qe = 0;
+  }
+  bins.assign((qlen >> BIN_OFFSET) + 3, 0);
+  for (Rec &o : recs) {
+    if (!o.qe) continue;
+    int a = ((o.qs + 10) >> BIN_OFFSET) + 1;
+    int b = (o.qe - 10) >> BIN_OFFSET;
+    if (b < a) continue;
+    int32_t mn = INT32_MAX;
+    for (int i = a; i <= b; i++) {
+      bins[i] += 1;
+      mn = std::min(mn, bins[i]);
+    }
+    if (mn > 2 * max_bin_cov) {
+      for (int i = a; i <= b; i++) bins[i] -= 1;
+      o.qe = 0;
+    }
+  }
+}
+
+// check_chimer2 (ovl_sort.c:337-375): hot break-end detector.
+int check_chimer2(const std::vector<Rec> &recs, int32_t qlen) {
+  const int j = BIN_OFFSET + 1;
+  const int nbin = (qlen >> j) + 2;
+  std::vector<int32_t> bins(nbin + 2, 0);
+  int c = 0, s = nbin, e = 0;
+  for (const Rec &o : recs) {
+    if (o.qe == 0) continue;
+    c++;
+    int ts = (o.qs + 10) >> j;
+    int te = (o.qe - 10) >> j;
+    s = std::min(s, ts);
+    e = std::max(e, te);
+    bins[ts] += 1;
+    bins[te] += 1;
+  }
+  int t = 0;
+  if (c > 20) {
+    while (s < e && bins[s] < 4) s++;
+    while (e > s && bins[e] < 4) e--;
+    int ms = bins[s], me = bins[e], mx = s;
+    for (int i = s; i <= e; i++) {
+      if (i < s + 5 && bins[i] > ms) ms = bins[i];
+      if (i > e - 5 && bins[i] > me) me = bins[i];
+      if (bins[i] > bins[mx]) mx = i;
+    }
+    if (mx > s + 5 && mx < e - 5 && bins[mx] > std::max(ms, me) &&
+        ((c > 75 && bins[mx] > c / 5.0) || (c < 75 && bins[mx] > c / 2.0)))
+      t = mx << j;
+  }
+  return t;
+}
+
+// One seed group.  rows point at the group's n records (row stride 8);
+// keep[i] is set 1 for emitted records; returns the blacklist mark
+// (0 none / 1 contained / 2 chimeric).
+int filter_group(const int32_t *rows, int64_t n, int32_t seed, int32_t qlen,
+                 int32_t max_bin_cov, int32_t max_flank_len,
+                 int32_t min_seed_len, int is_hq, uint8_t *keep) {
+  const int nbin = (qlen >> BIN_OFFSET) + 1;
+  int64_t qcov = 0;
+  int64_t qmaxlen = (int64_t)qlen * MAX_OVL_COV;
+  int contained = 0;
+
+  // `acc` holds accepted REAL records (self handled virtually: it is
+  // accepted first, contributes qlen to qcov and seeds prev_qs/prev_qe).
+  std::vector<Rec> acc;
+  acc.reserve(std::min<int64_t>(n, 65536));
+  std::vector<int64_t> acc_idx;  // original row index of each accepted rec
+  acc_idx.reserve(acc.capacity());
+  qcov += qlen;
+  int32_t prev_qs = 0, prev_qe = qlen - 1;
+
+  if (is_hq) {
+    // encode_ovl_filter_hq (ovl_sort.c:616-654)
+    qmaxlen *= 6;
+    for (int64_t i = 0; i < n; i++) {
+      if (qcov > qmaxlen || (int64_t)acc.size() + 1 > 65000) continue;
+      const int32_t *r = rows + i * 8;
+      Rec o{r[0], r[2], r[3], r[4], r[7]};
+      prev_qs = o.qs;
+      prev_qe = o.qe;
+      (void)prev_qs;
+      (void)prev_qe;
+      qcov += o.qe - o.qs + 1;
+      if (o.qname != o.tname && o.qs <= max_flank_len &&
+          o.qe + max_flank_len >= qlen)
+        contained++;
+      acc.push_back(o);
+      acc_idx.push_back(i);
+    }
+    std::vector<int32_t> bins_hq;
+    del_repeat_alns(acc, qlen, max_flank_len, max_bin_cov, bins_hq);
+    int chimera = check_chimer_hq(bins_hq, nbin, acc);
+    int kept_contained = 0;
+    for (size_t a = 0; a < acc.size(); a++) {
+      if (!acc[a].qe) continue;
+      keep[acc_idx[a]] = 1;
+      const Rec &o = acc[a];
+      if (o.qname != o.tname && o.qs <= max_flank_len &&
+          o.qe + max_flank_len >= qlen &&
+          o.match >= (o.qe - o.qs + 1) * 0.9)
+        kept_contained++;
+    }
+    return kept_contained >= MIN_CONTAINED_COUNT ? 1 : (chimera ? 2 : 0);
+  }
+
+  // ---- noisy-read accept loop (encode_ovl_filter, ovl_sort.c:657-723) ----
+  std::vector<int32_t> bins(nbin + 2, 0);
+  int64_t bincount = 0, binlen = 0;
+  int pcount = 1;
+  for (int64_t i = 0; i < n; i++) {
+    if (qcov > qmaxlen || (int64_t)acc.size() + 1 > 65000) continue;
+    const int32_t *r = rows + i * 8;
+    Rec o{r[0], r[2], r[3], r[4], r[7]};
+    int lable = 1;
+    int j = (o.qs + 10) >> BIN_OFFSET;
+    int kk = (o.qe - 10) >> BIN_OFFSET;
+    if ((j > 15 || kk < nbin - 16) &&
+        std::abs(o.qs - prev_qs) < BIN_TOLERANCE_EDGE &&
+        std::abs(o.qe - prev_qe) < BIN_TOLERANCE_EDGE) {
+      lable = pcount < BIN_TOLERANCE_COUNT ? 2 : 0;
+      pcount++;
+    }
+    if (lable) {
+      int a = j + 1, b = kk;  // bins[a..b]
+      int64_t nnew = 0, msum = 0;
+      int32_t mincov = 200;
+      if (b >= a) {
+        mincov = INT32_MAX;
+        for (int x = a; x <= b; x++) {
+          if (bins[x] == 0) nnew++;
+          bins[x] += 1;
+          msum += bins[x];
+          mincov = std::min(mincov, bins[x]);
+        }
+      }
+      double mean_lim =
+          1.3 * std::min(std::max((double)bincount / std::max<int64_t>(1, binlen),
+                                  10.0),
+                         (double)max_bin_cov);
+      if ((mincov > max_bin_cov ||
+           (double)msum / std::max(1, kk - j) > mean_lim) &&
+          (o.qe - o.qs <= qlen * 0.8)) {
+        for (int x = a; x <= b; x++) bins[x] -= 1;
+        lable = 0;
+      } else {
+        if (lable != 2) pcount = 1;
+        lable = 1;
+        binlen += nnew;
+        bincount += kk - j;
+      }
+    }
+    if (lable) {
+      prev_qs = o.qs;
+      prev_qe = o.qe;
+      qcov += o.qe - o.qs + 1;
+      if (o.qname != o.tname && o.qs <= max_flank_len &&
+          o.qe + max_flank_len >= qlen)
+        contained++;
+      acc.push_back(o);
+      acc_idx.push_back(i);
+    }
+  }
+
+  // ---- ovl_filter: chimera + low-coverage region clearing ----
+  int chimera = check_chimer(bins, nbin);
+  if (chimera || !contained) {
+    int s = 0, e = 0;
+    std::vector<std::pair<int, int>> regs;
+    if (qcov > (int64_t)qlen * 10) {
+      for (int i = 1; i < nbin - 1; i++) {
+        if (bins[i] < std::min(4, max_bin_cov / 10)) {
+          if (s == 0) s = i;
+          e = i;
+        } else if (s) {
+          if (chimera && chimera < s &&
+              (regs.empty() || chimera > regs.back().second))
+            regs.push_back({chimera, chimera});
+          regs.push_back({s, e});
+          s = e = 0;
+        }
+      }
+      if (s) {
+        if (chimera && chimera < s &&
+            (regs.empty() || chimera > regs.back().second))
+          regs.push_back({chimera, chimera});
+        regs.push_back({s, e});
+      }
+      if (chimera && (regs.empty() || chimera > regs.back().second))
+        regs.push_back({chimera, chimera});
+    } else if (chimera) {
+      regs.push_back({chimera, chimera});
+    }
+
+    if (!regs.empty()) {
+      int m = (int)regs.size() * 2;
+      if (regs.front().first < 5) m -= 2;
+      if (regs.back().second > nbin - 5) m -= 2;
+      if (m > 0) {
+        int k_best = 0, best = regs[0].first;
+        for (size_t i = 1; i < regs.size(); i++) {
+          int gap = regs[i].first - regs[i - 1].second;
+          if (gap > best) {
+            best = gap;
+            k_best = (int)i;
+          }
+        }
+        if (nbin - regs.back().second > best) {
+          best = nbin - regs.back().second;
+          s = regs.back().second;
+          e = nbin;
+        } else if (k_best && regs[k_best].second > nbin - 5) {
+          s = regs[k_best - 1].second;
+          e = nbin;
+        } else if (k_best == 0 || regs[k_best - 1].first < 5) {
+          s = 0;
+          e = regs[k_best].first;
+        } else {
+          s = regs[k_best - 1].second;
+          e = regs[k_best].first;
+        }
+        const int flank = 5;
+        s = s > flank ? (s - flank) << BIN_OFFSET : 0;
+        e = (e + flank) << BIN_OFFSET;
+        if (best > (min_seed_len >> BIN_OFFSET) * 2 / 3) {
+          chimera = 0;
+          for (Rec &o : acc)
+            if (o.qs < s || o.qe > e) o.qe = 0;
+        } else {
+          chimera = 1;
+        }
+      } else {
+        s = e = 0;
+      }
+    } else {
+      s = e = 0;
+    }
+
+    if (qcov > (int64_t)qlen * 20 && !chimera &&
+        contained < MIN_CONTAINED_COUNT) {
+      chimera = check_chimer2(acc, qlen);
+      if (!e) e = qlen;
+      if (chimera <= s + (15 << BIN_OFFSET) ||
+          chimera + (15 << BIN_OFFSET) >= e)
+        chimera = 0;
+    }
+  }
+
+  contained = 0;
+  for (size_t a = 0; a < acc.size(); a++) {
+    if (!acc[a].qe) continue;
+    keep[acc_idx[a]] = 1;
+    const Rec &o = acc[a];
+    if (o.qname != o.tname && o.qs <= max_flank_len &&
+        o.qe + max_flank_len >= qlen)
+      contained++;
+  }
+  if (contained >= MIN_CONTAINED_COUNT) return 1;
+  return chimera ? 2 : 0;
+}
+
+}  // namespace
+
+extern "C" void nd_ovl_sort_filter(
+    const int32_t *recs, int64_t n, const int64_t *seed_bounds,
+    const int32_t *seed_ids, const int32_t *seed_lens, int64_t n_seeds,
+    int32_t max_bin_cov, int32_t max_flank_len, int32_t min_seed_len,
+    int32_t is_hq, uint8_t *keep, uint8_t *marks) {
+  memset(keep, 0, (size_t)n);
+  for (int64_t si = 0; si < n_seeds; si++) {
+    int64_t lo = seed_bounds[si], hi = seed_bounds[si + 1];
+    marks[si] = (uint8_t)filter_group(recs + lo * 8, hi - lo, seed_ids[si],
+                                      seed_lens[si], max_bin_cov,
+                                      max_flank_len, min_seed_len, is_hq,
+                                      keep + lo);
+  }
+}

@@ -42,8 +42,11 @@ def segment_scan_rev(values, starts, combine):
 
 def segment_broadcast_last(values, starts):
     """Give every element its segment's LAST value (e.g. a total computed by
-    an inclusive forward scan)."""
-    return segment_scan_rev(values, starts, lambda a, b: b)
+    an inclusive forward scan).  Implemented as a reverse segmented scan
+    with the (associative) "keep the accumulated value" combiner, which
+    propagates each reversed segment's first element — i.e. the original
+    segment's last — to the whole segment."""
+    return segment_scan_rev(values, starts, lambda a, b: a)
 
 
 def segment_sum(values, starts):

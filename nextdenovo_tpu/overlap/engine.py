@@ -220,10 +220,10 @@ def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "max_occ", "diag_shift", "min_cnt", "min_span",
-                     "cap_out"))
+                     "cap_out", "top_k"))
 def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
                  idx: MiniIndex, k: int, max_occ: int, diag_shift: int,
-                 min_cnt: int, min_span: int, cap_out: int):
+                 min_cnt: int, min_span: int, cap_out: int, top_k: int = 1):
     """Anchors + diagonal voting for one sketched query batch.
 
     qm_*: flat minimizer arrays (cap_mini,), rid local (row) ids, -1 = pad.
@@ -232,6 +232,14 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
     is by GLOBAL rid, so anchors from all chunks of a read vote together.
     q_pos_base: (B,) int32 original-coord start of each row's buffer,
     added to qm_pos so positions/diagonals are in whole-read coords.
+    top_k: emit up to this many diagonal corridors per (query, target,
+    strand) group — the multi-chain analogue of minimap2's secondary regs
+    (mm_gen_regs, /root/reference/minimap2/map.c:999-1090): corridor i+1 is
+    the best remaining bin outside already-selected corridors, kept when its
+    vote count is >= half the primary's and its query span does not overlap
+    the primary's by more than 50%.  Split reads spanning a misjoin thus
+    yield one record per fragment, which is what feeds the SV machinery
+    (the reference's SA-tag path, /root/reference/lib/ctg_cns.c:2158).
     Returns (records dict of (cap_out,) int32 arrays, n_out, n_groups_overflow)
     """
     M = qm_rid.shape[0]
@@ -285,31 +293,45 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
     b_starts = g_starts | segment_starts(dbin)
     ones = valid.astype(jnp.int32)
     bin_cnt = segment_sum(ones, b_starts)
-    _, best_bin = segment_argmax(bin_cnt, dbin, g_starts)
-    # anchors near the winning diagonal corridor (+- one bin width)
     width = jnp.int32(1 << diag_shift)
-    center = (best_bin - (1 << 20)) * width + width // 2
-    near = valid & (jnp.abs(diag - center) <= width)
 
-    nearc = near.astype(jnp.int32)
-    cnt_g = segment_sum(nearc, g_starts)
-    inf = jnp.int32(1 << 30)
-    qs = segment_min(jnp.where(near, qpos, inf), g_starts)
-    qe = segment_max(jnp.where(near, qpos, -inf), g_starts) + k
-    ts = segment_min(jnp.where(near, t_pos, inf), g_starts)
-    te = segment_max(jnp.where(near, t_pos, -inf), g_starts) + k
+    # top-K corridor selection: iteratively take the best-voted remaining
+    # diagonal bin per group, assign each anchor to the nearest selected
+    # corridor within +-width, then blank out the selected bin (+-2 bins)
+    # before the next round.  Secondary corridors (i > 0) are kept only
+    # when their bin vote is >= half the primary's.
+    corr = jnp.full((A,), top_k, jnp.int32)       # top_k = "no corridor"
+    bestd = jnp.full((A,), jnp.int32(1 << 30))
+    cur = bin_cnt
+    prim_cnt = None
+    for i in range(top_k):
+        bc, bb = segment_argmax(cur, dbin, g_starts)
+        if i == 0:
+            prim_cnt = bc
+        center_i = (bb - (1 << 20)) * width + width // 2
+        di = jnp.abs(diag - center_i)
+        ok = (bc * 2 >= prim_cnt) & (bc > 0)
+        better = ok & (di <= width) & (di < bestd)
+        corr = jnp.where(better, jnp.int32(i), corr)
+        bestd = jnp.where(better, di, bestd)
+        if i + 1 < top_k:
+            cur = jnp.where(jnp.abs(dbin - bb) <= 2, jnp.int32(-1), cur)
 
-    # chain-DP score over the corridor (mm_chain_dp equivalent, chain.c:164):
+    # chain-DP score per corridor (mm_chain_dp equivalent, chain.c:164):
     # re-sort corridor anchors by exact qpos and score consecutive links
     # alpha = min(dq, dt, k) minus minimap2's gap penalty
     # beta = 0.01*k*|dd| + 0.5*log2(|dd|); non-colinear links contribute 0.
     # (predecessor fixed to the previous corridor anchor — optimal for
     # colinear chains, which the corridor selection already enforces)
-    qp2_key = jnp.where(near, qpos, I32MAX)
-    kq2, kt2, qp2, tp2 = jax.lax.sort([key_q, key_t, qp2_key, t_pos],
+    KC = top_k + 1
+    qp2_key = jnp.where(valid & (corr < top_k), qpos, I32MAX)
+    key_t2 = key_t * KC + jnp.minimum(corr, top_k)
+    kq2, kt2, qp2, tp2 = jax.lax.sort([key_q, key_t2, qp2_key, t_pos],
                                       num_keys=3)
     near2 = qp2 != I32MAX
     g2 = segment_starts(kq2) | segment_starts(kt2)
+    key_tq = kt2 // KC        # original (t_rid*2 + rel) key
+    corr2 = kt2 - key_tq * KC
     dq = qp2 - jnp.concatenate([qp2[:1], qp2[:-1]])
     dt = tp2 - jnp.concatenate([tp2[:1], tp2[:-1]])
     prev_near = jnp.concatenate([jnp.zeros((1,), bool), near2[:-1]])
@@ -320,21 +342,40 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
     link_sc = jnp.where(link_ok, jnp.maximum(alpha - beta, 0.0), 0.0)
     chain_sc = segment_sum(link_sc, g2).astype(jnp.int32) + k
 
-    # emit one record per group (at group end; chain_sc is broadcast to the
-    # whole group by segment_sum, and both sorts share group index ranges)
-    g_ends = jnp.concatenate([g_starts[1:], jnp.ones((1,), bool)])
+    # per-corridor extents and vote counts (segments of g2 are homogeneous
+    # in corridor id, so every element carries its corridor's values)
+    inf = jnp.int32(1 << 30)
+    cnt2 = segment_sum(near2.astype(jnp.int32), g2)
+    qs = segment_min(jnp.where(near2, qp2, inf), g2)
+    qe = segment_max(jnp.where(near2, qp2, -inf), g2) + k
+    ts = segment_min(jnp.where(near2, tp2, inf), g2)
+    te = segment_max(jnp.where(near2, tp2, -inf), g2) + k
+
+    # secondary suppression by primary query-span overlap (mask level 0.5):
+    # broadcast the primary corridor's query extent over the (q, t) group
+    gg = segment_starts(kq2) | segment_starts(key_tq)
+    is0 = near2 & (corr2 == 0)
+    qs0 = segment_max(jnp.where(is0, qs, -inf), gg)
+    qe0 = segment_max(jnp.where(is0, qe, -inf), gg)
+    oq = jnp.minimum(qe, qe0) - jnp.maximum(qs, qs0)
+    sec_ok = (corr2 == 0) | (oq * 2 < qe - qs)
+
+    # emit one record per corridor segment (at segment end; all per-segment
+    # quantities are broadcast to every element by the segment ops)
+    g2_ends = jnp.concatenate([g2[1:], jnp.ones((1,), bool)])
     span = jnp.minimum(qe - qs, te - ts)
-    emit = g_ends & valid & (cnt_g >= min_cnt) & (span >= min_span)
+    emit = (g2_ends & near2 & sec_ok & (cnt2 >= min_cnt)
+            & (span >= min_span))
 
     (hits,) = jnp.nonzero(emit, size=cap_out, fill_value=A)
     got = hits < A
     hc = jnp.minimum(hits, A - 1)
     g = lambda x: jnp.where(got, x[hc], 0)
     rec = dict(
-        qname=jnp.where(got, key_q[hc], -1),
-        rev=g(key_t) & 1,
+        qname=jnp.where(got, kq2[hc], -1),
+        rev=g(key_tq) & 1,
         qs=g(qs), qe=g(qe),
-        tname=g(key_t) >> 1,
+        tname=g(key_tq) >> 1,
         ts=g(ts), te=g(te),
         match=jnp.minimum(g(chain_sc), g(span)),
     )
@@ -345,9 +386,13 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
 
 def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
                   max_occ: int = 16, diag_bin: int = 256, min_cnt: int = 4,
-                  min_span: int = 500, batch_rows: int = 16) -> OvlBlock:
+                  min_span: int = 500, batch_rows: int = 16,
+                  top_k: int = 1) -> OvlBlock:
     """Overlap query reads against the index; returns an OvlBlock (PAF-like
-    fwd-coordinate records with a rev flag, step-1 semantics)."""
+    fwd-coordinate records with a rev flag, step-1 semantics).
+
+    top_k > 1 emits up to that many chains per (query, target, strand) —
+    required for split-read evidence (see _match_block)."""
     lens = np.asarray(store.length, np.int64)
     diag_shift = int(np.log2(diag_bin))
     out = []
@@ -421,7 +466,7 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
             m.rid, m.pos, m.hash, m.strand, jnp.asarray(base),
             jnp.asarray(pbase), idx,
             k=k, max_occ=max_occ, diag_shift=diag_shift, min_cnt=min_cnt,
-            min_span=min_span, cap_out=cap_out))
+            min_span=min_span, cap_out=cap_out, top_k=top_k))
         _drain(PIPE)
     _drain(0)
     res = OvlBlock.concat_all(out)

@@ -340,6 +340,49 @@ def _filter_seed_group(ovls, qlen: int, max_bin_cov: int, max_flank_len: int,
     return kept, blacklist
 
 
+def _filter_sorted_native(recs8: np.ndarray, lens: np.ndarray,
+                          min_seed_len: int, max_bin_cov: int,
+                          max_flank_len: int, is_hq: bool):
+    """Run the native per-seed filter over a seed-sorted (n, 8) record
+    matrix and assemble the output (self record injected at the head of
+    each seed's kept slice, matching _filter_seed_group's emission order).
+    Returns ((m, 8) int32 kept rows, blacklist dict)."""
+    from .. import native
+
+    q = recs8[:, 0]
+    seed_rids = np.unique(q)
+    bounds = np.concatenate(
+        [np.searchsorted(q, seed_rids, side="left"),
+         [len(q)]]).astype(np.int64)
+    keep, marks = native.ovl_sort_filter(
+        recs8, bounds, seed_rids, lens[seed_rids], max_bin_cov,
+        max_flank_len, min_seed_len, is_hq)
+    blacklist = {int(s): ("c" if m == 1 else "k")
+                 for s, m in zip(seed_rids, marks) if m}
+
+    n_seeds = len(seed_rids)
+    ck = np.concatenate([[0], np.cumsum(keep)])        # kept before index i
+    out = np.empty((int(ck[-1]) + n_seeds, 8), np.int32)
+    # self rows (qname, rev=0, qs=0, qe=qlen-1, tname, ts=0, te=qlen-1, 0)
+    self_pos = np.arange(n_seeds) + ck[bounds[:-1]]
+    qlen1 = (lens[seed_rids] - 1).astype(np.int32)
+    out[self_pos] = 0
+    out[self_pos, 0] = seed_rids
+    out[self_pos, 3] = qlen1
+    out[self_pos, 4] = seed_rids
+    out[self_pos, 6] = qlen1
+    # kept rows: global kept rank + (#selves emitted before) = seed_idx + 1
+    seed_idx = np.repeat(np.arange(n_seeds), np.diff(bounds))
+    dest = (ck[:-1] + seed_idx + 1)[keep]
+    out[dest] = recs8[keep]
+    return out, blacklist
+
+
+def _rows_to_block(rows: np.ndarray) -> OvlBlock:
+    return OvlBlock({k: np.ascontiguousarray(rows[:, i])
+                     for i, k in enumerate(_REC_DTYPE.names)})
+
+
 def sort_filter_overlaps(raw: OvlBlock, is_seed: np.ndarray, lens: np.ndarray,
                          max_bin_cov: int = 40, max_flank_len: int = 300,
                          is_hq: bool = False) -> SortResult:
@@ -357,30 +400,11 @@ def sort_filter_overlaps(raw: OvlBlock, is_seed: np.ndarray, lens: np.ndarray,
 
     seed_rids = np.unique(sym.qname)
     min_seed_len = int(lens[seed_rids].min())
-
-    out = []
-    blacklist: Dict[int, str] = {}
-    q = np.asarray(sym.qname)
-    bounds = np.searchsorted(q, seed_rids, side="left").tolist() + [len(q)]
-    for si, seed in enumerate(seed_rids):
-        lo, hi = bounds[si], bounds[si + 1]
-        qlen = int(lens[seed])
-        self_rec = dict(qname=int(seed), rev=0, qs=0, qe=qlen - 1,
-                        tname=int(seed), ts=0, te=qlen - 1, match=0)
-        group = [self_rec] + [
-            {k: int(sym.data[k][i]) for k in sym.data} for i in range(lo, hi)]
-        kept, mark = _filter_seed_group(group, qlen, max_bin_cov,
-                                        max_flank_len, min_seed_len, is_hq)
-        if mark:
-            blacklist[int(seed)] = mark
-        out.extend(kept)
-
-    if out:
-        blk = OvlBlock.from_arrays(**{k: np.array([o[k] for o in out], np.int32)
-                                      for k in out[0]})
-    else:
-        blk = OvlBlock.empty()
-    return SortResult(blk, blacklist)
+    recs8 = np.stack([np.asarray(sym.data[k], np.int32)
+                      for k in _REC_DTYPE.names], axis=1)
+    rows, blacklist = _filter_sorted_native(
+        recs8, lens, min_seed_len, max_bin_cov, max_flank_len, is_hq)
+    return SortResult(_rows_to_block(rows), blacklist)
 
 
 # ---------------------------------------------------------------------------
@@ -451,30 +475,38 @@ def sort_filter_overlaps_external(blocks, is_seed: np.ndarray,
             [np.unique(np.asarray(c["qname"])) for c in chunks]))
         min_seed_len = int(lens[seed_rids].min())
 
-        out = []
+        out_rows = []
         blacklist: Dict[int, str] = {}
         cbounds = [np.searchsorted(np.asarray(c["qname"]), seed_rids,
                                    side="left") for c in chunks]
         cends = [np.searchsorted(np.asarray(c["qname"]), seed_rids,
                                  side="right") for c in chunks]
-        for si, seed in enumerate(seed_rids):
-            parts = [np.asarray(c[cbounds[ci][si] : cends[ci][si]])
+        # merge + filter in seed batches: each batch gathers every chunk's
+        # contiguous slice for those seeds, restores the global sort order
+        # by a batch lexsort (qname-major — identical total order to the
+        # in-memory path), and runs the native filter once
+        BATCH = 4096
+        for b0 in range(0, len(seed_rids), BATCH):
+            bsel = slice(b0, min(b0 + BATCH, len(seed_rids)))
+            parts = [np.asarray(c[cbounds[ci][bsel.start] :
+                                  cends[ci][bsel.stop - 1]])
                      for ci, c in enumerate(chunks)]
-            rec = np.concatenate([p for p in parts if len(p)])
+            rec = np.concatenate([p for p in parts if len(p)]) \
+                if any(len(p) for p in parts) else np.zeros(0, _REC_DTYPE)
+            if not len(rec):
+                continue
             span = rec["qe"].astype(np.int64) - rec["qs"]
             order = np.lexsort((rec["ts"], rec["tname"], span,
-                                -rec["match"].astype(np.int64)))
+                                -rec["match"].astype(np.int64),
+                                rec["qname"]))
             rec = rec[order]
-            qlen = int(lens[seed])
-            group = [dict(qname=int(seed), rev=0, qs=0, qe=qlen - 1,
-                          tname=int(seed), ts=0, te=qlen - 1, match=0)]
-            group += [{k: int(r[k]) for k in _REC_DTYPE.names} for r in rec]
-            kept, mark = _filter_seed_group(group, qlen, max_bin_cov,
-                                            max_flank_len, min_seed_len,
-                                            is_hq)
-            if mark:
-                blacklist[int(seed)] = mark
-            out.extend(kept)
+            recs8 = np.stack([rec[k].astype(np.int32)
+                              for k in _REC_DTYPE.names], axis=1)
+            rows, bl = _filter_sorted_native(
+                recs8, lens, min_seed_len, max_bin_cov, max_flank_len,
+                is_hq)
+            out_rows.append(rows)
+            blacklist.update(bl)
     finally:
         for p in paths:
             try:
@@ -487,9 +519,8 @@ def sort_filter_overlaps_external(blocks, is_seed: np.ndarray,
             except OSError:
                 pass
 
-    if out:
-        blk = OvlBlock.from_arrays(**{k: np.array([o[k] for o in out],
-                                                  np.int32) for k in out[0]})
+    if out_rows:
+        blk = _rows_to_block(np.concatenate(out_rows))
     else:
         blk = OvlBlock.empty()
     return SortResult(blk, blacklist)

@@ -136,7 +136,8 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
                                       max_occ=64)
                     raw_part = find_overlaps(store, mine, idx, k=cfg.raw_k,
                                              w=cfg.raw_w, max_occ=16,
-                                             min_cnt=4, min_span=500)
+                                             min_cnt=4, min_span=500,
+                                             top_k=4)
                 raw_part.save(part_p)
             if multi:
                 hs.barrier("raw_align")
@@ -424,7 +425,7 @@ def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
         format="[%(asctime)s %(levelname)s %(name)s] %(message)s")
-    argv = argv or sys.argv[1:]
+    argv = sys.argv[1:] if argv is None else argv
     if not argv:
         print("usage: python -m nextdenovo_tpu.pipeline.run run.cfg")
         return 1

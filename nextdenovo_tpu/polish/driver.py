@@ -176,8 +176,11 @@ def map_polish_reads(contigs: List[np.ndarray], reads: SeqStore,
         n_hosts, host_id = shard
         rid_reads = rid_reads[host_id::n_hosts]
     idx = build_index(joint, np.arange(n_ctg), k=k, w=w, max_occ=256)
+    # top_k=4: keep secondary chains so reads spanning a misjoin map in >=2
+    # fragments — the split-read (SA-tag) evidence polish/structure.py
+    # consumes (/root/reference/lib/ctg_cns.c:2158 set_satags)
     return find_overlaps(joint, rid_reads, idx, k=k, w=w, max_occ=8,
-                         min_cnt=4, min_span=500)
+                         min_cnt=4, min_span=500, top_k=4)
 
 
 def collect_per_ctg(ovl, n_ctg: int, reads: SeqStore) -> List[List[dict]]:

@@ -1,0 +1,87 @@
+"""Multi-chain overlap output + live split-read SV detection.
+
+The reference emits multiple chains per read pair (mm_gen_regs,
+/root/reference/minimap2/map.c:999-1090), which is what makes SA-tag
+split-read structural-error detection possible in the polish stage
+(/root/reference/lib/ctg_cns.c:2158 set_satags, :2463 check_indel).
+These tests drive that path end to end on the TPU-native engine:
+  1. the engine reports top-K diagonal corridors per (q, t, strand);
+  2. reads spanning a planted draft misjoin map in >=2 fragments;
+  3. polish_one splits a chimeric draft at the junction.
+"""
+import numpy as np
+
+from nextdenovo_tpu.io.seqstore import SeqStore
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+from nextdenovo_tpu.polish.driver import (collect_per_ctg, map_polish_reads,
+                                          polish_one)
+from nextdenovo_tpu.polish.structure import detect_gaps
+
+
+def test_engine_emits_secondary_chains():
+    rng = np.random.default_rng(0)
+    T = rng.integers(0, 4, 40000).astype(np.uint8)
+    Q = np.concatenate([T[:10000],
+                        rng.integers(0, 4, 5000).astype(np.uint8),
+                        T[25000:35000]])
+    store = SeqStore.from_codes([T, Q])
+    idx = build_index(store, np.array([0]), k=15, w=5, max_occ=64)
+    one = find_overlaps(store, np.array([1]), idx, k=15, w=5, max_occ=16,
+                        min_cnt=4, min_span=500, top_k=1)
+    multi = find_overlaps(store, np.array([1]), idx, k=15, w=5, max_occ=16,
+                          min_cnt=4, min_span=500, top_k=4)
+    assert len(one) == 1
+    assert len(multi) == 2
+    spans = sorted((int(multi.qs[i]), int(multi.qe[i]))
+                   for i in range(len(multi)))
+    # fragment 1: q ~[0, 10k); fragment 2: q ~[15k, 25k)
+    assert spans[0][0] < 200 and abs(spans[0][1] - 10000) < 200
+    assert abs(spans[1][0] - 15000) < 200 and abs(spans[1][1] - 25000) < 200
+
+
+def test_split_read_fragments_reach_structure_pass():
+    """A draft contig with a 3 kb deletion relative to the true genome:
+    reads spanning the deletion must map in two fragments, and detect_gaps
+    must call the indel near the junction."""
+    g = simulate_genome(60_000, seed=11)
+    draft = np.concatenate([g[:30_000], g[33_000:]])
+    sim = simulate_reads(g, coverage=15, mean_len=12_000, error_rate=0.08,
+                         seed=12, min_len=4000)
+    reads = SeqStore.from_codes(sim.reads)
+    ovl = map_polish_reads([draft], reads)
+    per_ctg = collect_per_ctg(ovl, 1, reads)
+    recs = per_ctg[0]
+    frag_counts = {}
+    for r in recs:
+        frag_counts[(r["qname"], r["rev"])] = \
+            frag_counts.get((r["qname"], r["rev"]), 0) + 1
+    n_split = sum(1 for v in frag_counts.values() if v >= 2)
+    # every read spanning g[28k..35k] should split; expect a handful
+    assert n_split >= 3, n_split
+    gaps = detect_gaps(recs)
+    assert len(gaps) >= 3, len(gaps)
+    mids = np.array([(gp.gs + gp.ge) // 2 for gp in gaps])
+    near = np.abs(mids - 30_000) < 2000
+    assert near.sum() >= 3, mids
+
+
+def test_chimeric_draft_polish_splits_at_join():
+    """polish_one must split a chimeric draft (two unrelated 30 kb halves
+    glued together) at the junction — the reference's ctg_cns -sp path
+    (update_split_p, /root/reference/lib/ctg_cns.c:2999-3052)."""
+    ga = simulate_genome(32_000, seed=21)
+    gb = simulate_genome(32_000, seed=22)
+    draft = np.concatenate([ga, gb])
+    sims = [simulate_reads(x, coverage=30, mean_len=9000, error_rate=0.08,
+                           seed=s, min_len=3000)
+            for x, s in ((ga, 23), (gb, 24))]
+    reads = SeqStore.from_codes(sims[0].reads + sims[1].reads)
+    ovl = map_polish_reads([draft], reads)
+    recs = collect_per_ctg(ovl, 1, reads)[0]
+    assert len(recs) >= 150
+    pieces = polish_one(draft, recs, reads, qv=[], read_type=1, split=True)
+    assert len(pieces) >= 2, [len(p) for p in pieces]
+    # pieces must split near the 32 kb junction
+    assert all(abs(len(p) - 32_000) < 5000 for p in pieces), \
+        [len(p) for p in pieces]

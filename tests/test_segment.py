@@ -1,0 +1,70 @@
+"""Unit tests for the segmented-scan primitives against numpy oracles.
+
+Regression coverage for the round-2 fix: segment_broadcast_last used a
+"take current" combiner which made every segment reduction return inclusive
+PREFIX values instead of the segment total broadcast to all elements
+(invisible to consumers that only read segment-end positions, fatal to any
+mid-segment read such as the multi-chain corridor selection).
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from nextdenovo_tpu.ops.segment import (segment_argmax, segment_broadcast_last,
+                                        segment_max, segment_min,
+                                        segment_starts, segment_sum)
+
+
+def _random_case(rng, n=257, n_seg=13):
+    keys = np.sort(rng.integers(0, n_seg, n)).astype(np.int32)
+    vals = rng.integers(-50, 50, n).astype(np.int32)
+    return keys, vals
+
+
+def _oracle(keys, vals, fn):
+    out = np.empty_like(vals)
+    for s in np.unique(keys):
+        m = keys == s
+        out[m] = fn(vals[m])
+    return out
+
+
+def test_segment_reductions_broadcast_everywhere():
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        keys, vals = _random_case(rng)
+        starts = segment_starts(jnp.asarray(keys))
+        got_sum = np.asarray(segment_sum(jnp.asarray(vals), starts))
+        got_max = np.asarray(segment_max(jnp.asarray(vals), starts))
+        got_min = np.asarray(segment_min(jnp.asarray(vals), starts))
+        assert np.array_equal(got_sum, _oracle(keys, vals, np.sum)), trial
+        assert np.array_equal(got_max, _oracle(keys, vals, np.max)), trial
+        assert np.array_equal(got_min, _oracle(keys, vals, np.min)), trial
+
+
+def test_segment_broadcast_last():
+    keys = np.array([0, 0, 0, 1, 1, 2], np.int32)
+    vals = np.array([7, 8, 9, 1, 2, 5], np.int32)
+    starts = segment_starts(jnp.asarray(keys))
+    got = np.asarray(segment_broadcast_last(jnp.asarray(vals), starts))
+    assert got.tolist() == [9, 9, 9, 2, 2, 5]
+
+
+def test_segment_argmax_broadcast_and_ties():
+    keys = np.array([0, 0, 0, 0, 1, 1], np.int32)
+    scores = np.array([1, 5, 5, 2, 3, 3], np.int32)
+    payload = np.array([10, 11, 12, 13, 14, 15], np.int32)
+    starts = segment_starts(jnp.asarray(keys))
+    bs, bp = segment_argmax(jnp.asarray(scores), jnp.asarray(payload), starts)
+    # max score broadcast to every element; first element wins ties
+    assert np.asarray(bs).tolist() == [5, 5, 5, 5, 3, 3]
+    assert np.asarray(bp).tolist() == [11, 11, 11, 11, 14, 14]
+
+
+def test_segment_single_and_full():
+    vals = jnp.asarray(np.array([3, 1, 4], np.int32))
+    one_seg = jnp.asarray(np.zeros(3, np.int32))
+    assert np.asarray(segment_sum(vals, segment_starts(one_seg))).tolist() \
+        == [8, 8, 8]
+    all_seg = jnp.asarray(np.arange(3, dtype=np.int32))
+    assert np.asarray(segment_sum(vals, segment_starts(all_seg))).tolist() \
+        == [3, 1, 4]
