@@ -92,24 +92,56 @@ class StringGraph:
 
     def build(self, ovl) -> None:
         """ovl: OvlBlock-like with qname/rev/qs/qe/tname/ts/te/match/ide
-        (exclusive ends, fwd coords).  Mirrors update_graph gating."""
+        (exclusive ends, fwd coords).  Mirrors update_graph gating.
+
+        The accept loop is order-dependent (containment bumps and per-end
+        vote updates feed later decisions), but records that are neither
+        contained nor in any dovetail case have NO side effects, so they
+        are pre-gated out vectorized; the Python loop then runs only over
+        candidate records with fields pre-extracted to plain int lists
+        (>10x over per-record np scalar access at graph-input scale)."""
         H = self.p["max_hang_len"]
         min_ide = int(self.p["min_ide"] * 10000)
         R = self.reads
         n = len(ovl.qname)
+        qn_a = np.asarray(ovl.qname, np.int64)
+        tn_a = np.asarray(ovl.tname, np.int64)
+        qs_a = np.asarray(ovl.qs, np.int64)
+        qe_a = np.asarray(ovl.qe, np.int64)
+        ts_a = np.asarray(ovl.ts, np.int64)
+        te_a = np.asarray(ovl.te, np.int64)
+        rev_a = np.asarray(ovl.rev, np.int64)
+        ide_a = np.asarray(ovl.data["ide"], np.int64) if "ide" in ovl.data \
+            else np.full(n, 9000, np.int64)
         order = np.argsort(-(np.asarray(ovl.match, np.int64)))
-        for i0 in order:
-            i = int(i0)
-            q, t = int(ovl.qname[i]), int(ovl.tname[i])
-            if q not in R or t not in R:
-                continue
+        if n:
+            max_rid = int(max(qn_a.max(), tn_a.max())) + 1
+            in_r = np.zeros(max_rid, bool)
+            rs_v = np.zeros(max_rid, np.int64)
+            re_v = np.zeros(max_rid, np.int64)
+            for rid, r in R.items():
+                if 0 <= rid < max_rid:
+                    in_r[rid] = True
+                    rs_v[rid] = r.s
+                    re_v[rid] = r.e
+            ql_f = qs_a <= rs_v[qn_a] + H
+            qr_f = qe_a >= re_v[qn_a] - H
+            tl_f = ts_a <= rs_v[tn_a] + H
+            tr_f = te_a >= re_v[tn_a] - H
+            rev_b = rev_a != 0
+            case = np.where(rev_b, (ql_f & tl_f) | (qr_f & tr_f),
+                            (qr_f & tl_f) | (ql_f & tr_f))
+            cand = in_r[qn_a] & in_r[tn_a] & \
+                ((ql_f & qr_f) | (tl_f & tr_f) | case)
+            order = order[cand[order]]
+        it = zip(qn_a[order].tolist(), tn_a[order].tolist(),
+                 rev_a[order].tolist(), qs_a[order].tolist(),
+                 qe_a[order].tolist(), ts_a[order].tolist(),
+                 te_a[order].tolist(), ide_a[order].tolist())
+        for q, t, rev, qs, qe, ts, te, ide in it:
             rq, rt = R[q], R[t]
             if rq.con >= self.p["min_con_count"] or rt.con >= self.p["min_con_count"]:
                 continue
-            rev = int(ovl.rev[i])
-            qs, qe = int(ovl.qs[i]), int(ovl.qe[i])
-            ts, te = int(ovl.ts[i]), int(ovl.te[i])
-            ide = int(ovl.data.get("ide", np.full(n, 9000))[i])
             alnlen = max(qe - qs, te - ts)
             # containment re-check on trimmed extents (asg.c:1496-1504)
             if qs <= rq.s + H and qe >= rq.e - H:

@@ -61,6 +61,10 @@ def _load():
         i32p, ctypes.c_int64, i64p, i32p, i32p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         u8p, u8p]
+    lib.nd_cns_filter.restype = None
+    lib.nd_cns_filter.argtypes = [
+        i32p, ctypes.c_int64, i32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, u8p, i32p, u8p, i32p, i64p]
     return lib
 
 
@@ -153,6 +157,35 @@ def ovl_sort_filter(recs8: np.ndarray, seed_bounds: np.ndarray,
         max_bin_cov, max_flank_len, min_seed_len, 1 if is_hq else 0,
         keep.ctypes.data_as(u8p), marks.ctypes.data_as(u8p))
     return keep.astype(bool), marks
+
+
+def cns_filter(recs9: np.ndarray, lens: np.ndarray, maxhan1: int,
+               maxhan2: int):
+    """Native dovetail/containment filter (filter_ovl equivalent).
+
+    recs9: (n, 9) int32 rows (qname, rev, qs, qe, tname, ts, te, match,
+    ide), EXCLUSIVE ends, sorted by match desc.  Returns (keep bool (n,),
+    st (n_reads, 9) int32 [con, lc, rc, lim, rim, llm, rlm, alnl_s,
+    alnl_e], touched bool (n_reads,), alns (n_alns, 3) int32 [rid, s, e])."""
+    L = lib()
+    recs9 = np.ascontiguousarray(recs9, np.int32)
+    n = recs9.shape[0]
+    lens = np.ascontiguousarray(lens, np.int32)
+    n_reads = len(lens)
+    keep = np.zeros(n, np.uint8)
+    st = np.zeros((n_reads, 9), np.int32)
+    touched = np.zeros(n_reads, np.uint8)
+    alns = np.zeros((2 * n, 3), np.int32)
+    n_alns = ctypes.c_int64(0)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    L.nd_cns_filter(
+        recs9.ctypes.data_as(i32p), n, lens.ctypes.data_as(i32p), n_reads,
+        maxhan1, maxhan2, keep.ctypes.data_as(u8p),
+        st.ctypes.data_as(i32p), touched.ctypes.data_as(u8p),
+        alns.ctypes.data_as(i32p), ctypes.byref(n_alns))
+    return (keep.astype(bool), st, touched.astype(bool),
+            alns[: n_alns.value])
 
 
 def poa(seqs: List[str]) -> str:

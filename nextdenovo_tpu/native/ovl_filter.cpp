@@ -361,6 +361,125 @@ int filter_group(const int32_t *rows, int64_t n, int32_t seed, int32_t qlen,
 
 }  // namespace
 
+// cns-overlap dovetail filter (filter_ovl, /root/reference/lib/ovl.c:449-563
+// — the step-2 classification into contained / 5'-dovetail / 3'-dovetail
+// with per-read end-depth and best-identity stats).  Exact port of the
+// Python reference overlap/cns.py::filter_cns_overlaps (kept as oracle).
+//
+// recs: n x 9 int32 rows (qname, rev, qs, qe, tname, ts, te, match, ide),
+// EXCLUSIVE ends, already sorted by match desc (the iteration order the
+// per-read `con` state depends on).  st: n_reads x 9 int32 zeroed by the
+// caller (con, lc, rc, lim, rim, llm, rlm, alnl_s, alnl_e).  alns receives
+// up to 2n (rid, s, e) covered-interval triples; *n_alns returns the count.
+extern "C" void nd_cns_filter(const int32_t *recs, int64_t n,
+                              const int32_t *lens, int64_t n_reads,
+                              int32_t maxhan1, int32_t maxhan2,
+                              uint8_t *keep, int32_t *st, uint8_t *touched,
+                              int32_t *alns, int64_t *n_alns) {
+  constexpr int MAX_CON = 2;     // lib/ovl.h:70 via nextcorrect.h:5
+  constexpr int EDGEBACKLEN = 10;  // lib/ovl.h:12
+  enum { CON = 0, LC, RC, LIM, RIM, LLM, RLM, ALS, ALE };
+  int64_t na = 0;
+  auto fill_aln = [&](int32_t *o, int32_t rid, int32_t s, int32_t e) {
+    if (o[CON] < MAX_CON) {
+      alns[na * 3] = rid;
+      alns[na * 3 + 1] = s + EDGEBACKLEN;
+      alns[na * 3 + 2] = e - EDGEBACKLEN;
+      na++;
+    }
+  };
+  auto fill_alnl = [&](int32_t *o, int32_t s, int32_t e) {
+    if (o[CON] < MAX_CON && e - s > o[ALE] - o[ALS]) {
+      o[ALS] = s;
+      o[ALE] = e;
+    }
+  };
+  for (int64_t i = 0; i < n; i++) {
+    const int32_t *r = recs + i * 9;
+    int32_t q = r[0], rev = r[1], qs = r[2], qe = r[3];
+    int32_t t = r[4], ts = r[5], te = r[6], ide = r[8];
+    int32_t ql = lens[q], tl = lens[t];
+    touched[q] = touched[t] = 1;
+    int32_t *lo = st + (int64_t)q * 9, *ro = st + (int64_t)t * 9;
+    if (lo[CON] < MAX_CON) {
+      if (qs <= maxhan2) lo[LC]++;
+      if (ql - qe <= maxhan2) lo[RC]++;
+    }
+    if (ro[CON] < MAX_CON) {
+      if (ts <= maxhan2) ro[LC]++;
+      if (tl - te <= maxhan2) ro[RC]++;
+    }
+    fill_aln(lo, q, qs, qe);
+    fill_aln(ro, t, ts, te);
+    // mutual containment: drop the shorter read decisively
+    if (qs <= maxhan2 && qe + maxhan2 >= ql && ts <= maxhan2 &&
+        te + maxhan2 >= tl) {
+      (ql <= tl ? lo : ro)[CON] = MAX_CON;
+      continue;
+    }
+    if (lo[CON] < MAX_CON && qs <= maxhan2 && qe + maxhan2 >= ql) {
+      lo[CON]++;
+      continue;
+    }
+    if (ro[CON] < MAX_CON && ts <= maxhan2 && te + maxhan2 >= tl) {
+      ro[CON]++;
+      continue;
+    }
+    if (lo[CON] >= MAX_CON || ro[CON] >= MAX_CON) continue;
+    int32_t alnlen = std::max(qe - qs, te - ts);
+    bool kept = false;
+    if (rev) {
+      if (qs <= maxhan1 && ts <= maxhan1) {
+        if (qs <= maxhan2 && ts <= maxhan2) {
+          lo[LLM] = std::max(lo[LLM], alnlen);
+          ro[LLM] = std::max(ro[LLM], alnlen);
+          lo[LIM] = std::max(lo[LIM], ide);
+          ro[LIM] = std::max(ro[LIM], ide);
+        }
+        kept = true;
+      } else if (ql - qe <= maxhan1 && tl - te <= maxhan1) {
+        if (ql - qe <= maxhan2 && tl - te <= maxhan2) {
+          lo[RLM] = std::max(lo[RLM], alnlen);
+          ro[RLM] = std::max(ro[RLM], alnlen);
+          lo[RIM] = std::max(lo[RIM], ide);
+          ro[RIM] = std::max(ro[RIM], ide);
+        }
+        kept = true;
+      }
+    } else {
+      if (ql - qe <= maxhan1 && ts <= maxhan1) {
+        if (ql - qe <= maxhan2 && ts <= maxhan2) {
+          lo[RLM] = std::max(lo[RLM], alnlen);
+          ro[LLM] = std::max(ro[LLM], alnlen);
+          lo[RIM] = std::max(lo[RIM], ide);
+          ro[LIM] = std::max(ro[LIM], ide);
+        }
+        kept = true;
+      } else if (qs <= maxhan1 && tl - te <= maxhan1) {
+        if (qs <= maxhan2 && tl - te <= maxhan2) {
+          lo[LLM] = std::max(lo[LLM], alnlen);
+          ro[RLM] = std::max(ro[RLM], alnlen);
+          lo[LIM] = std::max(lo[LIM], ide);
+          ro[RIM] = std::max(ro[RIM], ide);
+        }
+        kept = true;
+      }
+    }
+    if (!kept) {
+      // near-containment retention (ovl.c:557-561)
+      if ((qs <= maxhan1 && qe + maxhan1 >= ql) ||
+          (ts <= maxhan1 && te + maxhan1 >= tl)) {
+        kept = true;
+      } else {
+        fill_alnl(lo, qs, qe);
+        fill_alnl(ro, ts, te);
+      }
+    }
+    if (kept) keep[i] = 1;
+  }
+  *n_alns = na;
+}
+
 extern "C" void nd_ovl_sort_filter(
     const int32_t *recs, int64_t n, const int64_t *seed_bounds,
     const int32_t *seed_ids, const int32_t *seed_lens, int64_t n_seeds,

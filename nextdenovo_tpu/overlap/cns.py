@@ -232,11 +232,44 @@ def extend_overlap_ends(store: SeqStore, ovl: OvlBlock, max_ext: int = 1024,
     return OvlBlock.from_arrays(**cols)
 
 
+@dataclass
+class CnsInfo:
+    """Vectorized per-read accumulation (the OvlInfoAln fields as arrays):
+    st (n_reads, 9) int32 [con, lc, rc, lim, rim, llm, rlm, alnl_s, alnl_e],
+    touched bool (n_reads,), alns (m, 3) int32 covered-interval triples
+    (rid, s, e) with EDGEBACKLEN already applied, lens int32 (n_reads,)."""
+    st: np.ndarray
+    touched: np.ndarray
+    alns: np.ndarray
+    lens: np.ndarray
+
+
 def filter_cns_overlaps(ovl: OvlBlock, lens: np.ndarray, maxhan1: int = 5000,
                         maxhan2: int = 500):
     """filter_ovl (lib/ovl.c:449-563): containment counting, dovetail
-    classification, per-end depth/quality stats.  Returns (kept OvlBlock,
-    info dict rid -> OvlInfoAln)."""
+    classification, per-end depth/quality stats.  Native-backed (the accept
+    loop is sequential per-read state; _filter_cns_overlaps_py is the
+    oracle).  Returns (kept OvlBlock, CnsInfo)."""
+    from .. import native
+
+    n = len(ovl)
+    lens32 = np.asarray(lens, np.int32)
+    order = np.argsort(-np.asarray(ovl.match, np.int64), kind="stable")
+    srt = ovl.take(order)
+    recs9 = np.stack([np.asarray(srt.data[k], np.int32)
+                      for k in ("qname", "rev", "qs", "qe", "tname", "ts",
+                                "te", "match", "ide")], axis=1) \
+        if n else np.zeros((0, 9), np.int32)
+    keep, st, touched, alns = native.cns_filter(recs9, lens32, maxhan1,
+                                                maxhan2)
+    kept = srt.take(np.nonzero(keep)[0]) if keep.any() \
+        else OvlBlock.empty(True)
+    return kept, CnsInfo(st=st, touched=touched, alns=alns, lens=lens32)
+
+
+def _filter_cns_overlaps_py(ovl: OvlBlock, lens: np.ndarray,
+                            maxhan1: int = 5000, maxhan2: int = 500):
+    """Python oracle for filter_cns_overlaps (see tests)."""
     info: Dict[int, OvlInfoAln] = {}
 
     def get(rid):
@@ -317,10 +350,71 @@ def filter_cns_overlaps(ovl: OvlBlock, lens: np.ndarray, maxhan1: int = 5000,
     return ovl.take(np.array(keep, np.int64)) if keep else OvlBlock.empty(True), info
 
 
-def bl_info_for_graph(info: Dict[int, OvlInfoAln], min_con_count: int = 2,
+def bl_info_for_graph(info: CnsInfo, min_con_count: int = 2,
                       max_hang_len: int = 500, drop_chimera: bool = True):
     """init_os (ng/main.c:13-79): turn per-read stats into graph ReadInfo
-    inputs; multi-interval (chimeric) cns reads are dropped."""
+    inputs; multi-interval (chimeric) cns reads are dropped.  Vectorized
+    over the CnsInfo arrays (_bl_info_for_graph_py is the dict oracle)."""
+    st, lens = info.st, np.asarray(info.lens, np.int64)
+    n_reads = len(lens)
+    # ---- merged covered intervals per read (OvlInfoAln.merged) ----
+    a = info.alns
+    n_ivs = np.zeros(n_reads, np.int64)
+    last_s = np.zeros(n_reads, np.int64)
+    last_e = np.zeros(n_reads, np.int64)
+    has_iv = np.zeros(n_reads, bool)
+    if len(a):
+        rid = a[:, 0].astype(np.int64)
+        s = a[:, 1].astype(np.int64)
+        e = a[:, 2].astype(np.int64)
+        o = np.lexsort((e, s, rid))
+        rid, s, e = rid[o], s[o], e[o]
+        first = np.ones(len(rid), bool)
+        first[1:] = rid[1:] != rid[:-1]
+        # per-rid running max of e (rid-major packing keeps resets implicit)
+        packed = (rid << 33) | (e + (1 << 31))
+        cm = np.maximum.accumulate(packed)
+        prev_e = np.concatenate([[np.int64(-(1 << 31))],
+                                 (cm[:-1] & ((1 << 33) - 1)) - (1 << 31)])
+        new_run = first | (s > prev_e)
+        n_ivs = np.bincount(rid[new_run], minlength=n_reads)
+        # last merged run per read: its start s, and the rid-final cummax e
+        idx = np.arange(len(rid))
+        run_idx = np.maximum.accumulate(np.where(new_run, idx, -1))
+        last = np.zeros(len(rid), bool)
+        last[:-1] = first[1:]
+        last[-1] = True
+        rl = rid[last]
+        last_s[rl] = s[run_idx[last]] - EDGEBACKLEN
+        last_e[rl] = ((cm[last] & ((1 << 33) - 1)) - (1 << 31)) + EDGEBACKLEN
+        has_iv[rl] = True
+    # ---- per-read gating (init_os + refilt_con_read) ----
+    con = st[:, 0].astype(np.int64).copy()
+    sel = info.touched & (con < min_con_count)
+    if drop_chimera:
+        sel &= n_ivs <= 1
+    s_arr = np.where(has_iv, last_s, 0)
+    e_arr = np.where(has_iv, last_e, lens)
+    # refilt_con_read (ng/main.c:37-43)
+    ls, le_ = st[:, 7].astype(np.int64), st[:, 8].astype(np.int64)
+    refilt = sel & (ls < s_arr + max_hang_len) & \
+        (le_ > e_arr - max_hang_len) & (le_ > ls)
+    con = con + refilt
+    sel &= con < min_con_count
+    le_out = np.maximum(0, s_arr)
+    re_out = np.maximum(0, lens - np.minimum(e_arr, lens))
+    out = {}
+    for r in np.nonzero(sel)[0]:
+        out[int(r)] = dict(
+            con=int(con[r]), le=int(le_out[r]), re=int(re_out[r]),
+            lim=int(st[r, 3]), rim=int(st[r, 4]), llm=int(st[r, 5]),
+            rlm=int(st[r, 6]), lc=int(st[r, 1]), rc=int(st[r, 2]))
+    return out
+
+
+def _bl_info_for_graph_py(info: Dict[int, OvlInfoAln], min_con_count: int = 2,
+                          max_hang_len: int = 500, drop_chimera: bool = True):
+    """Python/dict oracle for bl_info_for_graph."""
     out = {}
     for rid, o in info.items():
         if o.con >= min_con_count:

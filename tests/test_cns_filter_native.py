@@ -1,0 +1,66 @@
+"""Native cns-overlap filter + vectorized bl_info: parity with the Python
+oracles (`_filter_cns_overlaps_py` / `_bl_info_for_graph_py`, the original
+per-record implementations of lib/ovl.c:449-563 filter_ovl and
+ng/main.c:13-79 init_os)."""
+import numpy as np
+
+from nextdenovo_tpu.overlap.cns import (_bl_info_for_graph_py,
+                                        _filter_cns_overlaps_py,
+                                        bl_info_for_graph,
+                                        filter_cns_overlaps)
+from nextdenovo_tpu.overlap.records import OvlBlock
+
+
+def _random_mode10(rng, n_reads=60, n_recs=800):
+    lens = rng.integers(8000, 40000, n_reads).astype(np.int64)
+    q = rng.integers(0, n_reads, n_recs)
+    t = rng.integers(0, n_reads, n_recs)
+    ok = q != t
+    q, t = q[ok], t[ok]
+    n = len(q)
+    span = rng.integers(2000, 15000, n)
+    # a mix of dovetail-ish and contained-ish geometries
+    qs = np.where(rng.random(n) < 0.5,
+                  rng.integers(0, 400, n),
+                  np.maximum(0, lens[q] - span - rng.integers(0, 400, n)))
+    qe = np.minimum(qs + span, lens[q])
+    ts = np.where(rng.random(n) < 0.5,
+                  rng.integers(0, 400, n),
+                  np.maximum(0, lens[t] - span - rng.integers(0, 400, n)))
+    te = np.minimum(ts + span, lens[t])
+    return OvlBlock.from_arrays(
+        qname=q, rev=rng.integers(0, 2, n), qs=qs, qe=qe, tname=t,
+        ts=ts, te=te, match=(span - rng.integers(0, 1000, n)),
+        ide=rng.integers(9000, 10000, n)), lens
+
+
+def test_cns_filter_matches_oracle():
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        ovl, lens = _random_mode10(rng)
+        kept_n, info_n = filter_cns_overlaps(ovl, lens)
+        kept_p, info_p = _filter_cns_overlaps_py(ovl, lens)
+        assert len(kept_n) == len(kept_p), trial
+        for k in kept_n.data:
+            assert np.array_equal(kept_n.data[k], kept_p.data[k]), (trial, k)
+        # per-read stats parity
+        for rid, o in info_p.items():
+            row = info_n.st[rid]
+            assert (int(row[0]), int(row[1]), int(row[2])) == \
+                (o.con, o.lc, o.rc), (trial, rid)
+            assert (int(row[3]), int(row[4]), int(row[5]), int(row[6])) == \
+                (o.lim, o.rim, o.llm, o.rlm), (trial, rid)
+            assert (int(row[7]), int(row[8])) == o.alnl, (trial, rid)
+        assert set(np.nonzero(info_n.touched)[0].tolist()) == \
+            set(info_p.keys()), trial
+        # full bl_info parity (exercises the vectorized interval merge)
+        bl_n = bl_info_for_graph(info_n)
+        bl_p = _bl_info_for_graph_py(info_p)
+        assert bl_n == bl_p, trial
+
+
+def test_cns_filter_empty():
+    kept, info = filter_cns_overlaps(OvlBlock.empty(True),
+                                     np.array([1000], np.int64))
+    assert len(kept) == 0
+    assert bl_info_for_graph(info) == {}
