@@ -1,15 +1,32 @@
 """Benchmark: alignment-DP throughput on the TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Headline metric = giga cell-updates/s of the
+ksw2-class affine-gap extension kernel (ops/extend.py) counting ONLY real
+band cells (inside both the band and the m x n matrix — padded antidiagonal
+steps past m+n are excluded), on a realistic mapping workload (noisy ~10 kb
+read pairs @ 12% error, batch 4096).  vs_baseline = TPU pairs/s over the
+reference-equivalent scalar banded affine DP (libndtpu nd_affine_extend,
+the ksw2_extz2_sse role) on one host core.
 
-metric = giga cell-updates/s (band cells) of the ksw2-class affine-gap
-extension kernel (ops/extend.py) — the BASELINE.json headline metric
-("GCUPS/chip on ksw2-extend DP") — on a realistic mapping workload
-(noisy ~10 kb read pairs @ 12% error, batch 4096 — step-3-style mapping
-jobs carry millions of pairs, so the kernel runs at full occupancy).
-vs_baseline = TPU pairs/s over the reference-equivalent scalar banded
-affine DP (libndtpu nd_affine_extend: same band, same semantics as the
-kernel; the role ksw2_extz2_sse plays in the reference) on one host core.
+Extra keys:
+  myers_gcups        production correction tier (ops/myers.py fwd+tb,
+                     device-side, real 256-cell-band cells)
+  myers_pairs_s      myers_align end-to-end (host expansion + transfers in)
+  *_pct_roofline     fraction of the VPU compute roofline (below)
+  gcups_padded       the old padded-cell accounting, for continuity
+
+Roofline model (documented, not vendor-published): TPU v5e publishes
+197 bf16 TFLOP/s = 4 MXUs x 128x128 MACs x 2 flops x clock => clock ~1.5
+GHz; the VPU is 8 sublanes x 128 lanes x 4 ALUs at the same clock =>
+~6.1e12 int vector ops/s.  Ops/cell are counted from the kernel bodies:
+_ext_kernel runs ~45 (rows,128) vector ops per antidiagonal step (one
+element per cell); myers_fwd runs ~60 (8,B) ops per column = 480 element
+-ops per 256 band cells ~ 1.9 ops/cell.  The extension kernel is LATENCY
+-bound, not compute-bound: KERNEL_NOTES ablations show an empty-body
+variant of the same wavefront loop runs at ~2/3 of the full kernel's step
+time, so the ceiling is the sequential dependence + scalar->vector
+materialization, and the honest headroom over the measured number is
+~1.5x, not the compute-roofline gap.
 """
 from __future__ import annotations
 
@@ -22,8 +39,30 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+VPU_OPS_S = 8 * 128 * 4 * 1.5e9      # ~6.1e12 (see module docstring)
+EXT_OPS_PER_CELL = 45
+MYERS_OPS_PER_CELL = 1.9
 
-def main():
+
+def _ext_real_cells(m: np.ndarray, n: np.ndarray, half: int = 64,
+                    lanes: int = 128) -> float:
+    """Exact count of band cells inside the m x n matrix, summed over
+    pairs: at antidiagonal a the band covers i in [lo, lo+127] with
+    lo = (a+1)//2 - half, the matrix allows i in [max(0, a-n), min(a, m)]."""
+    total = 0.0
+    a_len = int((m + n).max()) + 1
+    a = np.arange(a_len, dtype=np.int64)
+    lo_band = (a + 1) // 2 - half
+    hi_band = lo_band + lanes - 1
+    for mm, nn in zip(m.astype(np.int64), n.astype(np.int64)):
+        amax = mm + nn
+        lo = np.maximum(lo_band[: amax + 1], np.maximum(0, a[: amax + 1] - nn))
+        hi = np.minimum(hi_band[: amax + 1], np.minimum(a[: amax + 1], mm))
+        total += float(np.maximum(0, hi - lo + 1).sum())
+    return total
+
+
+def bench_extend(rng):
     import jax
     import jax.numpy as jnp
     from nextdenovo_tpu.io.simulate import mutate_read
@@ -31,8 +70,6 @@ def main():
     from nextdenovo_tpu.ops.extend import (QF, TF, affine_extend_fwd,
                                            pad_for_extend)
 
-    on_tpu = jax.default_backend() == "tpu"
-    rng = np.random.default_rng(0)
     B, L, ROWS = 4096, 10_000, 64
     ts = [rng.integers(0, 4, L).astype(np.int8) for _ in range(B)]
     qs = [mutate_read(t.astype(np.uint8), 0.12, rng).astype(np.int8)
@@ -56,7 +93,6 @@ def main():
     rtpad = jnp.asarray(rt)
     mn = jnp.asarray(np.stack([m, n], 1))
 
-    # --- TPU kernel -------------------------------------------------------
     out = affine_extend_fwd(qpad, rtpad, mn, a_max=a_max, n_max=n_max,
                             tf=tf, rows=ROWS)
     _ = np.asarray(out)  # tunnel-safe sync
@@ -67,22 +103,93 @@ def main():
                                 tf=tf, rows=ROWS)
         _ = np.asarray(out)
     dt = (time.time() - t0) / reps
-    cells = float(B) * a_max * 128
-    gcups = cells / dt / 1e9
+
+    cells_real = _ext_real_cells(m, n)
+    cells_padded = float(B) * a_max * 128
+    gcups = cells_real / dt / 1e9
     tpu_pairs_s = B / dt
 
-    # --- reference-equivalent CPU baseline (subset, 1 core) ---------------
     nb = 8
     t0 = time.time()
     for i in range(nb):
         affine_extend_cpu(qs[i].astype(np.uint8), ts[i].astype(np.uint8))
     cpu_pairs_s = nb / (time.time() - t0)
+    return dict(gcups=gcups, gcups_padded=cells_padded / dt / 1e9,
+                vs_baseline=tpu_pairs_s / cpu_pairs_s)
 
+
+def bench_myers(rng):
+    """Device-side fwd+tb of the production correction aligner, plus the
+    end-to-end myers_align wrapper (host event expansion + transfers)."""
+    import jax.numpy as jnp
+    from nextdenovo_tpu.io.simulate import mutate_read
+    from nextdenovo_tpu.ops import myers as M
+
+    B, L, NW = 1024, 11_000, 8
+    W = 32 * NW
+    ts_l = [rng.integers(0, 4, L).astype(np.uint8) for _ in range(B)]
+    qs_l = [mutate_read(t, 0.10, rng) for t in ts_l]
+    # m >= n ordering as in _myers_dispatch
+    qs, ts = [], []
+    for q, t in zip(qs_l, ts_l):
+        (a, b) = (q, t) if len(q) >= len(t) else (t, q)
+        qs.append(a)
+        ts.append(b)
+    m = np.array([len(q) for q in qs], np.int32)
+    n = np.array([len(t) for t in ts], np.int32)
+    off = np.clip((W - (m - n)) // 2, 16, W - 16).astype(np.int32)
+    n_pad = M._half_octave(int(n.max()) + 1)
+    qp_w = M._half_octave(int(m.max()) + W + 2)
+    qpad = np.full((B, qp_w), 4, np.int8)
+    tpad = np.full((B, n_pad), 4, np.int8)
+    for b in range(B):
+        qpad[b, : m[b]] = qs[b]
+        tpad[b, : n[b]] = ts[b]
+    qtop, tch, win0 = M._build_streams(jnp.asarray(qpad), jnp.asarray(tpad),
+                                       jnp.asarray(off), nw=NW)
+    nv, ov = jnp.asarray(n), jnp.asarray(off)
+    mv = jnp.asarray(m)
+
+    score, planes, final = M.myers_fwd(win0, qtop, tch, nv, ov, nw=NW)
+    evs, i_f, ok = M.myers_tb(planes, mv, nv, ov, nw=NW)
+    _ = np.asarray(i_f)     # warm + sync
+    reps = 3
+    t0 = time.time()
+    for _i in range(reps):
+        score, planes, final = M.myers_fwd(win0, qtop, tch, nv, ov, nw=NW)
+        evs, i_f, ok = M.myers_tb(planes, mv, nv, ov, nw=NW)
+        _ = np.asarray(i_f)
+    dt = (time.time() - t0) / reps
+    cells = float(n.astype(np.int64).sum()) * W
+    gcups = cells / dt / 1e9
+
+    t0 = time.time()
+    res = M.myers_align([q.astype(np.int8) for q in qs_l[:256]],
+                        [t.astype(np.int8) for t in ts_l[:256]])
+    e2e_pairs_s = sum(1 for r in res if r["ok"]) / (time.time() - t0)
+    return dict(gcups=gcups, e2e_pairs_s=e2e_pairs_s)
+
+
+def main():
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    ext = bench_extend(rng)
+    my = bench_myers(rng)
+    ext_roof = VPU_OPS_S / EXT_OPS_PER_CELL / 1e9
+    my_roof = VPU_OPS_S / MYERS_OPS_PER_CELL / 1e9
     print(json.dumps(dict(
         metric="ksw2_extend_gcups" if on_tpu else "ksw2_extend_gcups_cpu",
-        value=round(gcups, 3),
+        value=round(ext["gcups"], 3),
         unit="Gcells/s",
-        vs_baseline=round(tpu_pairs_s / cpu_pairs_s, 3),
+        vs_baseline=round(ext["vs_baseline"], 3),
+        gcups_padded=round(ext["gcups_padded"], 3),
+        ext_pct_roofline=round(100 * ext["gcups"] / ext_roof, 2),
+        myers_gcups=round(my["gcups"], 3),
+        myers_pct_roofline=round(100 * my["gcups"] / my_roof, 2),
+        myers_pairs_s=round(my["e2e_pairs_s"], 1),
+        roofline_note="latency-bound (see bench.py docstring)",
     )))
 
 
