@@ -1,0 +1,12 @@
+#!/bin/sh
+# Build the reference's format tools out-of-tree for golden cross-validation
+# (tests/test_refformats.py).  Sources are compiled straight from the
+# read-only reference checkout; nothing is copied into this repo, and the
+# binaries land in the gitignored .scratch/ dir.
+set -e
+REF=${REF:-/root/reference}
+OUT=$(dirname "$0")/../.scratch/refbin
+mkdir -p "$OUT"
+gcc -O2 -o "$OUT/ovl_cvt" "$REF/util/ovl_cvt.c" "$REF/lib/ovl.c" -I"$REF/lib"
+gcc -O2 -o "$OUT/seq_bit" "$REF/util/seq_bit.c" "$REF/lib/bseq.c" -I"$REF/lib" -lz
+echo "built: $OUT/ovl_cvt $OUT/seq_bit"

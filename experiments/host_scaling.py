@@ -1,0 +1,136 @@
+"""1-host vs 2-host scaling measurement (corrected reads/s, overlaps/s).
+
+Methodology: the build box has 2 cores, so concurrent multi-process runs
+measure core contention, not the framework's sharding overhead.  To
+isolate the latter, every host process is pinned to ONE core with
+taskset: config A = 1 host on 1 core, config B = 2 hosts on 1 core each.
+Efficiency = rate_B / (2 * rate_A) then reflects shard balance + barrier
+/ gather overhead — the quantity that transfers to real one-machine-per
+-host deployments (BASELINE.json: >70% at 1 -> 2 hosts).
+
+Rates are computed from each host's per-stage trace spans
+(<workdir>/trace[.hN].jsonl): reads/s over the max (critical-path) host
+wall of the sharded stages raw_align + seed_cns.
+
+Run: python experiments/host_scaling.py [genome_kb=200] [coverage=20]
+     [out_json]
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _stage_walls(trace_path):
+    walls = {}
+    with open(trace_path) as fh:
+        for line in fh:
+            rec = json.loads(line)
+            walls[rec["name"]] = walls.get(rec["name"], 0.0) + rec["wall"]
+    return walls
+
+
+def _run(cfgp, d, n_hosts):
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""))
+    t0 = time.time()
+    if n_hosts == 1:
+        p = subprocess.run(
+            ["taskset", "-c", "0", sys.executable, "-m",
+             "nextdenovo_tpu.pipeline.run", cfgp],
+            cwd=d, env=env, capture_output=True, text=True, timeout=3000)
+        assert p.returncode == 0, p.stderr[-3000:]
+    else:
+        procs = [subprocess.Popen(
+            ["taskset", "-c", str(k), sys.executable, "-m",
+             "nextdenovo_tpu.parallel.launcher", cfgp,
+             "--hosts", str(n_hosts), "--host-id", str(k)],
+            cwd=d, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT) for k in range(n_hosts)]
+        outs = [p.communicate(timeout=3000)[0] for p in procs]
+        for k, p in enumerate(procs):
+            assert p.returncode == 0, outs[k].decode()[-3000:]
+    return time.time() - t0
+
+
+def main():
+    glen = int(float(sys.argv[1]) * 1000) if len(sys.argv) > 1 else 200_000
+    cov = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    out_json = sys.argv[3] if len(sys.argv) > 3 else None
+
+    from nextdenovo_tpu.io.fastx import write_fasta
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+
+    d = tempfile.mkdtemp(prefix="ndtpu_hostscale_")
+    g = simulate_genome(glen, seed=31)
+    sim = simulate_reads(g, coverage=cov, mean_len=10_000, error_rate=0.10,
+                         seed=32, min_len=2000)
+    write_fasta(os.path.join(d, "reads.fa"),
+                [(f"r{i}", r) for i, r in enumerate(sim.reads)])
+    open(os.path.join(d, "input.fofn"), "w").write("reads.fa\n")
+
+    res = dict(genome_kb=glen // 1000, coverage=cov, n_reads=len(sim.reads))
+    rates = {}
+    for tag, n_hosts in (("h1", 1), ("h2", 2)):
+        wd = f"wd_{tag}"
+        cfgp = os.path.join(d, f"run_{tag}.cfg")
+        open(cfgp, "w").write(f"""
+[General]
+task = all
+input_type = raw
+read_type = ont
+input_fofn = ./input.fofn
+workdir = ./{wd}
+[correct_option]
+read_cutoff = 1k
+genome_size = {glen}
+seed_depth = 20
+""")
+        wall = _run(cfgp, d, n_hosts)
+        traces = [_stage_walls(os.path.join(d, wd, f"trace.h{k}.jsonl"))
+                  for k in range(n_hosts)] if n_hosts > 1 else \
+            [_stage_walls(os.path.join(d, wd, "trace.jsonl"))]
+        crit = {}
+        for stage in ("raw_align", "seed_cns", "cns_align", "ctg_cns"):
+            crit[stage] = max(t.get(stage, 0.0) for t in traces)
+        from nextdenovo_tpu.io.seqstore import SeqStore
+        n_corr = len(SeqStore.load(os.path.join(d, wd, "03.seed_cns",
+                                                "cns")))
+        sharded_wall = crit["raw_align"] + crit["seed_cns"]
+        rates[tag] = dict(wall_s=round(wall, 1),
+                          stage_crit_s={k: round(v, 1)
+                                        for k, v in crit.items()},
+                          sharded_wall_s=round(sharded_wall, 1),
+                          corrected_reads=n_corr,
+                          corrected_reads_s=round(
+                              n_corr / max(1e-9, crit["seed_cns"]), 2))
+        res[tag] = rates[tag]
+    eff_sharded = rates["h1"]["sharded_wall_s"] / \
+        (2 * rates["h2"]["sharded_wall_s"])
+    eff_e2e = rates["h1"]["wall_s"] / (2 * rates["h2"]["wall_s"])
+    res["efficiency_sharded_stages"] = round(eff_sharded, 3)
+    res["efficiency_e2e"] = round(eff_e2e, 3)
+    res["note"] = ("each host pinned to 1 core (taskset); efficiency over "
+                   "the critical-path wall of the sharded stages "
+                   "raw_align+seed_cns; e2e includes the serial host-0 "
+                   "stages (sort/graph) which cap e2e speedup by Amdahl")
+    print(json.dumps(res, indent=1))
+    if out_json:
+        json.dump(res, open(out_json, "w"), indent=1)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

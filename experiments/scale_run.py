@@ -7,7 +7,11 @@ known genomes, compare metrics — doc/TEST2-4.rst); this script is our
 equivalent harness for synthetic genomes at increasing scale.
 
 Run: python experiments/scale_run.py [genome_kb=1000] [coverage=30]
-     [mean_len=12000] [workdir=/tmp/ndtpu_scale]
+     [mean_len=12000] [workdir=/tmp/ndtpu_scale] [out_json]
+
+When out_json is given, the result — including per-stage wall times from
+the tracer and the native consensus phase profile (nd_prof_report) — is
+written there (the SCALE_rNN.json artifact the driver/judge reads).
 """
 import json
 import os
@@ -45,6 +49,7 @@ def main():
     cov = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     mean_len = int(sys.argv[3]) if len(sys.argv) > 3 else 12_000
     workdir = sys.argv[4] if len(sys.argv) > 4 else "/tmp/ndtpu_scale"
+    out_json = sys.argv[5] if len(sys.argv) > 5 else None
 
     import logging
     logging.basicConfig(level=logging.INFO,
@@ -94,7 +99,22 @@ genome_size = {glen}
                n50=int(out["stats"].get("N50", (0,))[0]) if out["stats"] else 0,
                total_bp=total, genome_frac=round(total / glen, 3),
                kmer31_identity=round(ident, 4))
+    from nextdenovo_tpu.utils import get_tracer
+    stages = {}
+    for s in get_tracer().spans:
+        stages[s.name] = round(stages.get(s.name, 0.0) + s.wall, 2)
+    res["stage_wall_s"] = stages
+    try:
+        from nextdenovo_tpu.native import prof_report
+        res["cns_profile_s"] = {k: round(v, 2)
+                                for k, v in prof_report().items()}
+    except Exception:
+        pass
+    res["backend"] = jax.default_backend()
     print(json.dumps(res))
+    if out_json:
+        with open(out_json, "w") as fh:
+            json.dump(res, fh, indent=1)
 
 
 if __name__ == "__main__":

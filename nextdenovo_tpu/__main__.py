@@ -90,9 +90,36 @@ def cmd_seq_bit(argv) -> int:
     from .io.seqstore import SeqStore
 
     p = argparse.ArgumentParser(prog="seq_bit")
-    p.add_argument("input", help="fasta/fastq[.gz] or a SeqStore .npz")
-    p.add_argument("output", help=".npz (pack) or .fa/.fasta (unpack)")
+    p.add_argument("input", help="fasta/fastq[.gz], SeqStore .npz, or a "
+                                 "reference 2bit DB (.2bit)")
+    p.add_argument("output", help=".npz / .2bit (pack) or .fa/.fasta "
+                                  "(unpack)")
     a = p.parse_args(argv)
+    from .io.refformats import MAGIC_2BIT, read_2bit, write_2bit
+    if not a.input.endswith(".npz") and \
+            open(a.input, "rb").read(2) == MAGIC_2BIT:
+        seqs, names = read_2bit(a.input)
+        if a.output.endswith(".npz"):
+            SeqStore.from_codes(seqs, names=[str(n) for n in names]
+                                ).save(a.output)
+        else:
+            write_fasta(a.output, ((str(n), s)
+                                   for n, s in zip(names, seqs)))
+        print(f"unpacked {len(seqs)} reads from reference 2bit -> {a.output}")
+        return 0
+    if a.output.endswith(".2bit"):
+        if a.input.endswith(".npz"):
+            store = SeqStore.load(a.input)
+            seqs = [store.get(i) for i in range(len(store))]
+            names = [int(n) for n in (store.names or range(len(store)))]
+        else:
+            seqs, names = [], []
+            for name, codes in read_fastx(a.input):
+                names.append(int(name))
+                seqs.append(codes)
+        write_2bit(a.output, seqs, names=names)
+        print(f"packed {len(seqs)} reads -> reference 2bit {a.output}")
+        return 0
     if a.input.endswith(".npz"):
         store = SeqStore.load(a.input)
         names = store.names if store.names is not None else \
@@ -115,18 +142,35 @@ def cmd_ovl_cvt(argv) -> int:
     from .overlap.records import OvlBlock
 
     p = argparse.ArgumentParser(prog="ovl_cvt")
-    p.add_argument("input", help=".ovl.npz or text")
-    p.add_argument("output", help="text or .ovl.npz")
+    p.add_argument("input", help=".ovl.npz, text, or a reference binary "
+                                 ".ovl (mode 8/10 varint)")
+    p.add_argument("output", help="text, .ovl.npz, or reference .ovl "
+                                  "(use a .refovl suffix to emit binary)")
     a = p.parse_args(argv)
-    if a.input.endswith(".npz"):
-        blk = OvlBlock.load(a.input)
+    from .io.refformats import read_ovl, write_ovl
+
+    def _load(path):
+        if path.endswith(".npz"):
+            return OvlBlock.load(path)
+        head = open(path, "rb").read(64)
+        try:
+            head.decode("ascii")
+            is_text = True
+        except UnicodeDecodeError:
+            is_text = False
+        if is_text:
+            return OvlBlock.from_text(open(path).read())
+        return read_ovl(path)[0]
+
+    blk = _load(a.input)
+    if a.output.endswith(".npz"):
+        blk.save(a.output)
+    elif a.output.endswith(".refovl"):
+        write_ovl(a.output, blk, mode=8)
+    else:
         with open(a.output, "w") as fh:
             fh.write(blk.to_text())
-    else:
-        with open(a.input) as fh:
-            blk = OvlBlock.from_text(fh.read())
-        blk.save(a.output)
-    print(f"{a.input} -> {a.output}")
+    print(f"{a.input} -> {a.output} ({len(blk)} records)")
     return 0
 
 

@@ -263,13 +263,23 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
 
     qpos = jnp.broadcast_to(qm_pos[:, None], (M, max_occ))
     qr = jnp.broadcast_to(q_grid[:, None], (M, max_occ))
-    diag = jnp.where(rel == 0, qpos - t_pos, qpos + t_pos)
-
-    # flatten + sort by (q local rid, target key, diag-bin/qpos)
     A = M * max_occ
     f = lambda x: x.reshape(A)
-    qr, t_rid, t_pos, rel, qpos, diag, take = map(
-        f, (qr, t_rid, t_pos, rel, qpos, diag, take))
+    qr, t_rid, t_pos, rel, take = map(f, (qr, t_rid, t_pos, rel, take))
+    qpos = f(qpos)
+    return _vote_emit(qr, t_rid, t_pos, rel, qpos, take, k=k,
+                      diag_shift=diag_shift, min_cnt=min_cnt,
+                      min_span=min_span, cap_out=cap_out, top_k=top_k)
+
+
+def _vote_emit(qr, t_rid, t_pos, rel, qpos, take, *, k: int, diag_shift: int,
+               min_cnt: int, min_span: int, cap_out: int, top_k: int):
+    """Diagonal-corridor voting + chain scoring + emission over flat anchor
+    arrays (A,).  Shared by the single-chip _match_block and the SPMD
+    distributed step (parallel/dist_overlap.py), so both paths emit
+    identical records for identical anchor sets."""
+    A = qr.shape[0]
+    diag = jnp.where(rel == 0, qpos - t_pos, qpos + t_pos)
     dbin = (diag >> diag_shift) + jnp.int32(1 << 20)
     key_t = t_rid * 2 + rel
     key_q = jnp.where(take, qr, I32MAX)
@@ -326,8 +336,11 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
     KC = top_k + 1
     qp2_key = jnp.where(valid & (corr < top_k), qpos, I32MAX)
     key_t2 = key_t * KC + jnp.minimum(corr, top_k)
+    # num_keys=4 (t_pos breaks qpos ties): emitted records are then a pure
+    # function of the anchor SET, independent of anchor order — required
+    # for single-chip vs distributed-route parity
     kq2, kt2, qp2, tp2 = jax.lax.sort([key_q, key_t2, qp2_key, t_pos],
-                                      num_keys=3)
+                                      num_keys=4)
     near2 = qp2 != I32MAX
     g2 = segment_starts(kq2) | segment_starts(kt2)
     key_tq = kt2 // KC        # original (t_rid*2 + rel) key

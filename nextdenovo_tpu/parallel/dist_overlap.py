@@ -4,16 +4,20 @@ Replaces the reference's seed_files x part_files job matrix + file-based
 shuffle (nextDenovo:426-467 raw_align; ovl_sort's external merge) with one
 SPMD program:
 
-  * every device holds one shard of the minimizer index, partitioned by hash
-    range (device d owns hashes with top bits == d);
+  * every device holds one shard of the minimizer index, partitioned by
+    hash range (device d owns hashes with top bits == d);
   * each device sketches its local (data-parallel) read batch;
   * minimizers are routed to the owning index shard with jax.lax.all_to_all
-    over ICI, looked up there, and the anchor hits routed back;
-  * diagonal voting then runs locally per device on its own queries.
+    over ICI, looked up there, and the anchor hits routed BACK to the
+    query's home shard with a second owner-keyed all_to_all (no all_gather
+    — per-device volume stays O(anchors/n_shards) at any mesh size);
+  * diagonal voting + chain scoring + emission then run locally per device
+    via the SAME code as the single-chip engine (engine._vote_emit), so a
+    record set computed on the mesh is identical to the single-chip one.
 
-This module is exercised on a virtual CPU mesh by `dryrun_multichip` and is
-the template for pod-scale runs; the single-chip path (overlap/engine.py)
-remains the default until multi-chip hardware is attached.
+Exercised on a virtual CPU mesh by `dryrun_multichip` (which asserts
+record parity against engine.find_overlaps); the single-chip path stays
+the default until multi-chip hardware is attached.
 """
 from __future__ import annotations
 
@@ -21,84 +25,81 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.segment import segment_argmax, segment_max, segment_min, \
-    segment_starts, segment_sum
+from ..overlap.engine import _vote_emit
 from ..ops.sketch import sketch
 from .mesh import AXIS
 
 I32MAX = jnp.int32(2**31 - 1)
 
 
-def _local_sketch(codes, lens, k, w, cap):
-    """Per-device sketch (same math as ops.sketch.sketch)."""
-    return sketch(codes, lens, k=k, w=w, cap=cap)
-
-
 @functools.partial(jax.jit, static_argnames=("k", "w", "cap_mini", "max_occ",
-                                             "diag_shift", "cap_out", "mesh",
-                                             "n_shards"))
+                                             "diag_shift", "min_cnt",
+                                             "min_span", "top_k", "cap_out",
+                                             "mesh", "n_shards"))
 def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
                              idx_strand, *, k: int, w: int, cap_mini: int,
                              max_occ: int, diag_shift: int, cap_out: int,
-                             mesh: Mesh, n_shards: int):
+                             mesh: Mesh, n_shards: int, min_cnt: int = 4,
+                             min_span: int = 500, top_k: int = 1):
     """One SPMD overlap step.
 
     codes:   (n_shards*B, L) int32, sharded by rows (data-parallel queries)
     lens:    (n_shards*B,)   int32, sharded
-    rid_base:(n_shards*B,)   int32 global rid per row, sharded
+    rid_base:(n_shards*B,)   int32 global rid per row, sharded; global rid r
+             must live on shard r // B (block distribution) for the anchor
+             route-back to find its home shard.
     idx_*:   (n_shards*H,)   index arrays, sharded by hash range: shard d
              holds entries with hash >> (32 - log2(n_shards)) == d, sorted.
-    Returns per-shard overlap record arrays (concatenated on host).
+    Returns per-shard overlap record arrays (qname, tname, rev, qs, qe,
+    ts, te, match; -1 qname = pad) and a psum'd total record count.
     """
     shift_bits = 32 - max(1, (n_shards - 1).bit_length()) if n_shards > 1 else 32
 
     def step(codes, lens, rid_base, ih, irid, ipos, istr):
+        B_local = codes.shape[0]
+        me = jax.lax.axis_index(AXIS) if n_shards > 1 else 0
+
         # ---- local sketch ------------------------------------------------
-        m = _local_sketch(codes, lens, k, w, cap_mini)
+        m = sketch(codes, lens, k=k, w=w, cap=cap_mini)
         valid = m.rid >= 0
-        # owner shard of each minimizer by hash top bits
         owner = jnp.where(valid,
-                          (m.hash >> jnp.uint32(shift_bits)).astype(jnp.int32) %
-                          n_shards, 0)
+                          (m.hash >> jnp.uint32(shift_bits)).astype(jnp.int32)
+                          % n_shards, 0)
+
+        def bucketize(fields, fills, sel_owner, valid_m, cap_route):
+            """Route rows to (n_shards, cap_route) buckets per destination;
+            returns one (n_shards, cap_route) array per field."""
+            outs = [[] for _ in fields]
+            n_rows = fields[0].shape[0]
+            for d in range(n_shards):
+                sel = valid_m & (sel_owner == d)
+                idxs = jnp.nonzero(sel, size=cap_route, fill_value=n_rows)[0]
+                safe = jnp.minimum(idxs, n_rows - 1)
+                got = idxs < n_rows
+                for o, f, fill in zip(outs, fields, fills):
+                    o.append(jnp.where(got, f[safe], fill))
+            return [jnp.stack(o) for o in outs]
 
         # ---- route minimizers to index shards (all-to-all) ---------------
         cap_route = cap_mini // max(1, n_shards) * 2
-        me = jax.lax.axis_index(AXIS)
-
-        def bucketize(field, fill):
-            # (n_shards, cap_route) per destination shard
-            out = []
-            for d in range(n_shards):
-                sel = valid & (owner == d)
-                idxs = jnp.nonzero(sel, size=cap_route, fill_value=field.shape[0])[0]
-                safe = jnp.minimum(idxs, field.shape[0] - 1)
-                got = idxs < field.shape[0]
-                out.append(jnp.where(got, field[safe], fill))
-            return jnp.stack(out)
-
-        h_b = bucketize(m.hash, jnp.uint32(0xFFFFFFFF))
-        pos_b = bucketize(m.pos, 0)
-        str_b = bucketize(m.strand, 0)
-        qid_b = bucketize(rid_base[jnp.maximum(m.rid, 0)], -1)
-
+        qid = rid_base[jnp.maximum(m.rid, 0)]
+        h_b, pos_b, str_b, qid_b = bucketize(
+            (m.hash, m.pos, m.strand, qid),
+            (jnp.uint32(0xFFFFFFFF), 0, 0, -1), owner, valid, cap_route)
         if n_shards > 1:
-            h_r = jax.lax.all_to_all(h_b, AXIS, 0, 0, tiled=False)
-            pos_r = jax.lax.all_to_all(pos_b, AXIS, 0, 0, tiled=False)
-            str_r = jax.lax.all_to_all(str_b, AXIS, 0, 0, tiled=False)
-            qid_r = jax.lax.all_to_all(qid_b, AXIS, 0, 0, tiled=False)
+            a2a = lambda x: jax.lax.all_to_all(x, AXIS, 0, 0, tiled=False)
+            h_r, pos_r, str_r, qid_r = map(a2a, (h_b, pos_b, str_b, qid_b))
         else:
             h_r, pos_r, str_r, qid_r = h_b, pos_b, str_b, qid_b
-        # flatten: (n_shards * cap_route,) received minimizers
         h_r = h_r.reshape(-1)
         pos_r = pos_r.reshape(-1)
         str_r = str_r.reshape(-1)
         qid_r = qid_r.reshape(-1)
         rvalid = qid_r >= 0
 
-        # ---- lookup in the local index shard ------------------------------
+        # ---- lookup in the local index shard -----------------------------
         lo = jnp.searchsorted(ih, h_r, side="left").astype(jnp.int32)
         hi = jnp.searchsorted(ih, h_r, side="right").astype(jnp.int32)
         cnt = jnp.minimum(hi - lo, max_occ)
@@ -106,70 +107,45 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
         occ = jax.lax.broadcasted_iota(jnp.int32, (M, max_occ), 1)
         take = (occ < cnt[:, None]) & rvalid[:, None]
         aidx = jnp.minimum(lo[:, None] + occ, ih.shape[0] - 1)
-        t_rid = jnp.where(take, irid[aidx], -1)
-        t_pos = irid[aidx] * 0 + ipos[aidx]
+        t_rid = irid[aidx]
+        t_pos = ipos[aidx]
         rel = (istr[aidx] ^ str_r[:, None]) & 1
         take = take & (t_rid >= 0) & (t_rid != qid_r[:, None])
 
-        # anchors: (M*max_occ) -> route back to the query's home shard.
-        # For the dry-run scale we instead all_gather the anchors and let
-        # each shard keep its own queries' anchors (simpler; same volume at
-        # small n_shards).
-        qpos_a = jnp.broadcast_to(pos_r[:, None], (M, max_occ)).reshape(-1)
-        qid_a = jnp.broadcast_to(qid_r[:, None], (M, max_occ)).reshape(-1)
-        t_rid = t_rid.reshape(-1)
-        t_pos = t_pos.reshape(-1)
-        rel = rel.reshape(-1)
-        take = take.reshape(-1)
+        flat = lambda x: x.reshape(M * max_occ)
+        qid_a = flat(jnp.broadcast_to(qid_r[:, None], (M, max_occ)))
+        qpos_a = flat(jnp.broadcast_to(pos_r[:, None], (M, max_occ)))
+        t_rid, t_pos, rel, take = map(flat, (t_rid, t_pos, rel, take))
 
+        # ---- route anchors BACK to the query's home shard ----------------
         if n_shards > 1:
-            gather = lambda x: jax.lax.all_gather(x, AXIS, tiled=True)
-            qid_a, qpos_a, t_rid, t_pos, rel, take = map(
-                gather, (qid_a, qpos_a, t_rid, t_pos, rel, take))
-        # keep anchors whose query lives on this shard
-        mine = take & (qid_a // codes.shape[0] == me) if n_shards > 1 else take
+            dest = jnp.where(take, qid_a // B_local, 0)
+            cap_back = (M * max_occ) // n_shards * 2
+            qid_b2, qpos_b2, trid_b2, tpos_b2, rel_b2 = bucketize(
+                (qid_a, qpos_a, t_rid, t_pos, rel),
+                (-1, 0, -1, 0, 0), dest, take, cap_back)
+            a2a = lambda x: jax.lax.all_to_all(x, AXIS, 0, 0, tiled=False)
+            qid_a, qpos_a, t_rid, t_pos, rel = (
+                x.reshape(-1) for x in map(
+                    a2a, (qid_b2, qpos_b2, trid_b2, tpos_b2, rel_b2)))
+            take = qid_a >= 0
+        qid_a = jnp.maximum(qid_a, 0)
 
-        # ---- diagonal voting (as engine._match_block) ---------------------
-        diag = jnp.where(rel == 0, qpos_a - t_pos, qpos_a + t_pos)
-        dbin = (diag >> diag_shift) + jnp.int32(1 << 20)
-        key_q = jnp.where(mine, qid_a, I32MAX)
-        key_t = t_rid * 2 + rel
-        key_b = dbin
-        key_q, key_t, key_b, t_pos_s, qpos_s, diag_s = jax.lax.sort(
-            [key_q, key_t, key_b, t_pos, qpos_a, diag], num_keys=3)
-        valid_a = key_q != I32MAX
-        g_starts = segment_starts(key_q) | segment_starts(key_t)
-        b_starts = g_starts | segment_starts(key_b)
-        ones = valid_a.astype(jnp.int32)
-        bin_cnt = segment_sum(ones, b_starts)
-        _, best_bin = segment_argmax(bin_cnt, key_b, g_starts)
-        width = jnp.int32(1 << diag_shift)
-        center = (best_bin - (1 << 20)) * width + width // 2
-        near = valid_a & (jnp.abs(diag_s - center) <= width)
-        inf = jnp.int32(1 << 30)
-        nearc = near.astype(jnp.int32)
-        cnt_g = segment_sum(nearc, g_starts)
-        qs = segment_min(jnp.where(near, qpos_s, inf), g_starts)
-        qe = segment_max(jnp.where(near, qpos_s, -inf), g_starts) + k
-        ts = segment_min(jnp.where(near, t_pos_s, inf), g_starts)
-        te = segment_max(jnp.where(near, t_pos_s, -inf), g_starts) + k
-        g_ends = jnp.concatenate([g_starts[1:], jnp.ones((1,), bool)])
-        emit = g_ends & valid_a & (cnt_g >= 4) & \
-            (jnp.minimum(qe - qs, te - ts) >= 500)
-        A = emit.shape[0]
-        hits = jnp.nonzero(emit, size=cap_out, fill_value=A)[0]
-        got = hits < A
-        hc = jnp.minimum(hits, A - 1)
-        gv = lambda x: jnp.where(got, x[hc], -1)
-        n_ovl = jax.lax.psum(jnp.sum(got.astype(jnp.int32)), AXIS) \
-            if n_shards > 1 else jnp.sum(got.astype(jnp.int32))
-        return (gv(key_q), gv(key_t) >> 1, gv(key_t) & 1, gv(qs), gv(qe),
-                gv(ts), gv(te), gv(cnt_g), n_ovl)
+        # ---- diagonal voting + chain + emission (shared with engine) -----
+        rec, n_out, _overflow = _vote_emit(
+            qid_a, t_rid, t_pos, rel, qpos_a, take, k=k,
+            diag_shift=diag_shift, min_cnt=min_cnt, min_span=min_span,
+            cap_out=cap_out, top_k=top_k)
+        n_ovl = jax.lax.psum(n_out, AXIS) if n_shards > 1 else n_out
+        return (rec["qname"], rec["tname"], rec["rev"], rec["qs"],
+                rec["qe"], rec["ts"], rec["te"], rec["match"], n_ovl)
 
     if n_shards == 1:
-        return step(codes, lens, rid_base, idx_h, idx_rid, idx_pos, idx_strand)
+        return step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
+                    idx_strand)
     return jax.shard_map(
         step, mesh=mesh,
-        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                  P(AXIS)),
         out_specs=(P(AXIS),) * 8 + (P(),),
     )(codes, lens, rid_base, idx_h, idx_rid, idx_pos, idx_strand)

@@ -232,6 +232,7 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
                  len(cns_store), cns_store.total_bases)
 
     if cfg.task == "correct":
+        _dump_trace(cfg, hs, multi)
         return dict(cns=cns_store)
 
     # ---- cns_align ------------------------------------------------------
@@ -410,15 +411,22 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
             hs.wait_done(st)
     seqs = [s for _, s in read_fastx(st.path("nd.asm.fasta"))]
     stats = stat_n50(np.array([len(s) for s in seqs])) if seqs else {}
-    tracer = get_tracer()
-    if tracer.enabled:
-        tracer.dump_jsonl(os.path.join(cfg.workdir, "trace.jsonl"))
-        log.info("profile:\n%s", tracer.summary())
+    _dump_trace(cfg, hs, multi)
     log.info("assembly: %d contigs, N50=%s, total=%s (%.1fs)",
              len(seqs), stats.get("N50", (0,))[0] if stats else 0,
              stats.get("total", 0), time.time() - t_start)
     return dict(cns=cns_store, contigs=seqs, stats=stats,
                 fasta=st.path("nd.asm.fasta"))
+
+
+def _dump_trace(cfg, hs, multi: bool):
+    """Per-host span dump (hosts each hold their own tracer; a shared
+    filename would clobber across processes)."""
+    tracer = get_tracer()
+    if tracer.enabled:
+        name = f"trace.h{hs.host_id}.jsonl" if multi else "trace.jsonl"
+        tracer.dump_jsonl(os.path.join(cfg.workdir, name))
+        log.info("profile:\n%s", tracer.summary())
 
 
 def main(argv=None):

@@ -1,0 +1,166 @@
+"""Golden cross-validation of the reference-format codecs.
+
+Round-trips through OUR codec are checked always; when the reference's own
+tools are available (built out-of-tree into .scratch/refbin by
+experiments/build_ref_tools.sh — sources compiled straight from
+/root/reference, nothing copied), every artifact is ALSO pushed through
+the reference binary and compared byte-for-byte / record-for-record.
+This cashes the BASELINE "bit-identical (modulo tie-breaks)" claim at the
+format layer (lib/bseq.c 2bit, lib/ovl.c varint .ovl).
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from nextdenovo_tpu.io.refformats import (read_2bit, read_ovl, write_2bit,
+                                          write_ovl)
+from nextdenovo_tpu.overlap.records import OvlBlock
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFBIN = os.path.join(REPO, ".scratch", "refbin")
+
+
+def _random_block(rng, n=400, mode10=False):
+    # names start at 1: the reference's delta encoder initializes
+    # prev_qname/prev_tname to 0 and writes qlen/tlen as 0 for a repeat,
+    # so a FIRST record named 0 legitimately loses its qlen — our codec
+    # mirrors that; the test avoids the ambiguity
+    qn = np.sort(rng.integers(1, 50, n)).astype(np.int64)
+    tn = rng.integers(1, 5000, n)
+    qs = rng.integers(0, 20000, n)
+    alq = rng.integers(500, 30000, n)
+    ts = rng.integers(0, 20000, n)
+    alt = alq + rng.integers(-400, 400, n)
+    cols = dict(qname=qn, rev=rng.integers(0, 2, n), qs=qs, qe=qs + alq,
+                tname=tn, ts=ts, te=ts + alt,
+                match=rng.integers(100, 30000, n))
+    if mode10:
+        cols["ide"] = rng.integers(0, 10001, n)
+    return OvlBlock({k: v.astype(np.int32) for k, v in cols.items()})
+
+
+def test_ovl_roundtrip_mode8(tmp_path):
+    rng = np.random.default_rng(0)
+    blk = _random_block(rng)
+    p = str(tmp_path / "x.ovl")
+    write_ovl(p, blk, mode=8)
+    got, extras = read_ovl(p)
+    assert extras["mode"] == 8
+    for k in blk.data:
+        assert np.array_equal(got.data[k], blk.data[k]), k
+
+
+def test_ovl_roundtrip_mode10(tmp_path):
+    rng = np.random.default_rng(1)
+    blk = _random_block(rng, mode10=True)
+    qlen = (np.asarray(blk.qe) + 100).astype(np.int64)
+    tlen = (np.asarray(blk.te) + 100).astype(np.int64)
+    # qlen/tlen must be consistent per name for the repeat-0 encoding
+    for arr, names in ((qlen, np.asarray(blk.qname)),
+                       (tlen, np.asarray(blk.tname))):
+        first = {}
+        for i, nm in enumerate(names.tolist()):
+            arr[i] = first.setdefault(nm, arr[i])
+    p = str(tmp_path / "x.ovl")
+    write_ovl(p, blk, mode=10, qlen=qlen, tlen=tlen)
+    got, extras = read_ovl(p)
+    assert extras["mode"] == 10
+    for k in ("qname", "rev", "qs", "qe", "tname", "ts", "te", "ide"):
+        assert np.array_equal(got.data[k], blk.data[k]), k
+    assert np.array_equal(extras["qlen"], qlen)
+    assert np.array_equal(extras["tlen"], tlen)
+
+
+def test_2bit_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    seqs = [rng.integers(0, 4, int(n)).astype(np.uint8)
+            for n in [1, 15, 16, 17, 1000, 4097]]
+    p = str(tmp_path / "x.2bit")
+    write_2bit(p, seqs, names=[10, 11, 12, 13, 14, 15])
+    got, names = read_2bit(p)
+    assert names == [10, 11, 12, 13, 14, 15]
+    for a, b in zip(seqs, got):
+        assert np.array_equal(a, b)
+
+
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFBIN, "ovl_cvt")),
+    reason="reference tools not built (.scratch/refbin)")
+
+
+@needs_ref
+def test_ovl_golden_vs_reference(tmp_path):
+    """our writer -> reference decoder == our records; reference encoder ->
+    our reader == same records (both modes)."""
+    rng = np.random.default_rng(3)
+    for mode10 in (False, True):
+        blk = _random_block(rng, n=300, mode10=mode10)
+        qlen = tlen = None
+        keys = list(blk.data)
+        if mode10:
+            qlen = (np.asarray(blk.qe) + 77).astype(np.int64)
+            tlen = (np.asarray(blk.te) + 77).astype(np.int64)
+            for arr, names in ((qlen, np.asarray(blk.qname)),
+                               (tlen, np.asarray(blk.tname))):
+                first = {}
+                for i, nm in enumerate(names.tolist()):
+                    arr[i] = first.setdefault(nm, arr[i])
+        p = str(tmp_path / f"m{mode10}.ovl")
+        write_ovl(p, blk, mode=10 if mode10 else 8, qlen=qlen, tlen=tlen)
+        # reference decode (ovl_cvt -m 1) -> text
+        txt = subprocess.run([os.path.join(REFBIN, "ovl_cvt"), "-m", "1", p],
+                             capture_output=True, text=True, check=True
+                             ).stdout
+        rows = [list(map(int, l.split("\t"))) for l in txt.splitlines()]
+        assert len(rows) == len(blk)
+        for i, row in enumerate(rows):
+            if mode10:
+                want = [int(blk.data[k][i]) for k in
+                        ("qname", "rev", "qs", "qe", "tname", "ts", "te")]
+                want += [int(qlen[i]), int(tlen[i]), int(blk.data["ide"][i])]
+            else:
+                want = [int(blk.data[k][i]) for k in
+                        ("qname", "rev", "qs", "qe", "tname", "ts", "te",
+                         "match")]
+            assert row == want, (mode10, i, row, want)
+        # reference encode (ovl_cvt -m 0 on its own text) -> our reader
+        tp = str(tmp_path / f"m{mode10}.txt")
+        open(tp, "w").write(txt)
+        enc = subprocess.run([os.path.join(REFBIN, "ovl_cvt"), "-m", "0", tp],
+                             capture_output=True, check=True).stdout
+        p2 = str(tmp_path / f"m{mode10}.ref.ovl")
+        open(p2, "wb").write(enc)
+        got, extras = read_ovl(p2)
+        assert extras["mode"] == (10 if mode10 else 8)
+        check = ("qname", "rev", "qs", "qe", "tname", "ts", "te") + \
+            (("ide",) if mode10 else ("match",))
+        for k in check:
+            assert np.array_equal(got.data[k], blk.data[k]), (mode10, k)
+        # and byte-identity of the two encoders
+        assert open(p, "rb").read() == enc, mode10
+
+
+@needs_ref
+def test_2bit_golden_vs_reference(tmp_path):
+    """reference seq_bit (fasta -> 2bit) == our writer, byte for byte; and
+    our reader decodes the reference's file."""
+    rng = np.random.default_rng(4)
+    seqs = [rng.integers(0, 4, int(n)).astype(np.uint8)
+            for n in [33, 1000, 16, 12345]]
+    fa = str(tmp_path / "r.fa")
+    with open(fa, "w") as fh:
+        for i, s in enumerate(seqs):
+            fh.write(f">{i}\n" + "".join("ACGT"[c] for c in s) + "\n")
+    ref = subprocess.run([os.path.join(REFBIN, "seq_bit"), fa],
+                         capture_output=True, check=True).stdout
+    ours = str(tmp_path / "ours.2bit")
+    write_2bit(ours, seqs)
+    assert open(ours, "rb").read() == ref
+    p2 = str(tmp_path / "ref.2bit")
+    open(p2, "wb").write(ref)
+    got, names = read_2bit(p2)
+    assert names == list(range(len(seqs)))
+    for a, b in zip(seqs, got):
+        assert np.array_equal(a, b)
