@@ -8,8 +8,8 @@ doubling, and the hash is a murmur-style finalizer (we never need to invert
 it).  Selection rule: position i is a minimizer iff it is the leftmost-tie
 argmin of some w-window, matching minimap2's density guarantee.
 
-Supports k <= 31 via 2-lane (hi, lo) uint32 packing and k <= 63 via the
-generic 4-lane path (the reference's HiFi long-kmer sketch, -k51 -w51,
+Supports k <= 31 via 2-lane (hi, lo) uint32 packing and k <= 128 via the
+generic multi-lane path (the reference's HiFi long-kmer sketch, -k51 -w51,
 minimap2/sketch.c:283 mm_sketch_nextdenovo_longkmer).  Optional
 homopolymer compression (hpc=True) squashes base runs before sketching and
 reports minimizer positions in ORIGINAL read coordinates (the role of
@@ -188,7 +188,7 @@ def sketch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
 
 
 # --------------------------------------------------------------------------
-# generic multi-lane packing for k <= 63 (lanes are uint32, MSB-first)
+# generic multi-lane packing for k <= 128 (lanes are uint32, MSB-first)
 
 def _lanes_shl(lanes, s: int):
     """Shift a multi-lane value left by s bits (within 32*len(lanes))."""
@@ -299,7 +299,7 @@ def hpc_compress(codes: jnp.ndarray, lengths: jnp.ndarray):
 def sketch_wide(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
                 cap: int, hpc: bool = False, own_lo=None,
                 own_hi=None) -> Minimizers:
-    """Long-k (k <= 63) minimizer sketch, optionally homopolymer-compressed.
+    """Long-k (k <= 128) minimizer sketch, optionally homopolymer-compressed.
     Positions are reported in original read coordinates.  own_lo/own_hi
     (optional, (B,) int32): emit only minimizers whose ORIGINAL-coordinate
     position falls in [own_lo, own_hi) — the halo-chunking hook (see
@@ -307,8 +307,10 @@ def sketch_wide(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
     B, L = codes.shape
     if hpc:
         codes, pos_map, lengths = hpc_compress(codes, lengths)
-    # minimal lane count; for k <= 31 (2 lanes) hashes match sketch() exactly
-    n_lanes = max(2, (2 * k + 31) // 32)
+    # minimal lane count (k // 16 + 1 covers the 16*n-1 packing bound, so
+    # k up to 128+ works — the reference's long-kmer ceiling,
+    # sketch.c:283-357); for k <= 31 (2 lanes) hashes match sketch() exactly
+    n_lanes = max(2, k // 16 + 1)
     fl, rl = kmer_pack_wide(codes, k, n_lanes=n_lanes)
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     valid_k = pos + k <= lengths[:, None]

@@ -35,6 +35,7 @@ class Config:
     read_type: str = "ont"     # clr | ont | hifi
     workdir: str = "./01_rundir"
     rewrite: bool = True
+    rerun: int = 3             # bounded stage rerun (nextDenovo:652-661)
     # [correct_option]
     read_cutoff: int = 1000
     genome_size: int = 0
@@ -146,6 +147,9 @@ def load_config(path: str) -> Config:
         cfg.workdir = p if p.startswith("/") else os.path.join(base, p)
     if "rewrite" in raw:
         cfg.rewrite = raw["rewrite"].split()[0].lower() not in ("no", "0", "false")
+    if "rerun" in raw:
+        # capped at 10 like the reference (config_parser.py:263)
+        cfg.rerun = min(10, max(0, int(raw["rerun"].split()[0])))
     if "correction_options" in raw and "-fast" in raw["correction_options"]:
         cfg.fast_correct = True
     # nextgraph -A = output alternative contigs (ng/opt.c usage)

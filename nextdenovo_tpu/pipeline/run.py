@@ -41,6 +41,22 @@ from .config import Config, load_config
 log = logging.getLogger("nextdenovo_tpu")
 
 
+def retry(name: str, fn, n: int = 3):
+    """Bounded stage rerun (the reference's `rerun = 3` loops,
+    nextDenovo:652-661): a transient stage failure is retried up to n
+    times before propagating."""
+    for attempt in range(n + 1):
+        try:
+            return fn()
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            if attempt >= n:
+                raise
+            log.warning("%s failed (attempt %d/%d), rerunning",
+                        name, attempt + 1, n, exc_info=True)
+
+
 class Stage:
     def __init__(self, workdir: str, name: str):
         self.dir = os.path.join(workdir, name)
@@ -77,6 +93,19 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
 
     hs = hosts if hosts is not None else SingleHost()
     multi = hs.n_hosts > 1
+    # rewrite=no: keep any previous run safe by moving the workdir to
+    # .backup.vN before starting fresh (nextDenovo:577-585).  rewrite=yes
+    # (default) reuses the workdir in place, which is also how resume works.
+    if not cfg.rewrite and not multi and os.path.isdir(cfg.workdir) \
+            and os.listdir(cfg.workdir):
+        import shutil
+        for i in range(100):
+            bak = f"{cfg.workdir}.backup.v{i}"
+            if not os.path.exists(bak):
+                shutil.move(cfg.workdir, bak)
+                log.warning("rewrite=no: backed up %s to %s",
+                            cfg.workdir, bak)
+                break
     os.makedirs(cfg.workdir, exist_ok=True)
     t_start = time.time()
 
@@ -131,14 +160,39 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
             part_p = st.path(f"raw.ovl.h{hs.host_id}") if multi \
                 else st.path("raw.ovl")
             if not os.path.exists(part_p + ".npz"):
+                # intra-stage resume: queries run in fixed chunks, each
+                # durably checkpointed — a crash mid-overlap redoes only
+                # the unfinished chunk (the reference's per-job .done
+                # granularity, nextDenovo:426-467)
+                CHUNK_Q = 2000
                 with span("raw_align", reads=len(store), queries=len(mine)):
-                    idx = build_index(store, rids, k=cfg.raw_k, w=cfg.raw_w,
-                                      max_occ=64)
-                    raw_part = find_overlaps(store, mine, idx, k=cfg.raw_k,
-                                             w=cfg.raw_w, max_occ=16,
-                                             min_cnt=4, min_span=500,
-                                             top_k=4)
+                    idx = None
+                    parts = []
+                    for j, q0 in enumerate(range(0, len(mine), CHUNK_Q)):
+                        cp = part_p + f".c{j:04d}"
+                        if os.path.exists(cp + ".npz"):
+                            parts.append(OvlBlock.load(cp))
+                            continue
+                        if idx is None:
+                            idx = build_index(store, rids, k=cfg.raw_k,
+                                              w=cfg.raw_w, max_occ=64)
+                        sub = mine[q0 : q0 + CHUNK_Q]
+                        blk = retry(
+                            f"raw_align chunk {j}",
+                            lambda: find_overlaps(
+                                store, sub, idx, k=cfg.raw_k, w=cfg.raw_w,
+                                max_occ=16, min_cnt=4, min_span=500,
+                                top_k=4),
+                            cfg.rerun)
+                        blk.save(cp)
+                        parts.append(blk)
+                raw_part = OvlBlock.concat_all(parts)
                 raw_part.save(part_p)
+                for j in range(len(parts)):
+                    try:
+                        os.unlink(part_p + f".c{j:04d}.npz")
+                    except OSError:
+                        pass
             if multi:
                 hs.barrier("raw_align")
                 if hs.is_main():
@@ -183,7 +237,7 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
             part_p = st.path(f"cns.h{hs.host_id}") if multi else st.path("cns")
             if not os.path.exists(part_p + ".npz"):
                 with span("seed_cns", records=len(sorted_blk)):
-                    cns_part = run_correction(
+                    cns_part = retry("seed_cns", lambda: run_correction(
                         store, sorted_blk, blacklist,
                         resume_path=st.path(
                             f"cns.progress.h{hs.host_id}.jsonl"
@@ -197,7 +251,7 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
                         min_len_aln=cfg.min_len_aln,
                         min_cov_seed=cfg.min_cov_seed,
                         max_cov_aln=cfg.max_cov_aln, min_cov=cfg.min_cov_base,
-                        max_lq_length=cfg.max_lq_length)
+                        max_lq_length=cfg.max_lq_length), cfg.rerun)
                 cns_part.save(part_p)
             if multi:
                 hs.barrier("seed_cns")
@@ -279,10 +333,11 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
         else:
             cns_rids = np.arange(len(cns_store))
             with span("cns_align", reads=len(cns_store)):
-                cns_ovl, bl = cns_overlap_stage(
+                cns_ovl, bl = retry("cns_align", lambda: cns_overlap_stage(
                     cns_store, cns_rids, k=cfg.cns_k, w=cfg.cns_w,
                     maxhan1=cfg.maxhan1, maxhan2=cfg.maxhan2,
-                    min_span=cfg.cns_min_span, interpret=interpret)
+                    min_span=cfg.cns_min_span, interpret=interpret),
+                    cfg.rerun)
             cns_ovl.save(st.path("cns.filt.dovt.ovl"))
             json.dump(bl, open(st.path("cnsbl.json"), "w"))
             st.mark()
@@ -369,17 +424,24 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
             pieces_p = st.path(f"pieces.h{hs.host_id}" if multi
                                else "pieces")
             if not os.path.exists(pieces_p + ".npz"):
+                from ..polish.driver import warn_fragmented
                 per_ctg = collect_per_ctg(ovl, len(seqs), map_store)
+                warn_fragmented(per_ctg, [len(s) for s in seqs],
+                                cfg.read_type_code)
                 keyed = []
                 with span("ctg_cns", contigs=len(seqs)):
                     for ci in hs.shard(len(seqs)):
                         ci = int(ci)
                         qv = (node_qv[ci] if node_qv and ci < len(node_qv)
                               else [])
-                        for j, p in enumerate(polish_one(
-                                seqs[ci], per_ctg[ci], map_store, qv,
-                                read_type=cfg.read_type_code,
-                                split=cfg.ctg_split, interpret=interpret)):
+                        for j, p in enumerate(retry(
+                                f"ctg_cns contig {ci}",
+                                lambda: polish_one(
+                                    seqs[ci], per_ctg[ci], map_store, qv,
+                                    read_type=cfg.read_type_code,
+                                    split=cfg.ctg_split,
+                                    interpret=interpret),
+                                cfg.rerun)):
                             keyed.append((f"{ci:06d}.{j:03d}", p))
                         log.info("polish: contig %d done", ci)
                 SeqStore.from_codes([p for _, p in keyed],

@@ -198,6 +198,32 @@ def collect_per_ctg(ovl, n_ctg: int, reads: SeqStore) -> List[List[dict]]:
     return per_ctg
 
 
+def warn_fragmented(per_ctg: List[List[dict]], ctg_lens: List[int],
+                    read_type: int) -> float:
+    """HiFi fragment-mapping warning (/root/reference/lib/ctg_cns.c:
+    3598-3617): when more than 10% of HiFi mappings are fragments (the
+    alignment covers <90% of the read while away from a contig end), warn
+    that the draft should be polished with other reads first or mapping
+    made more error-tolerant.  Returns the fragment fraction."""
+    if read_type != 3:
+        return 0.0
+    total = frag = 0
+    for recs, L in zip(per_ctg, ctg_lens):
+        for r in recs:
+            total += 1
+            if (r["qe"] - r["qs"]) < 0.9 * r["qlen"] and \
+                    r["ts"] > 500 and r["te"] + 500 < L:
+                frag += 1
+    fra = frag / (total + 1)
+    if fra > 0.1:
+        log.warning(
+            "Too many (%.3f%%) fragment mappings: please polish the genome "
+            "with other reads first, or relax the mapping parameters to "
+            "tolerate more errors; continuing anyway",
+            100.0 * frag / (total + 1))
+    return fra
+
+
 def polish_one(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
                qv: List[dict], read_type: int = 1, min_cov: int = 3,
                window: int = 25000, split: bool = True,
@@ -242,6 +268,7 @@ def run_polish(contigs: List[np.ndarray], reads: SeqStore,
     if ovl is None:
         ovl = map_polish_reads(contigs, reads, k=k, w=w)
     per_ctg = collect_per_ctg(ovl, len(contigs), reads)
+    warn_fragmented(per_ctg, [len(c) for c in contigs], read_type)
     out = []
     ids = range(len(contigs)) if contig_ids is None else contig_ids
     for ci in ids:

@@ -1,0 +1,73 @@
+"""Pipeline resilience features: rewrite=no backup dirs, bounded rerun,
+raw_align chunk checkpoints (nextDenovo:577-585, :652-661 equivalents)."""
+import os
+
+import numpy as np
+import pytest
+
+from nextdenovo_tpu.io.fastx import write_fasta
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+from nextdenovo_tpu.pipeline.config import load_config
+from nextdenovo_tpu.pipeline.run import retry, run_pipeline
+
+
+def _cfg(d, rewrite: str):
+    glen = 30_000
+    g = simulate_genome(glen, seed=41)
+    sim = simulate_reads(g, coverage=18, mean_len=9000, error_rate=0.08,
+                         seed=42, min_len=3000)
+    write_fasta(str(d / "reads.fa"),
+                [(f"r{i}", r) for i, r in enumerate(sim.reads)])
+    (d / "input.fofn").write_text("reads.fa\n")
+    cfgp = d / "run.cfg"
+    cfgp.write_text(f"""
+[General]
+task = correct
+input_type = raw
+read_type = ont
+input_fofn = ./input.fofn
+workdir = ./wd
+rewrite = {rewrite}
+[correct_option]
+read_cutoff = 1k
+genome_size = {glen}
+seed_depth = 8
+""")
+    return str(cfgp)
+
+
+def test_rewrite_no_backs_up_workdir(tmp_path):
+    cfgp = _cfg(tmp_path, "no")
+    out1 = run_pipeline(load_config(cfgp))
+    assert len(out1["cns"]) > 0
+    # second run with rewrite=no must move the old workdir aside
+    out2 = run_pipeline(load_config(cfgp))
+    assert os.path.isdir(str(tmp_path / "wd.backup.v0"))
+    assert os.path.exists(str(tmp_path / "wd.backup.v0" / "00.db" / ".done"))
+    assert len(out2["cns"]) == len(out1["cns"])
+
+
+def test_retry_bounded():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    assert retry("t", flaky, 3) == "ok"
+    assert len(calls) == 3
+    calls.clear()
+    with pytest.raises(RuntimeError):
+        retry("t", flaky, 1)
+
+
+def test_raw_align_chunk_checkpoints_cleaned(tmp_path):
+    """After a successful raw_align the chunk checkpoints are merged and
+    removed; the merged output equals the per-chunk concatenation."""
+    cfgp = _cfg(tmp_path, "yes")
+    run_pipeline(load_config(cfgp))
+    d = tmp_path / "wd" / "01.raw_align"
+    assert (d / "raw.ovl.npz").exists()
+    assert not list(d.glob("raw.ovl.c*.npz"))

@@ -132,3 +132,36 @@ def test_find_overlaps_hifi_longk():
     ovl = find_overlaps(st, rids, idx, k=51, w=11, max_occ=16, min_cnt=4,
                         min_span=500)
     assert len(ovl.qname) > len(st)  # at least ~1 overlap per read
+
+
+def test_sketch_wide_k_up_to_128():
+    """Reference parity: the long-kmer sketch supports k <= 128
+    (minimap2/sketch.c:283-357 mm_sketch_nextdenovo_longkmer)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from nextdenovo_tpu.ops.sketch import kmer_pack_wide, sketch_wide
+
+    rng = np.random.default_rng(9)
+    L = 600
+    codes = rng.integers(0, 4, (1, L)).astype(np.int32)
+    for k in (32, 64, 101, 128):
+        n_lanes = max(2, k // 16 + 1)
+        fl, rl = kmer_pack_wide(jnp.asarray(codes), k, n_lanes=n_lanes)
+        fl = [np.asarray(x)[0] for x in fl]
+        rl = [np.asarray(x)[0] for x in rl]
+        for i in range(0, L - k, 37):
+            f = r = 0
+            for j in range(k):
+                f = (f << 2) | int(codes[0, i + j])
+                r = (r << 2) | (int(codes[0, i + k - 1 - j]) ^ 3)
+            fv = rv = 0
+            for x, y in zip(fl, rl):
+                fv = (fv << 32) | int(x[i])
+                rv = (rv << 32) | int(y[i])
+            assert fv == f and rv == r, (k, i)
+        m = sketch_wide(jnp.asarray(codes),
+                        jnp.asarray(np.array([L], np.int32)), k=k, w=5,
+                        cap=1024)
+        n = int(m.n)
+        pos = np.asarray(m.pos[:n])
+        assert n > 0 and ((pos >= 0) & (pos <= L - k)).all(), k
