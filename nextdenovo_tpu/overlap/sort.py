@@ -392,9 +392,10 @@ def sort_filter_overlaps(raw: OvlBlock, is_seed: np.ndarray, lens: np.ndarray,
     if len(sym) == 0:
         return SortResult(OvlBlock.empty(), {})
     span = sym.qe - sym.qs
-    # minor keys (tname, ts) give a total deterministic order so the
-    # external-spill variant is bit-identical on ties
-    order = np.lexsort((sym.ts, sym.tname, span,
+    # minor keys (tname, ts, qs, rev) give a TOTAL order over record
+    # contents, so the external-spill and distributed-mesh variants are
+    # bit-identical on ties regardless of input permutation
+    order = np.lexsort((sym.rev, sym.qs, sym.ts, sym.tname, span,
                         -sym.match.astype(np.int64), sym.qname))
     sym = sym.take(order)
 
@@ -426,8 +427,8 @@ def _spill_chunk(sym: OvlBlock, tmpdir: str, n: int) -> str:
     for k in _REC_DTYPE.names:
         rec[k] = sym.data[k]
     span = rec["qe"].astype(np.int64) - rec["qs"]
-    order = np.lexsort((rec["ts"], rec["tname"], span,
-                        -rec["match"].astype(np.int64), rec["qname"]))
+    order = np.lexsort((rec["rev"], rec["qs"], rec["ts"], rec["tname"],
+                        span, -rec["match"].astype(np.int64), rec["qname"]))
     path = os.path.join(tmpdir, f"ovl_chunk_{n:05d}.npy")
     np.save(path, rec[order])
     return path
@@ -496,7 +497,8 @@ def sort_filter_overlaps_external(blocks, is_seed: np.ndarray,
             if not len(rec):
                 continue
             span = rec["qe"].astype(np.int64) - rec["qs"]
-            order = np.lexsort((rec["ts"], rec["tname"], span,
+            order = np.lexsort((rec["rev"], rec["qs"], rec["ts"],
+                                rec["tname"], span,
                                 -rec["match"].astype(np.int64),
                                 rec["qname"]))
             rec = rec[order]

@@ -1,0 +1,153 @@
+"""Distributed seed-keyed overlap sort (SPMD over a device mesh).
+
+Replaces the reference's external merge sort (util/ovl_sort.c, SURVEY §2.8
+row 5: "seed-sharded shuffle") with one collective program: every device
+symmetrizes its local shard of raw overlap records to seed-keyed
+orientation, routes each record to the shard owning its seed
+(seed % n_shards) with jax.lax.all_to_all, and sorts its received records
+on device by the total order (seed asc, match desc, span asc, tname, ts,
+qs, rev).  A seed's records then live contiguously on exactly one shard,
+so the sequential per-seed coverage/chimera filter (native
+nd_ovl_sort_filter) runs shard-locally with no further communication.
+
+The result is a PERMUTATION-INDEPENDENT function of the input record set:
+the host wrapper asserts parity with the single-host
+overlap.sort.sort_filter_overlaps in tests (the total sort order is shared
+with the host path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..overlap.records import OvlBlock
+from ..overlap.sort import SortResult, _filter_sorted_native, _rows_to_block
+from .mesh import AXIS
+
+I32MAX = jnp.int32(2**31 - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("cap_route", "mesh", "n_shards"))
+def distributed_seed_sort_step(rec8, is_seed, lens, *, cap_route: int,
+                               mesh: Mesh, n_shards: int):
+    """rec8: (n_shards*R, 8) int32 raw records (exclusive ends), sharded by
+    rows; is_seed (n_reads,) bool and lens (n_reads,) int32 replicated.
+    Returns per-shard sorted seed-keyed records (cap_route*n_shards rows
+    per shard, qname == I32MAX padding) in the host filter's total order,
+    ends INCLUSIVE, plus a psum'd record count."""
+
+    def step(rec, is_seed, lens):
+        q, rev, qs, qe = rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
+        t, ts, te, match = rec[:, 4], rec[:, 5], rec[:, 6], rec[:, 7]
+        keep = (q != t) & (qe - qs >= 500) & (te - ts >= 500)
+        sq = jnp.clip(q, 0, is_seed.shape[0] - 1)
+        st_ = jnp.clip(t, 0, is_seed.shape[0] - 1)
+        # the two symmetrized views (overlap.sort.symmetrize semantics,
+        # ends made inclusive)
+        v_q = keep & is_seed[sq] & (lens[sq] >= qe)
+        v_t = keep & is_seed[st_] & (lens[st_] >= te)
+        cols = [jnp.concatenate([a, b]) for a, b in (
+            (q, t), (rev, rev), (qs, ts), (qe - 1, te - 1),
+            (t, q), (ts, qs), (te - 1, qe - 1), (match, match))]
+        valid = jnp.concatenate([v_q, v_t])
+        dest = jnp.where(valid, cols[0] % n_shards, 0)
+
+        n_rows = valid.shape[0]
+        outs = [[] for _ in cols]
+        for d in range(n_shards):
+            sel = valid & (dest == d)
+            idxs = jnp.nonzero(sel, size=cap_route, fill_value=n_rows)[0]
+            safe = jnp.minimum(idxs, n_rows - 1)
+            got = idxs < n_rows
+            for o, c in zip(outs, cols):
+                o.append(jnp.where(got, c[safe], -1))
+        bucks = [jnp.stack(o) for o in outs]
+        if n_shards > 1:
+            a2a = lambda x: jax.lax.all_to_all(x, AXIS, 0, 0, tiled=False)
+            bucks = [a2a(x) for x in bucks]
+        qn, rv, s_, e_, tn, ts2, te2, mt = (x.reshape(-1) for x in bucks)
+        ok = qn >= 0
+        # total order shared with the host path: (qname, -match, span,
+        # tname, ts, qs, rev); invalid rows sort to the end
+        span = e_ - s_
+        key_q = jnp.where(ok, qn, I32MAX)
+        srt = jax.lax.sort(
+            [key_q, jnp.where(ok, -mt, I32MAX), span, tn, ts2, s_, rv,
+             e_, te2],
+            num_keys=7)
+        n_local = jnp.sum(ok.astype(jnp.int32))
+        n_tot = jax.lax.psum(n_local, AXIS) if n_shards > 1 else n_local
+        n_sent = jnp.sum(valid.astype(jnp.int32))
+        n_sent = jax.lax.psum(n_sent, AXIS) if n_shards > 1 else n_sent
+        kq, nm, span_s, tn_s, ts_s, qs_s, rv_s, qe_s, te_s = srt
+        return (kq, rv_s, qs_s, qe_s, tn_s, ts_s, te_s,
+                jnp.where(kq != I32MAX, -nm, 0), n_tot, n_sent)
+
+    if n_shards == 1:
+        return step(rec8, is_seed, lens)
+    return jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(AXIS), P(), P()),
+        out_specs=(P(AXIS),) * 8 + (P(), P()),
+    )(rec8, is_seed, lens)
+
+
+def distributed_sort_filter(raw: OvlBlock, is_seed: np.ndarray,
+                            lens: np.ndarray, mesh: Mesh, n_shards: int,
+                            max_bin_cov: int = 40, max_flank_len: int = 300,
+                            is_hq: bool = False) -> SortResult:
+    """Full ovl_sort over the mesh: device shuffle+sort, then the native
+    per-seed filter per shard on host.  Output is record-identical to
+    sort_filter_overlaps(raw, ...) (asserted in tests/test_dist.py)."""
+    n = len(raw)
+    R = -(-max(n, 1) // n_shards)
+    rec8 = np.full((R * n_shards, 8), 0, np.int32)
+    for i, k in enumerate(("qname", "rev", "qs", "qe", "tname", "ts", "te",
+                           "match")):
+        rec8[:n, i] = np.asarray(raw.data[k], np.int32)
+    rec8[n:, 0] = 0
+    rec8[n:, 4] = 0          # q == t rows are dropped by the keep gate
+    cap_route = 2 * (2 * R) // n_shards + 256
+    out = distributed_seed_sort_step(
+        jnp.asarray(rec8), jnp.asarray(np.asarray(is_seed, bool)),
+        jnp.asarray(np.asarray(lens, np.int32)), cap_route=cap_route,
+        mesh=mesh, n_shards=n_shards)
+    cols = [np.asarray(x).reshape(n_shards, -1) for x in out[:8]]
+    n_tot = int(np.asarray(out[8]).ravel()[0])
+    n_sent = int(np.asarray(out[9]).ravel()[0])
+    if n_tot != n_sent:
+        raise RuntimeError(
+            f"distributed sort overflow: routed {n_tot} != sent {n_sent} "
+            f"records (raise cap_route)")
+
+    lens64 = np.asarray(lens, np.int64)
+    shard_recs = []
+    for d in range(n_shards):
+        m = cols[0][d] != (2**31 - 1)
+        shard_recs.append(np.stack([c[d][m] for c in cols], axis=1).astype(
+            np.int32) if m.any() else np.zeros((0, 8), np.int32))
+    # min_seed_len must match the host path: min length over seeds PRESENT
+    # in the symmetrized record set (global across shards)
+    present = np.unique(np.concatenate(
+        [r[:, 0] for r in shard_recs if len(r)]))         if any(len(r) for r in shard_recs) else np.zeros(0, np.int64)
+    min_seed_len = int(lens64[present].min()) if len(present) else 0
+    rows_parts, bl = [], {}
+    for shard_rows in shard_recs:
+        if not len(shard_rows):
+            continue
+        rows_out, bl_d = _filter_sorted_native(
+            shard_rows, lens64, min_seed_len, max_bin_cov, max_flank_len,
+            is_hq)
+        rows_parts.append(rows_out)
+        bl.update(bl_d)
+    if not rows_parts:
+        return SortResult(OvlBlock.empty(), {})
+    rows = np.concatenate(rows_parts)
+    # canonical global order: shards interleave seeds (seed % n_shards),
+    # so re-sort by seed id (stable keeps the within-seed filter order)
+    rows = rows[np.argsort(rows[:, 0], kind="stable")]
+    return SortResult(_rows_to_block(rows), bl)

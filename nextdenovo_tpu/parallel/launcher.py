@@ -114,6 +114,69 @@ def init_distributed(coordinator: str | None = None,
                                process_id=process_id)
 
 
+# batch-queue submission commands (the reference delegates these to
+# Paralleltask's submit templates, doc/OPTION.rst:107-121); {script} is the
+# generated per-host job script, {name}/{log} its job name / log path.
+SUBMIT_CMDS = {
+    "slurm": "sbatch -J {name} -o {log} {opts} {script}",
+    "sge": "qsub -N {name} -o {log} -j y {opts} {script}",
+    "pbs": "qsub -N {name} -o {log} {opts} {script}",
+    "lsf": "bsub -J {name} -o {log} {opts} < {script}",
+}
+
+
+def submit_hosts(cfg_path: str, n_hosts: int, scheduler: str,
+                 submit_opts: str = "", coordinator: str | None = None,
+                 dry_run: bool = False) -> int:
+    """Generate one job script per host and submit the N-host run to a
+    batch queue (or run all hosts locally with scheduler='local').
+
+    This is the thin boundary to cluster schedulers: each job is a full
+    host process of the shared-filesystem launcher; scheduling, placement
+    and restarts belong to the queue, resumability to the pipeline's
+    durable stage markers.
+    """
+    import shlex
+    import subprocess
+    import sys
+
+    from ..pipeline.config import load_config
+
+    cfg = load_config(cfg_path)
+    jobdir = os.path.join(cfg.workdir, ".jobs")
+    os.makedirs(jobdir, exist_ok=True)
+    cfg_abs = os.path.abspath(cfg_path)
+    scripts = []
+    for k in range(n_hosts):
+        cmd = (f"{sys.executable} -m nextdenovo_tpu.parallel.launcher "
+               f"{shlex.quote(cfg_abs)} --hosts {n_hosts} --host-id {k}")
+        if coordinator:
+            cmd += f" --coordinator {shlex.quote(coordinator)}"
+        sp = os.path.join(jobdir, f"host_{k}.sh")
+        with open(sp, "w") as fh:
+            fh.write("#!/bin/sh\nset -e\n"
+                     f"cd {shlex.quote(os.getcwd())}\n{cmd}\n")
+        os.chmod(sp, 0o755)
+        scripts.append(sp)
+    if scheduler == "local":
+        procs = [subprocess.Popen(["/bin/sh", sp]) for sp in scripts]
+        rcs = [p.wait() for p in procs]
+        return max(rcs)
+    if scheduler not in SUBMIT_CMDS:
+        raise ValueError(f"unknown scheduler {scheduler!r} "
+                         f"(known: local {' '.join(SUBMIT_CMDS)})")
+    for k, sp in enumerate(scripts):
+        sub = SUBMIT_CMDS[scheduler].format(
+            script=shlex.quote(sp), name=f"ndtpu_h{k}",
+            log=shlex.quote(os.path.join(jobdir, f"host_{k}.log")),
+            opts=submit_opts)
+        if dry_run:
+            print(sub)
+            continue
+        subprocess.run(sub, shell=True, check=True)
+    return 0
+
+
 def main(argv=None) -> None:
     import argparse
 
@@ -128,7 +191,18 @@ def main(argv=None) -> None:
     p.add_argument("--host-id", type=int, default=0)
     p.add_argument("--coordinator", default=None,
                    help="jax.distributed coordinator IP:PORT (pods only)")
+    p.add_argument("--submit", default=None,
+                   help="submit all N hosts via a batch queue instead of "
+                        "running one host: local|slurm|sge|pbs|lsf")
+    p.add_argument("--submit-opts", default="",
+                   help="extra scheduler options (quoted)")
+    p.add_argument("--dry-run", action="store_true",
+                   help="with --submit: print submission commands only")
     a = p.parse_args(argv)
+    if a.submit:
+        raise SystemExit(submit_hosts(a.cfg, a.hosts, a.submit,
+                                      a.submit_opts, a.coordinator,
+                                      a.dry_run))
     init_distributed(a.coordinator, a.hosts, a.host_id)
     cfg = load_config(a.cfg)
     logging.basicConfig(

@@ -76,3 +76,23 @@ def test_stat(reads_fa, capsys):
 def test_help_and_unknown(capsys):
     assert cli_main([]) == 0
     assert cli_main(["nope"]) == 2
+
+
+def test_launcher_submit_dry_run(tmp_path, capsys):
+    """--submit generates per-host job scripts and prints scheduler
+    commands with --dry-run (the Paralleltask-submission boundary)."""
+    cfgp = tmp_path / "run.cfg"
+    cfgp.write_text("[General]\nworkdir = ./wd\ninput_fofn = ./in.fofn\n")
+    (tmp_path / "in.fofn").write_text("")
+    from nextdenovo_tpu.parallel.launcher import submit_hosts
+    rc = submit_hosts(str(cfgp), 3, "slurm", submit_opts="-p tpu",
+                      dry_run=True)
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 3
+    assert out[0].startswith("sbatch -J ndtpu_h0")
+    assert "-p tpu" in out[0] and "host_2.sh" in out[2]
+    jobs = sorted((tmp_path / "wd" / ".jobs").glob("host_*.sh"))
+    assert len(jobs) == 3
+    body = jobs[1].read_text()
+    assert "--hosts 3 --host-id 1" in body

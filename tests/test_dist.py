@@ -75,3 +75,37 @@ def test_distributed_matches_local_records():
         s = max(sim.start[a], sim.start[b])
         e = min(sim.end[a], sim.end[b])
         assert e - s >= 300, (a, b, e - s)
+
+
+def test_distributed_seed_sort_matches_host():
+    """Mesh shuffle + device sort + native filter == single-host
+    sort_filter_overlaps, record for record and blacklist for blacklist."""
+    import jax.numpy as jnp
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+    from nextdenovo_tpu.overlap.sort import sort_filter_overlaps
+    from nextdenovo_tpu.parallel.dist_sort import distributed_sort_filter
+    from nextdenovo_tpu.parallel.mesh import make_mesh
+
+    g = simulate_genome(60_000, seed=51)
+    sim = simulate_reads(g, coverage=12, mean_len=8000, error_rate=0.08,
+                         seed=52, min_len=2500)
+    store = SeqStore.from_codes(sim.reads)
+    lens = np.asarray(store.length, np.int64)
+    rids = np.arange(len(store))
+    idx = build_index(store, rids, k=15, w=5, max_occ=64)
+    raw = find_overlaps(store, rids, idx, k=15, w=5, max_occ=16,
+                        min_cnt=4, min_span=500, top_k=4)
+    assert len(raw) > 50
+    is_seed = lens >= 6000
+
+    host = sort_filter_overlaps(raw, is_seed, lens)
+    mesh = make_mesh(8)
+    dist = distributed_sort_filter(raw, is_seed, lens, mesh, 8)
+    assert dist.blacklist == host.blacklist
+    assert len(dist.block) == len(host.block), \
+        (len(dist.block), len(host.block))
+    for k in host.block.data:
+        assert np.array_equal(np.asarray(dist.block.data[k]),
+                              np.asarray(host.block.data[k])), k
