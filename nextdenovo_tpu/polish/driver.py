@@ -198,6 +198,115 @@ def collect_per_ctg(ovl, n_ctg: int, reads: SeqStore) -> List[List[dict]]:
     return per_ctg
 
 
+MAX_PATCH_GAP = 30000      # MAX_GAP_LEN, ctg_cns.h via check_indel
+
+
+def apply_gap_patches(ctg: np.ndarray, recs: List[dict], clusters,
+                      reads: SeqStore, read_type: int = 1,
+                      interpret=None):
+    """Local reassembly of split-read gap clusters.
+
+    The reference repairs draft indels by splicing gap-spanning read
+    subsequences into the window MSA at exact tag positions
+    (generate_gapseqs + update_align_tags, /root/reference/lib/ctg_cns.c:
+    2837-2998).  Our window MSA aligns supports with a banded aligner, so
+    indels beyond the band (~250 bp) cannot be expressed that way; instead
+    each well-supported cluster is repaired EXPLICITLY: the members'
+    gap-spanning subsequences are consensused (median-length member as
+    backbone, corrected by the rest) and the result spliced over the
+    cluster's contig region.  Subsequent window re-consensus then sees a
+    draft the reads span and polishes the patch like any other sequence.
+
+    Returns (patched ctg, shifted recs, map_pos, patched_cluster_set):
+    map_pos translates original contig coords to patched coords; clusters
+    with <3 alignable members are left for the pseudo-read path.
+    """
+    live = [c for c in clusters if not getattr(c, "dead", True)]
+    patches = []
+    patched_ids = set()
+    for clu in live:
+        seqs = []
+        for gp in clu.gaps:
+            if not gp.valid:
+                continue
+            ds, de = max(0, gp.ds), min(gp.qlen, gp.de)
+            if de - ds < 100:
+                continue
+            if gp.rev:
+                seq = reads.subseq(gp.read, gp.qlen - de, gp.qlen - ds,
+                                   rc=True)
+            else:
+                seq = reads.subseq(gp.read, ds, de)
+            if len(seq) >= 100:
+                seqs.append(np.asarray(seq, np.int8))
+        if len(seqs) < 3:
+            continue
+        order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+        bb = seqs[order[len(order) // 2]]
+        sups = [seqs[i] for i in order if seqs[i] is not bb][:40]
+        res = tpu_align.band_align(sups, [bb] * len(sups),
+                                   interpret=interpret)
+        ok_s, ts_l, te_l, ops_l = [], [], [], []
+        for s, r in zip(sups, res):
+            if r["reached"] and r["ok"]:
+                ok_s.append(s.astype(np.uint8))
+                ts_l.append(0)
+                te_l.append(len(bb) - 1)
+                ops_l.append(r["ops"].astype(np.uint8))
+        if len(ok_s) >= 2:
+            ln, _ide, seq = correct_seed(
+                bb.astype(np.uint8), ok_s, ts_l, te_l, ops_l,
+                min_len_aln=100, max_cov_aln=60, min_cov=2,
+                max_lq_length=2000, min_error_corrected_ratio=0.0,
+                split=False, read_type=read_type, keep_all=True)
+            patch = np.frombuffer(seq.upper().encode().translate(_TR),
+                                  np.uint8) if ln > len(bb) * 0.5 else bb
+        else:
+            patch = bb
+        rs, re_ = int(clu.rs), int(clu.re)
+        L0 = re_ - rs
+        if not (0 <= rs < re_ <= len(ctg)) or len(patch) < L0 // 5 or \
+                len(patch) > L0 + MAX_PATCH_GAP:
+            continue
+        patches.append((rs, re_, patch))
+        patched_ids.add(id(clu))
+    if not patches:
+        return ctg, recs, (lambda p: p), patched_ids, {}
+
+    patches.sort(key=lambda p: p[0])
+
+    def map_pos(p: int) -> int:
+        """Original -> patched coords.  Endpoints INSIDE a patched region
+        clamp to the nearest patch border: mapping records computed against
+        the unpatched draft, a border-crossing endpoint has no meaningful
+        interior position (stretch-interpolating it misregisters the
+        support segment and corrupts the window MSA around the patch)."""
+        shift = 0
+        for rs, re_, patch in patches:
+            if p >= re_:
+                shift += len(patch) - (re_ - rs)
+            elif p > rs:
+                near_end = (p - rs) > (re_ - p)
+                return shift + rs + (len(patch) if near_end else 0)
+        return p + shift
+
+    parts, prev = [], 0
+    patch_map = {}
+    for rs, re_, patch in patches:
+        parts.append(ctg[prev:rs])
+        parts.append(patch)
+        patch_map[(rs, re_)] = (map_pos(rs), len(patch))
+        prev = re_
+    parts.append(ctg[prev:])
+    new_ctg = np.concatenate(parts)
+    new_recs = [dict(r, ts=map_pos(r["ts"]), te=map_pos(r["te"]))
+                for r in recs]
+    log.info("gap patches: %d applied (%s)", len(patches),
+             ", ".join(f"[{rs}:{re_})->{len(p)}bp"
+                       for rs, re_, p in patches))
+    return new_ctg, new_recs, map_pos, patched_ids, patch_map
+
+
 def warn_fragmented(per_ctg: List[List[dict]], ctg_lens: List[int],
                     read_type: int) -> float:
     """HiFi fragment-mapping warning (/root/reference/lib/ctg_cns.c:
@@ -235,7 +344,25 @@ def polish_one(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
         len(ctg), recs, qv,
         lambda rid, s, e, rc: reads.subseq(rid, s, e, rc=rc),
         min_reads=struct_min_reads)
-    splits = ana["splits"] if split else []
+    # repair well-supported gap clusters by local reassembly; weakly
+    # supported ones fall back to the pseudo-read MSA path
+    ctg, recs, map_pos, patched, patch_map = apply_gap_patches(
+        ctg, recs, ana.get("clusters", []), reads, read_type=read_type,
+        interpret=interpret)
+    # cluster-member reads become pseudo supports over their (re-mapped)
+    # patch interval, so the window MSA refines the spliced patch like any
+    # covered sequence; unpatched clusters keep their original role
+    pseudo = []
+    for p in ana["pseudo"]:
+        key = (p["ts"], p["te"])
+        if key in patch_map:
+            new_rs, new_len = patch_map[key]
+            pseudo.append(dict(p, ts=new_rs, te=new_rs + new_len))
+        else:
+            pseudo.append(dict(p, ts=map_pos(p["ts"]),
+                               te=map_pos(p["te"])))
+    splits = [(map_pos(s), map_pos(e)) for s, e in ana["splits"]] \
+        if split else []
     cuts = sorted((s + e) // 2 for s, e in splits)
     bounds = [0] + [c for c in cuts if 0 < c < len(ctg)] + [len(ctg)]
     pieces = []
@@ -244,7 +371,7 @@ def polish_one(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
             continue
         pieces.append(polish_contig(
             ctg, recs, reads, window=window, min_cov=min_cov,
-            read_type=read_type, pseudo=ana["pseudo"], region=(a, b),
+            read_type=read_type, pseudo=pseudo, region=(a, b),
             interpret=interpret))
     return pieces
 

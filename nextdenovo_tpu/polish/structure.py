@@ -443,7 +443,7 @@ def analyze_contig(ctg_len: int, recs: List[dict], qv: List[dict],
     Gating mirrors ctg_cns_core (ctg_cns.c:3557, :3581): too few mapped
     reads disables the machinery; splits need median depth > 15."""
     if len(recs) < min_reads:
-        return dict(pseudo=[], splits=[], depth=0)
+        return dict(pseudo=[], splits=[], depth=0, clusters=[])
     spans = np.array([[r["ts"], r["te"]] for r in recs], np.int64)
     w = spanning_width(spans)
     ds = spanning_depth(ctg_len, spans, w)
@@ -457,4 +457,4 @@ def analyze_contig(ctg_len: int, recs: List[dict], qv: List[dict],
     ld = merge_regions(ld, w)
     splits = split_points(ld, clusters, qv or [], ctg_len) \
         if d > min_split_depth else []
-    return dict(pseudo=pseudo, splits=splits, depth=d)
+    return dict(pseudo=pseudo, splits=splits, depth=d, clusters=clusters)

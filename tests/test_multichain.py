@@ -85,3 +85,35 @@ def test_chimeric_draft_polish_splits_at_join():
     # pieces must split near the 32 kb junction
     assert all(abs(len(p) - 32_000) < 5000 for p in pieces), \
         [len(p) for p in pieces]
+
+
+def test_gap_patch_repairs_planted_deletion():
+    """A draft with a 1.5 kb deletion relative to the true genome: the
+    split-read cluster must be locally reassembled and spliced back, so the
+    polished contig recovers the deleted sequence (the reference's gapseq
+    repair, ctg_cns.c:2898-2998, realized as an explicit draft patch)."""
+    g = simulate_genome(60_000, seed=61)
+    draft = np.concatenate([g[:30_000], g[31_500:]])
+    sim = simulate_reads(g, coverage=30, mean_len=10_000, error_rate=0.08,
+                         seed=62, min_len=3000)
+    reads = SeqStore.from_codes(sim.reads)
+    ovl = map_polish_reads([draft], reads)
+    recs = collect_per_ctg(ovl, 1, reads)[0]
+    pieces = polish_one(draft, recs, reads, qv=[], read_type=1, split=True)
+    assert len(pieces) == 1, [len(p) for p in pieces]
+    pol = pieces[0]
+    # length restored to ~the true genome (draft was 1.5 kb short; a few
+    # hundred bp at the contig ENDS are expected coverage loss)
+    assert abs(len(pol) - len(g)) < 1200, (len(pol), len(g))
+    assert len(pol) - len(draft) > 800, (len(pol), len(draft))
+    # the deleted region's k-mers are back
+    def kset(a, k=31, stride=1):
+        a = np.asarray(a, np.uint64)
+        v = np.zeros(len(a) - k + 1, np.uint64)
+        for j in range(k):
+            v = (v << np.uint64(2)) | a[j : len(a) - k + 1 + j]
+        return set(v[::stride].tolist())
+    want = kset(g[29_500:32_000], stride=3)
+    have = kset(pol)
+    frac = sum(1 for v in want if v in have) / max(1, len(want))
+    assert frac > 0.9, frac
