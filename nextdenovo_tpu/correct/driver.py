@@ -102,6 +102,12 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
     ex = cf.ThreadPoolExecutor(cns_threads)
 
     def _consensus(job, seed_codes, qs_list, ops_all):
+        # NOTE: a sort-based batched link path exists (correct/tagmsa.py
+        # correct_seed_links, bit-identical, tests/test_tagmsa.py) but
+        # measured 2.5-3x SLOWER than the C++ find-or-insert at every
+        # workload shape — the 5 Mb profile's large update_msa share was
+        # thread-contention wall accounting, not algorithmic cost (see
+        # KERNEL_NOTES "tag-MSA offload measurement").
         sups, tss, tes, ops = [], [], [], []
         for i, o in enumerate(ops_all):
             if o is None:

@@ -65,6 +65,15 @@ def _load():
     lib.nd_cns_filter.argtypes = [
         i32p, ctypes.c_int64, i32p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, u8p, i32p, u8p, i32p, i64p]
+    lib.nd_correct_links.restype = ctypes.POINTER(NdCns)
+    lib.nd_correct_links.argtypes = [
+        u8p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(u8p), i32p, i32p,
+        ctypes.POINTER(u8p), i32p,
+        u8p, i32p, i32p,
+        i64p, i32p, i32p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
     return lib
 
 

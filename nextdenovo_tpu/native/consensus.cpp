@@ -1701,6 +1701,65 @@ static NdCns *error_seed(int len) {
 }  // namespace
 
 // ---------------------------------------------------------------------------
+static NdCns *consensus_tail(std::vector<MsaPos> &msa,
+                             std::vector<TagsList> &tags_list,
+                             int32_t seed_len, int32_t min_cov,
+                             float min_error_corrected_ratio, int32_t split,
+                             int32_t read_type, int32_t keep_all,
+                             int32_t fast);
+
+// Shared MSA-scoring + consensus tail of nd_correct / nd_correct_links
+// (everything downstream of the link tables being filled).
+static NdCns *consensus_tail(std::vector<MsaPos> &msa,
+                             std::vector<TagsList> &tags_list,
+                             int32_t seed_len, int32_t min_cov,
+                             float min_error_corrected_ratio, int32_t split,
+                             int32_t read_type, int32_t keep_all,
+                             int32_t fast) {
+  int factor = read_type == READS_HIFI ? 4 : 3;
+  Tag best;
+  {
+    ProfSpan sp(2);
+    best = score_msa(msa, seed_len, factor, 3000, /*tail_window=*/true);
+  }
+  if (best.t_pos < 0) return error_seed(2);
+
+  if (fast)  // -fast: no lq re-consensus (nextcorrect.c:2207-2209)
+    return generate_cns_fast(msa, best, min_cov);
+
+  Consensus cons;
+  std::vector<LqWin> lqwins;
+  bool ok;
+  {
+    ProfSpan sp(3);
+    ok = read_type == READS_HIFI
+             ? generate_cns_hifi(msa, best, seed_len, min_cov,
+                                 min_error_corrected_ratio, tags_list[0],
+                                 &cons, &lqwins)
+             : generate_cns(msa, best, seed_len, min_cov,
+                            min_error_corrected_ratio, &cons, &lqwins);
+  }
+  if (!ok) return error_seed(2);
+
+  {
+    ProfSpan sp(4);
+    if (read_type == READS_HIFI)
+      generate_lqseqs_from_tags_kmer(lqwins, tags_list, split);
+    else
+      generate_lqseqs_from_tags(lqwins, tags_list, split);
+  }
+  {
+    ProfSpan sp(5);
+    iterate_consensus(lqwins, 2);
+  }
+  ProfSpan sp(6);
+  NdCns *res = update_consensus(lqwins, cons, keep_all != 0);
+  if (!keep_all && res->len > 1000 && res->identity > 0.8)
+    trim_terminal_ssr(res);
+  return res;
+}
+
+
 extern "C" {
 
 NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
@@ -1794,47 +1853,117 @@ NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
     ProfSpan sp(1);
     update_msa(&msa, tags_list);
   }
-  int factor = read_type == READS_HIFI ? 4 : 3;
-  Tag best;
-  {
-    ProfSpan sp(2);
-    best = score_msa(msa, seed_len, factor, 3000, /*tail_window=*/true);
-  }
-  if (best.t_pos < 0) return error_seed(2);
+  return consensus_tail(msa, tags_list, seed_len, min_cov,
+                        min_error_corrected_ratio, split, read_type,
+                        keep_all, fast);
+}
 
-  if (fast)  // -fast: no lq re-consensus (nextcorrect.c:2207-2209)
-    return generate_cns_fast(msa, best, min_cov);
+// Precomputed-link-table correction (the vectorized tag-MSA path): the
+// per-column work of get_align_tags' string building and update_msa's
+// find-or-insert (SCALE_r02: 47% of the correction stage) is done by
+// correct/tagmsa.py as a batched sort; this entry rebuilds the tag
+// streams from the op arrays (ints only) inside each support's
+// pre-trimmed [first, last] column window, fills every node's entry list
+// straight from the (node, first-encounter)-ordered table — reproducing
+// update_msa's entry order exactly — and runs the shared tail.
+NdCns *nd_correct_links(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
+                        const uint8_t *const *sup_seqs,
+                        const int32_t *sup_lens, const int32_t *t_starts,
+                        const uint8_t *const *ops_arr,
+                        const int32_t *ops_lens, const uint8_t *accept,
+                        const int32_t *first, const int32_t *last,
+                        const int64_t *link_hi, const int32_t *link_lo,
+                        const int32_t *link_cnt, int64_t n_links,
+                        int32_t min_cov, int32_t max_lq_length,
+                        float min_error_corrected_ratio, int32_t split,
+                        int32_t read_type, int32_t keep_all, int32_t fast) {
+  g_read_type = read_type;
+  g_lqseq_max_length = std::min<unsigned>(max_lq_length, DAG_MAX_LENGTH);
+  g_prof_ns[7].fetch_add(1, std::memory_order_relaxed);
 
-  Consensus cons;
-  std::vector<LqWin> lqwins;
-  bool ok;
-  {
-    ProfSpan sp(3);
-    ok = read_type == READS_HIFI
-             ? generate_cns_hifi(msa, best, seed_len, min_cov,
-                                 min_error_corrected_ratio, tags_list[0],
-                                 &cons, &lqwins)
-             : generate_cns(msa, best, seed_len, min_cov,
-                            min_error_corrected_ratio, &cons, &lqwins);
-  }
-  if (!ok) return error_seed(2);
+  std::vector<MsaPos> msa(seed_len);
+  std::vector<TagsList> tags_list;
+  ProfSpan *tag_span = new ProfSpan(0);
 
+  // support 0: the seed itself (nextcorrect.c:2279-2282)
+  tags_list.emplace_back();
   {
-    ProfSpan sp(4);
-    if (read_type == READS_HIFI)
-      generate_lqseqs_from_tags_kmer(lqwins, tags_list, split);
-    else
-      generate_lqseqs_from_tags(lqwins, tags_list, split);
+    TagsList &tl = tags_list.back();
+    tl.aln_t_s = 0;
+    tl.tags.reserve(seed_len);
+    for (int i = 0; i < seed_len; i++) {
+      Tag tg;
+      tg.t_pos = i;
+      tg.delta = 0;
+      tg.q_base = (uint8_t)(seed[i] & 3);
+      tl.tags.push_back(tg);
+      msa[i].coverage++;
+      if (msa[i].by_delta.empty()) msa[i].by_delta.resize(1);
+    }
   }
+
+  for (int s = 0; s < n_sup; s++) {
+    if (!accept[s]) continue;
+    const uint8_t *ops = ops_arr[s];
+    int f = first[s], l = last[s];
+    // advance q/t cursors through the lead-in columns
+    int qi = 0, t_pos = t_starts[s] - 1;
+    for (int i = 0; i < f; i++) {
+      if (ops[i] != 2) qi++;
+      if (ops[i] != 1) t_pos++;
+    }
+    tags_list.emplace_back();
+    TagsList &tl = tags_list.back();
+    tl.aln_t_s = (unsigned)(t_pos + 1);
+    tl.tags.reserve(l - f + 1);
+    uint16_t delta = 0;
+    for (int i = f; i <= l; i++) {
+      bool tc = ops[i] != 1, qc = ops[i] != 2;
+      if (tc) { t_pos++; delta = 0; }
+      Tag tg;
+      tg.t_pos = t_pos;
+      tg.delta = delta++;
+      tg.q_base = qc ? (uint8_t)(sup_seqs[s][qi++] & 3) : (uint8_t)4;
+      tl.tags.push_back(tg);
+      MsaPos &mp = msa[t_pos];
+      if (tg.delta == 0) mp.coverage++;
+      if (tg.delta >= mp.by_delta.size()) mp.by_delta.resize(tg.delta + 1);
+    }
+    (void)ops_lens;
+    (void)sup_lens;
+  }
+  delete tag_span;
+
+  // fill entry lists straight from the sorted link table
   {
-    ProfSpan sp(5);
-    iterate_consensus(lqwins, 2);
+    ProfSpan sp(1);
+    for (int64_t k = 0; k < n_links; k++) {
+      int64_t hi = link_hi[k];
+      int64_t node = hi >> 17;
+      int64_t ppc = hi & 0x1FFFF;
+      int tp = (int)(node >> 15);
+      int dl = (int)((node >> 3) & 0xFFF);
+      int b = (int)(node & 7);
+      auto decode = [&](int64_t ctx) {
+        int rel = (int)((ctx >> 15) & 3);
+        if (rel == 3) return kHeadTag;
+        Tag t;
+        t.t_pos = tp - rel;
+        t.delta = (uint16_t)((ctx >> 3) & 0xFFF);
+        t.q_base = (uint8_t)(ctx & 7);
+        return t;
+      };
+      Tag pp = decode(ppc);
+      Tag ppp = decode((int64_t)link_lo[k]);
+      if ((unsigned)dl >= msa[tp].by_delta.size())
+        msa[tp].by_delta.resize(dl + 1);
+      msa[tp].by_delta[dl][b].entries.push_back(
+          Entry{pp, ppp, (uint16_t)std::min<int32_t>(link_cnt[k], 65535), 0});
+    }
   }
-  ProfSpan sp(6);
-  NdCns *res = update_consensus(lqwins, cons, keep_all != 0);
-  if (!keep_all && res->len > 1000 && res->identity > 0.8)
-    trim_terminal_ssr(res);
-  return res;
+  return consensus_tail(msa, tags_list, seed_len, min_cov,
+                        min_error_corrected_ratio, split, read_type,
+                        keep_all, fast);
 }
 
 // Per-phase accumulated seconds since process start (thread-safe):

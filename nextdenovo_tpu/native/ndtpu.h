@@ -62,6 +62,23 @@ void nd_affine_extend(const uint8_t *q, int32_t m, const uint8_t *t,
 void nd_prof_report(double *out);
 
 
+// Precomputed-link-table correction: like nd_correct, but the per-column
+// tag/link accumulation is done by the caller (correct/tagmsa.py batched
+// sort) and passed as a (node, first-encounter)-ordered unique link table;
+// accept/first/last carry each support's gating + trimmed column window.
+// Output is bit-identical to nd_correct on the same inputs.
+NdCns *nd_correct_links(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
+                        const uint8_t *const *sup_seqs,
+                        const int32_t *sup_lens, const int32_t *t_starts,
+                        const uint8_t *const *ops_arr,
+                        const int32_t *ops_lens, const uint8_t *accept,
+                        const int32_t *first, const int32_t *last,
+                        const int64_t *link_hi, const int32_t *link_lo,
+                        const int32_t *link_cnt, int64_t n_links,
+                        int32_t min_cov, int32_t max_lq_length,
+                        float min_error_corrected_ratio, int32_t split,
+                        int32_t read_type, int32_t keep_all, int32_t fast);
+
 #ifdef __cplusplus
 }
 #endif
