@@ -9,4 +9,28 @@ OUT=$(dirname "$0")/../.scratch/refbin
 mkdir -p "$OUT"
 gcc -O2 -o "$OUT/ovl_cvt" "$REF/util/ovl_cvt.c" "$REF/lib/ovl.c" -I"$REF/lib"
 gcc -O2 -o "$OUT/seq_bit" "$REF/util/seq_bit.c" "$REF/lib/bseq.c" -I"$REF/lib" -lz
-echo "built: $OUT/ovl_cvt $OUT/seq_bit"
+
+# nextgraph (the reference assembler) for golden-graph comparison
+# (tests/test_golden_graph.py, experiments/golden_graph.py)
+NGOBJ="$OUT/ng_obj"
+mkdir -p "$NGOBJ"
+for f in asg ctg edge kit main node opt out; do
+  gcc -c -O2 -DGENOME_SIZE=0 -Wno-unused-function -I"$REF/util/ng" \
+      "$REF/util/ng/$f.c" -o "$NGOBJ/$f.o"
+done
+gcc -O2 "$NGOBJ"/*.o "$REF/lib/bseq.c" "$REF/lib/index.c" "$REF/lib/ovl.c" \
+    -lm -lz -o "$OUT/nextgraph"
+
+# nextcorrect.so (the reference's consensus core, ctypes ABI) for golden
+# consensus comparison (tests/test_golden_cns.py)
+gcc -std=c99 -O3 -Wno-unused-function -fPIC -shared \
+    -o "$OUT/nextcorrect.so" \
+    "$REF/lib/align.c" "$REF/lib/dag.c" "$REF/lib/nextcorrect.c"
+
+# ovl_sort (the reference's external sort + seed filter) for golden sort
+# comparison (tests/test_golden_ovlsort.py)
+gcc -O2 -Wno-unused-function -o "$OUT/ovl_sort" \
+    "$REF/util/ovl_sort.c" "$REF/lib/ovl.c" "$REF/lib/kit.c" \
+    "$REF/lib/bseq.c" "$REF/util/thpool.c" \
+    -I"$REF/lib" -I"$REF/util" -lz -lpthread
+echo "built: $OUT/{ovl_cvt,seq_bit,nextgraph,nextcorrect.so,ovl_sort}"

@@ -1,0 +1,198 @@
+"""Golden cross-validation of the assembly-graph layer against nextgraph.
+
+Exports OUR cns-stage artifacts (corrected reads + filtered dovetail
+overlaps + per-read .bl stats) in the REFERENCE's on-disk formats
+(io/refformats.py), runs the reference's own `nextgraph` binary on them
+(built out-of-tree by experiments/build_ref_tools.sh, sources straight
+from /root/reference — nothing copied), and compares its contigs with
+ours from the same inputs.  This cashes the BASELINE "bit-identical
+(modulo tie-breaks)" claim at the graph layer: both assemblers see the
+identical overlap evidence, so contig count / coverage / k-mer content
+must agree.
+
+Inputs nextgraph expects (util/ng/main.c:143-186):
+  - ovl fofn: one mode-10 varint .ovl per line, each with a sibling
+    `<file>.bl` text sidecar (lib/ovl.c:339-421 out_bl/read_bl)
+  - -f seq fofn: single-line fasta files with `.idx` sidecars
+    (name\toffset\tlength; lib/index.c:70-106); contigs are cut out of
+    them by raw byte-offset reads (lib/bseq.c:205 subfa)
+
+Run: python experiments/golden_graph.py [genome_kb=300] [coverage=25] [out_json]
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+NG_BIN = os.path.join(REPO, ".scratch", "refbin", "nextgraph")
+
+
+def export_ref_graph_inputs(workdir: str, outdir: str) -> dict:
+    """Write the reference-format nextgraph inputs from a finished (>=
+    cns_align) pipeline workdir.  Returns {'ovl_fofn', 'seq_fofn', paths}.
+
+    Names are exported +1: a FIRST .ovl record named 0 legitimately loses
+    its qlen in the reference varint delta encoding (prev name inits to
+    0), so dense 0-based ids shift up one.
+    """
+    from nextdenovo_tpu.io.refformats import (write_bl, write_ovl,
+                                              write_seqs_fasta_idx)
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.overlap.records import OvlBlock
+
+    os.makedirs(outdir, exist_ok=True)
+    store = SeqStore.load(os.path.join(workdir, "03.seed_cns", "cns"))
+    ovl = OvlBlock.load(os.path.join(workdir, "04.cns_align",
+                                     "cns.filt.dovt.ovl"))
+    info = np.load(os.path.join(workdir, "04.cns_align", "cnsinfo.npz"))
+    lens = np.asarray(store.length, np.int64)
+
+    seq_path = os.path.join(outdir, "cns.seqs.fa")
+    write_seqs_fasta_idx(seq_path, [store.get(i) for i in range(len(store))],
+                         names=list(range(1, len(store) + 1)))
+
+    shifted = {k: np.asarray(v) for k, v in ovl.data.items()}
+    shifted["qname"] = shifted["qname"] + 1
+    shifted["tname"] = shifted["tname"] + 1
+    blk = OvlBlock(shifted)
+    ovl_path = os.path.join(outdir, "cns.filt.ovl")
+    write_ovl(ovl_path, blk, mode=10,
+              qlen=lens[np.asarray(ovl.qname)], tlen=lens[np.asarray(ovl.tname)])
+    write_bl(ovl_path + ".bl", info["st"], info["touched"], info["alns"],
+             info["lens"], name_off=1)
+
+    seq_fofn = os.path.join(outdir, "seqs.fofn")
+    ovl_fofn = os.path.join(outdir, "ovls.fofn")
+    open(seq_fofn, "w").write(seq_path + "\n")
+    open(ovl_fofn, "w").write(ovl_path + "\n")
+    return dict(seq_fofn=seq_fofn, ovl_fofn=ovl_fofn, seq_path=seq_path,
+                ovl_path=ovl_path)
+
+
+def run_ref_nextgraph(outdir: str, inputs: dict, ng_bin: str = NG_BIN,
+                      extra_opts=()) -> str:
+    """Run the reference nextgraph -> fasta; returns the output path."""
+    out_fa = os.path.join(outdir, "ref.asm.fasta")
+    cmd = [ng_bin, "-a", "1", *extra_opts, "-o", out_fa,
+           "-f", inputs["seq_fofn"], inputs["ovl_fofn"]]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    if r.returncode != 0:
+        raise RuntimeError(f"nextgraph failed ({r.returncode}):\n{r.stderr}")
+    return out_fa
+
+
+def _kset(arr: np.ndarray, k: int = 31, stride: int = 1):
+    a = np.asarray(arr, np.uint64)
+    if len(a) < k:
+        return set()
+    v = np.zeros(len(a) - k + 1, np.uint64)
+    for j in range(k):
+        v = (v << np.uint64(2)) | a[j : len(a) - k + 1 + j]
+    return set(v[::stride].tolist())
+
+
+def _rc(arr: np.ndarray) -> np.ndarray:
+    return (np.asarray(arr) ^ 3)[::-1]
+
+
+def _stats(ctgs) -> dict:
+    ls = sorted((len(c) for c in ctgs), reverse=True)
+    tot = sum(ls)
+    acc, n50 = 0, 0
+    for x in ls:
+        acc += x
+        if acc * 2 >= tot:
+            n50 = x
+            break
+    return dict(n=len(ls), total_bp=tot, n50=n50)
+
+
+def compare_contigs(ours, refs, stride: int = 7) -> dict:
+    """Mutual 31-mer containment between the two contig sets (both strands
+    on the reference side of each direction), plus basic size stats."""
+    ours_k = set()
+    for c in ours:
+        ours_k |= _kset(c, stride=stride)
+    ours_k_full = set()
+    for c in ours:
+        ours_k_full |= _kset(c)
+        ours_k_full |= _kset(_rc(c))
+    refs_k = set()
+    for c in refs:
+        refs_k |= _kset(c, stride=stride)
+    refs_k_full = set()
+    for c in refs:
+        refs_k_full |= _kset(c)
+        refs_k_full |= _kset(_rc(c))
+    ours_in_ref = (sum(1 for v in ours_k if v in refs_k_full)
+                   / max(1, len(ours_k)))
+    ref_in_ours = (sum(1 for v in refs_k if v in ours_k_full)
+                   / max(1, len(refs_k)))
+    return dict(ours=_stats(ours), ref=_stats(refs),
+                ours_kmers_in_ref=round(ours_in_ref, 4),
+                ref_kmers_in_ours=round(ref_in_ours, 4))
+
+
+def golden_graph_compare(workdir: str, outdir: str,
+                         ng_bin: str = NG_BIN, extra_opts=()) -> dict:
+    """Full flow from a finished pipeline workdir; returns the metric dict."""
+    from nextdenovo_tpu.io.fastx import read_fastx
+
+    inputs = export_ref_graph_inputs(workdir, outdir)
+    ref_fa = run_ref_nextgraph(outdir, inputs, ng_bin, extra_opts)
+    refs = [seq for _, seq in read_fastx(ref_fa)]
+    our_fa = os.path.join(workdir, "05.ctg_graph", "nd.asm.p.fasta")
+    ours = [seq for _, seq in read_fastx(our_fa)]
+    return compare_contigs(ours, refs)
+
+
+def main():
+    from nextdenovo_tpu.io.fastx import write_fasta
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.pipeline.config import load_config
+    from nextdenovo_tpu.pipeline.run import run_pipeline
+
+    genome_kb = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+    coverage = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    out_json = sys.argv[3] if len(sys.argv) > 3 else None
+    base = os.path.join(REPO, ".scratch", f"golden_{genome_kb}k")
+    os.makedirs(base, exist_ok=True)
+
+    glen = genome_kb * 1000
+    g = simulate_genome(glen, seed=7)
+    sim = simulate_reads(g, coverage=coverage, mean_len=15000,
+                         error_rate=0.10, seed=8, min_len=2000)
+    write_fasta(os.path.join(base, "reads.fa"),
+                [(f"read{i}", r) for i, r in enumerate(sim.reads)])
+    open(os.path.join(base, "input.fofn"), "w").write("reads.fa\n")
+    cfgp = os.path.join(base, "run.cfg")
+    open(cfgp, "w").write(f"""
+[General]
+task = all
+input_type = raw
+read_type = ont
+input_fofn = ./input.fofn
+workdir = ./rundir
+
+[correct_option]
+read_cutoff = 1k
+genome_size = {glen}
+seed_depth = 15
+""")
+    run_pipeline(load_config(cfgp))
+    res = golden_graph_compare(os.path.join(base, "rundir"),
+                               os.path.join(base, "refgraph"))
+    res["genome_kb"] = genome_kb
+    res["coverage"] = coverage
+    print(json.dumps(res))
+    if out_json:
+        json.dump(res, open(out_json, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,10 +10,16 @@ simple bubble popping, and unambiguous-path contig extraction
 
 The full pass set runs in the reference's order (ng/main.c:191-279): chimeric
 -node marking (bounded BFS, asg.c:1040-1206), transitive reduction, tip/spur
-clipping, identity/score-ratio branch cuts, z-branch clipping, superbubble /
-compound-path resolution (clean_complex_* asg.c:2177+, rm_long_bubble :3403),
-short/end loop breaking (:941,:1008), and triangle-count chimeric-edge sweeps
-(calc_edge_tc/rm_edge_chim/rm_edge_ltc :1207-1347).
+clipping (incl. the short-isolated-chain noise floor, rm_sht_brh :697),
+identity/score-ratio branch cuts, z-branch clipping by label and by the two
+score passes (rm_z_clip_score3 :2681 per-branch score+triangle-count ratios,
+rm_z_clip_score2 :3016 global progressive weakest-first clipping with
+endpoint re-discovery), superbubble / compound-path resolution
+(clean_complex_* asg.c:2177+, rm_long_bubble :3403), short/end loop breaking
+(:941,:1008), and triangle-count chimeric-edge sweeps
+(calc_edge_tc/rm_edge_chim/rm_edge_ltc :1207-1347).  The whole pipeline is
+golden-cross-validated against the reference's own nextgraph binary on
+identical exported inputs (tests/test_golden_graph.py).
 
 Vertex encoding: v = rid*2 + dir (dir 0 = read forward).  Every edge has a
 complement (t^1 -> q^1); all mutations keep the pair symmetric.
@@ -31,6 +37,7 @@ DEFAULTS = dict(
     max_sco_ratio=0.5, max_hang_len=500, min_node_count=2, min_con_count=2,
     sbranch_len=15, bubble_len=500, out_ctg_len=1000, min_edge_cov=3,
     end_loop_len=50, bfs_depth=2, sloop_len=5,
+    zbranch_len=8, out_spath_len=0, min_depth_ratio=0.6,
 )
 
 
@@ -262,38 +269,43 @@ class StringGraph:
                     if len(self.in_edges(e.v)) > 1:
                         self._del_edge(e)
 
-    def clip_tips(self, max_tip: Optional[int] = None):
-        """Remove dead-end chains of <= sbranch_len nodes that hang off a
-        branching path (rm_sht_brh, asg.c:697+)."""
+    def clip_tips(self, max_tip: Optional[int] = None,
+                  spath: Optional[int] = None):
+        """rm_sht_brh (asg.c:697-730): from every SOURCE vertex (in-deg 0,
+        out-deg 1) walk the unambiguous chain up to max_tip edges; if it
+        ends at a merge node (in-deg > 1) OR at a dead end, remove the whole
+        chain — so isolated components shorter than sbranch_len reads are
+        dropped outright, the reference's noise floor.  When spath > 0
+        (nextgraph -q) a chain of >= spath edges only loses its final edge,
+        and only when it ends at a merge.  Single pass in ascending vertex
+        order, like the reference (it is invoked at several points of
+        clean() rather than run to fixpoint)."""
         max_tip = max_tip or self.p["sbranch_len"]
-        changed = True
-        while changed:
-            changed = False
-            verts = {e.u for e in self.edges if not (e.deleted or e.reduced)}
-            for v in verts:
-                if self.degree(v)[0] != 0:
-                    continue
-                # v is a path start; walk forward while unambiguous
-                chain = [v]
-                cur = v
-                is_tip = False
-                while len(chain) <= max_tip:
-                    oes = self.out_edges(cur)
-                    if len(oes) != 1:
-                        break  # dead end or out-branch: not a clippable tip
-                    nxt = oes[0].v
-                    if self.degree(nxt)[0] > 1:
-                        is_tip = True  # merges into a through-path
-                        break
-                    chain.append(nxt)
-                    cur = nxt
-                if is_tip and len(chain) <= max_tip:
-                    for n in chain:
-                        for e in self.out_edges(n):
-                            self._del_edge(e)
-                        for e in self.in_edges(n):
-                            self._del_edge(e)
-                    changed = True
+        if spath is None:
+            spath = self.p["out_spath_len"]
+        verts = sorted({e.u for e in self.edges
+                        if not (e.deleted or e.reduced)})
+        for v in verts:
+            ind, outd = self.degree(v)
+            if ind != 0 or outd != 1:
+                continue
+            path = [self.out_edges(v)[0]]
+            n = path[0].v
+            while len(path) < max_tip:
+                i2, o2 = self.degree(n)
+                if i2 != 1 or o2 != 1:
+                    break
+                nxt = self.out_edges(n)[0]
+                path.append(nxt)
+                n = nxt.v
+            i2, o2 = self.degree(n)
+            if i2 > 1 or o2 == 0:
+                if spath and len(path) >= spath:
+                    if o2:
+                        self._del_edge(path[-1])
+                else:
+                    for e in path:
+                        self._del_edge(e)
 
     def pop_bubbles(self, max_nodes: int = 50):
         """k-arm bubble popping: if every out-edge of v starts a simple path
@@ -360,6 +372,210 @@ class StringGraph:
             if all(sco <= o.sco * o.ide for o in outs) and \
                     all(sco <= i.sco * i.ide for i in ins):
                 self._del_edge(e)
+
+    # ---------- z-path scoring passes (rm_z_clip_score2/3) -----------------
+    def _z_walk_fwd(self, e, max_edges: int):
+        """Follow e through PURE simple nodes (in-deg==out-deg==1); returns
+        the edge path (<= max_edges) and the final vertex."""
+        path = [e]
+        n = e.v
+        while len(path) < max_edges:
+            ind, outd = self.degree(n)
+            if ind != 1 or outd != 1:
+                break
+            nxt = self.out_edges(n)[0]
+            path.append(nxt)
+            n = nxt.v
+        return path, n
+
+    def _z_score(self, path) -> int:
+        """cal_z_path_score (asg.c:2800-2807): relative end-edge weight,
+        sco*ide*10000 / best sibling at each endpoint, summed."""
+        mo = max((x.sco * x.ide for x in self.out_edges(path[0].u)),
+                 default=0)
+        sc = path[0].sco * path[0].ide * 10000 // mo if mo else 0
+        mi = max((x.sco * x.ide for x in self.in_edges(path[-1].v)),
+                 default=0)
+        sc += path[-1].sco * path[-1].ide * 10000 // mi if mi else 0
+        return sc
+
+    def _z_rm_path(self, path, m: int):
+        """Path removal policy shared by the score passes (asg.c:2755-2769):
+        long paths (>= m edges, m>0) lose only their END edges; short paths
+        are removed whole.  Complements go with them (_del_edge)."""
+        if m and len(path) >= m:
+            self._del_edge(path[-1])
+            self._del_edge(path[0])
+        else:
+            for e in path:
+                self._del_edge(e)
+
+    def clip_z_by_score_tc(self, s: int = 8, m: int = 0, perc: int = 60):
+        """rm_z_clip_score3 (asg.c:2681-2775): per branch vertex, walk each
+        out-arm through pure simple nodes (<= s edges) to a merge node; rank
+        arms by a packed (end-edge score ratio << 8 | triangle-count ratio)
+        key — each component is the arm's end edges relative to the best
+        sibling at that endpoint, x50 per end, capped at `perc` — and remove
+        arms ascending until one clears BOTH ratios."""
+        tc = self.edge_triangle_counts()
+
+        def _tc(e):
+            return tc.get(self.einfo.get((e.u, e.v)), 0)
+
+        n_cut = 0
+        verts = sorted({e.u for e in self.edges
+                        if not (e.deleted or e.reduced)})
+        for v in verts:
+            oes = self.out_edges(v)
+            if len(oes) < 2:
+                continue
+            cands = []
+            for e in oes:
+                path, end = self._z_walk_fwd(e, s)
+                if self.degree(end)[0] > 1:
+                    cands.append(path)
+            if not cands:
+                continue
+            max_sco_ou = max((x.sco * x.ide for x in self.out_edges(v)),
+                             default=0)
+            max_tc_ou = max((_tc(x) for x in self.out_edges(v)), default=0)
+            scored = []
+            for path in cands:
+                ins = self.in_edges(path[-1].v)
+                max_sco_in = max((x.sco * x.ide for x in ins), default=0)
+                sc = path[0].sco * path[0].ide * 50 // max_sco_ou \
+                    if max_sco_ou else 0
+                sc += path[-1].sco * path[-1].ide * 50 // max_sco_in \
+                    if max_sco_in else 0
+                sc = min(sc, perc)
+                max_tc_in = max((_tc(x) for x in ins), default=0)
+                t = _tc(path[0]) * 50 // max_tc_ou if max_tc_ou else 0
+                t += _tc(path[-1]) * 50 // max_tc_in if max_tc_in else 0
+                t = min(t, perc)
+                scored.append(((sc << 8) | t, path))
+            scored.sort(key=lambda x: x[0])
+            for key, path in scored:
+                if len(self.out_edges(path[0].u)) < 2 or \
+                        len(self.in_edges(path[-1].v)) < 2:
+                    continue
+                if (key >> 8) >= perc and (key & 255) >= perc:
+                    break
+                self._z_rm_path(path, m)
+                n_cut += 1
+        return n_cut
+
+    def _z_find_from(self, node: int, s: int):
+        """find_z_path_from (asg.c:2833-2873): if `node` sits on a pure
+        simple chain, reconstruct the full z-path through it (walk forward
+        to the merge node, backward to the branch node); returns the edge
+        path or None."""
+        fwd = []
+        n = node
+        while len(fwd) < s:
+            ind, outd = self.degree(n)
+            if ind != 1 or outd != 1:
+                break
+            e = self.out_edges(n)[0]
+            fwd.append(e)
+            n = e.v
+        if not fwd or self.degree(n)[0] <= 1:
+            return None
+        back = []
+        n = node
+        while len(fwd) + len(back) <= s + 1:
+            ind, outd = self.degree(n)
+            if ind != 1 or outd != 1:
+                break
+            e = self.in_edges(n)[0]
+            back.append(e)
+            n = e.u
+        if self.degree(n)[1] > 1 and len(fwd) + len(back) <= s:
+            return back[::-1] + fwd
+        return None
+
+    def clip_z_progressive(self, s: int = 16, m: int = 0, perc: int = -1):
+        """rm_z_clip_score2 (asg.c:3016-3080 + z_clipping_by_updating):
+        collect EVERY z-path in the graph (branch -> pure simple chain ->
+        merge, <= s-1 edges), order globally by relative end-edge score
+        ascending, and clip from the weakest up — after each removal,
+        z-paths newly formed at the affected endpoints are re-discovered
+        and merged into the worklist.  Progressive thresholds (every
+        1000th score) bound re-sorting at scale like the reference."""
+        from bisect import insort
+
+        paths = []
+        verts = sorted({e.u for e in self.edges
+                        if not (e.deleted or e.reduced)})
+        for v in verts:
+            if len(self.out_edges(v)) < 2:
+                continue
+            for e in self.out_edges(v):
+                path, end = self._z_walk_fwd(e, s - 1)
+                if self.degree(end)[0] > 1:
+                    paths.append((self._z_score(path), path))
+        paths.sort(key=lambda x: x[0])
+        each = 1000
+        thresholds = []
+        for i in range(1, len(paths) // each):
+            sco = paths[i * each][0]
+            if perc >= 0 and sco > perc:
+                break
+            thresholds.append(sco)
+        thresholds.append(perc)
+
+        n_cut = 0
+        seq = 0
+        ps = [(sco, i, path) for i, (sco, path) in enumerate(paths)]
+        seq = len(ps)
+        for thres in thresholds:
+            left = []
+            new = []
+            ci = 0
+            while ci < len(ps) or new:
+                if ci >= len(ps):
+                    ent = new.pop(0)
+                    from_new = True
+                elif not new:
+                    ent = ps[ci]
+                    from_new = False
+                elif ps[ci][0] <= new[0][0]:
+                    ent = ps[ci]
+                    from_new = False
+                else:
+                    ent = new.pop(0)
+                    from_new = True
+                sco, _, path = ent
+                if thres >= 0 and sco >= thres:
+                    if from_new:
+                        new.insert(0, ent)
+                    break
+                if not from_new:
+                    ci += 1
+                start, end = path[0].u, path[-1].v
+                if len(self.out_edges(start)) < 2 or \
+                        len(self.in_edges(end)) < 2 or \
+                        any(e.deleted or e.reduced for e in path):
+                    continue
+                self._z_rm_path(path, m)
+                n_cut += 1
+                for node in (start, end, start ^ 1, end ^ 1):
+                    np_ = self._z_find_from(node, s)
+                    if np_ is None:
+                        continue
+                    nsco = self._z_score(np_)
+                    ent2 = (nsco, seq, np_)
+                    seq += 1
+                    if thres >= 0 and nsco >= thres:
+                        insort(left, ent2)
+                    else:
+                        insort(new, ent2)
+            # leftovers + untouched tail feed the next threshold round
+            # ascending (merge_z_paths, asg.c:2880-2912)
+            rest = ps[ci:] + new
+            rest.extend(left)
+            rest.sort(key=lambda x: x[0])
+            ps = rest
+        return n_cut
 
     # ---------- repeat-depth marking (mark_edge_rep, asg.c:341-416) --------
     def mark_repeat_edges(self, min_depth_multi: float = 1.5,
@@ -858,6 +1074,11 @@ class StringGraph:
             self.clip_z_edges()
         else:
             self.resolve_superbubbles()               # clean_complex_*
+            zb = self.p["zbranch_len"]
+            sp = self.p["out_spath_len"]
+            self.clip_z_by_score_tc(                  # rm_z_clip_score3
+                zb, sp, int(self.p["min_depth_ratio"] * 100))
+            self.clip_z_progressive(2 * zb, sp, -1)   # rm_z_clip_score2
         self.clip_tips()
         self.break_short_loops(self.p["sloop_len"])   # rm_sht_loop
         if alt_ctg:
@@ -986,9 +1207,16 @@ def assemble(ovl, read_lens: Dict[int, int], bl_info: Optional[dict] = None,
 
     bl_info: optional dict rid -> dict(con, le, re, lim, rim, llm, rlm,
     lc, rc).  alt_ctg mirrors nextgraph -A (output alternative contigs).
+
+    When bl_info is given, ONLY reads present in it join the graph — the
+    reference's update_graph skips records whose reads are absent from
+    the .bl ovlinfo hash (ng/asg.c:1488-1494), so contained/chimeric
+    reads filtered by init_os never contribute edges or vote state.
     """
     reads = {}
-    for rid, L in read_lens.items():
+    rids = bl_info.keys() if bl_info is not None else read_lens.keys()
+    for rid in rids:
+        L = read_lens[rid]
         info = (bl_info or {}).get(rid, {})
         reads[rid] = ReadInfo(
             length=L, s=info.get("le", 0), e=L - info.get("re", 0),

@@ -202,3 +202,74 @@ def _ffill_zeros(x: np.ndarray, _names: np.ndarray) -> np.ndarray:
     has = np.where(x != 0, idx, -1)
     last = np.maximum.accumulate(has)
     return np.where(last >= 0, x[np.maximum(last, 0)], 0)
+
+
+# ---------------------------------------------------------------------------
+# .bl sidecar + indexed single-line fasta (nextgraph's two other inputs)
+
+EDGEBACKLEN = 10   # lib/ovl.h:12
+MAX_CON = 2        # lib/ovl.h:70
+
+
+def write_bl(path: str, st: np.ndarray, touched: np.ndarray,
+             alns: np.ndarray, lens: np.ndarray, name_off: int = 0) -> None:
+    """Write the reference `.bl` sidecar (out_bl, lib/ovl.c:339-362) from
+    CnsInfo-layout arrays (overlap.cns.filter_cns_overlaps):
+
+      st (n,9) int32 [con, lc, rc, lim, rim, llm, rlm, alnl_s, alnl_e]
+      touched (n,) bool — read appeared in some record (kh_exist)
+      alns (m,3) int32 (rid, s, e) covered intervals, already in the
+        +EDGEBACKLEN domain (fill_aln, lib/ovl.c:324-330)
+      lens (n,) read lengths
+
+    Per touched read: `name\\tcon` when contained (con >= MAX_CON), else the
+    full stat line followed by the MERGED intervals printed back in raw
+    coordinates (s-EDGEBACKLEN, e+EDGEBACKLEN).  `name_off` shifts names
+    (export uses +1: a first record named 0 is ambiguous in the varint
+    .ovl delta encoding, see write_ovl)."""
+    st = np.asarray(st)
+    per_read: dict = {}
+    if len(alns):
+        a = np.asarray(alns)
+        o = np.lexsort((a[:, 1], a[:, 0]))
+        a = a[o]
+        for rid, s, e in a:
+            ivs = per_read.setdefault(int(rid), [])
+            # merge_aln (lib/ovl.c:290-318): touching intervals coalesce
+            if ivs and s <= ivs[-1][1]:
+                ivs[-1][1] = max(ivs[-1][1], int(e))
+            else:
+                ivs.append([int(s), int(e)])
+    with open(path, "w") as fh:
+        for r in np.nonzero(np.asarray(touched, bool))[0]:
+            r = int(r)
+            name = r + name_off
+            con = int(st[r, 0])
+            if con >= MAX_CON:
+                fh.write(f"{name}\t{con}\n")
+                continue
+            cols = [name, con] + [int(st[r, c]) for c in range(1, 7)] + \
+                [int(lens[r]), int(st[r, 7]), int(st[r, 8])]
+            for s, e in per_read.get(r, []):
+                cols += [s - EDGEBACKLEN, e + EDGEBACKLEN]
+            fh.write("\t".join(map(str, cols)) + "\n")
+
+
+def write_seqs_fasta_idx(path: str, seqs: List[np.ndarray],
+                         names: Optional[List[int]] = None) -> None:
+    """Single-line fasta with integer names + `.idx` sidecar
+    (`name\\toffset\\tlength`, offset = byte position of the first base) —
+    the layout nextgraph's init_index/subfa contig extraction expects
+    (lib/index.c:70-106, lib/bseq.c:205-222)."""
+    b2c = np.frombuffer(b"ACGT", np.uint8)
+    off = 0
+    with open(path, "wb") as fa, open(path + ".idx", "w") as ix:
+        for i, s in enumerate(seqs):
+            name = int(names[i]) if names is not None else i
+            hdr = f">{name}\n".encode()
+            fa.write(hdr)
+            off += len(hdr)
+            body = b2c[np.asarray(s, np.uint8) & 3].tobytes()
+            fa.write(body + b"\n")
+            ix.write(f"{name}\t{off}\t{len(body)}\n")
+            off += len(body) + 1

@@ -442,9 +442,10 @@ def cns_overlap_stage(store: SeqStore, rids: np.ndarray, k: int = 17,
                       w: int = 17, maxhan1: int = 5000, maxhan2: int = 500,
                       min_span: int = 2000, min_cnt: int = 3,
                       max_occ: int = 16, extend_ends: bool = True,
-                      interpret: bool | None = None):
+                      interpret: bool | None = None,
+                      return_info: bool = False):
     """Full step-2 stage: candidates -> realign -> [end-extend] -> filter.
-    Returns (mode-10 OvlBlock, bl_info dict for the graph)."""
+    Returns (mode-10 OvlBlock, bl_info dict for the graph)[, CnsInfo]."""
     idx = build_index(store, rids, k=k, w=w, max_occ=max(64, max_occ * 4))
     cand = find_overlaps(store, rids, idx, k=k, w=w, max_occ=max_occ,
                          min_cnt=min_cnt, min_span=min_span)
@@ -454,4 +455,6 @@ def cns_overlap_stage(store: SeqStore, rids: np.ndarray, k: int = 17,
     kept, info = filter_cns_overlaps(ovl, np.asarray(store.length),
                                      maxhan1=maxhan1, maxhan2=maxhan2)
     bl = bl_info_for_graph(info)
+    if return_info:
+        return kept, bl, info
     return kept, bl

@@ -63,6 +63,7 @@ class Config:
     alt_ctg: bool = False      # nextgraph -A (output alternative contigs)
     ctg_split: bool = True     # ctg_cns -sp (split at unsupported joins)
     polish: bool = True
+    graph_params: dict = field(default_factory=dict)  # nextgraph_options
     raw: dict = field(default_factory=dict)
 
     @property
@@ -152,9 +153,41 @@ def load_config(path: str) -> Config:
         cfg.rerun = min(10, max(0, int(raw["rerun"].split()[0])))
     if "correction_options" in raw and "-fast" in raw["correction_options"]:
         cfg.fast_correct = True
-    # nextgraph -A = output alternative contigs (ng/opt.c usage)
-    if "nextgraph_options" in raw and "-A" in raw["nextgraph_options"].split():
-        cfg.alt_ctg = True
+    # nextgraph_options passthrough (ng/main.c:85-140 getopt table): every
+    # graph tunable the reference CLI exposes maps onto a StringGraph
+    # param; unknown switches are ignored like the reference's permissive
+    # option surgery (lib/kit.py:114 parse_options_value)
+    if "nextgraph_options" in raw:
+        toks = raw["nextgraph_options"].split()
+        if "-A" in toks:
+            cfg.alt_ctg = True
+        val_opts = {
+            "-i": ("min_ide", float), "-I": ("min_ide_ratio", float),
+            "-S": ("min_sco_ratio", float), "-r": ("max_sco_ratio", float),
+            "-M": ("min_mat_ratio", float), "-T": ("min_depth_ratio", float),
+            "-m": ("min_depth_multi", float), "-n": ("max_depth_multi", float),
+            "-N": ("min_node_count", int), "-u": ("min_con_count", int),
+            "-w": ("min_edge_cov", int), "-D": ("bfs_depth", int),
+            "-B": ("bubble_len", int), "-e": ("end_loop_len", int),
+            "-z": ("zbranch_len", int), "-l": ("sbranch_len", int),
+            "-L": ("sloop_len", int), "-t": ("max_hang_len", int),
+            "-F": ("fuzz_len", int), "-q": ("out_spath_len", int),
+            "-E": ("out_ctg_len", int),
+        }
+        i = 0
+        while i < len(toks):
+            opt = toks[i]
+            if opt in val_opts and i + 1 < len(toks):
+                name, typ = val_opts[opt]
+                try:
+                    cfg.graph_params[name] = typ(toks[i + 1])
+                except ValueError:
+                    pass
+                i += 2
+                continue
+            i += 1
+        if "out_ctg_len" in cfg.graph_params:
+            cfg.min_ctg_len = int(cfg.graph_params["out_ctg_len"])
     # ctg_cns -sp disables split-at-unsupported (lib/ctg_cns.py:243
     # store_false, default on)
     if "ctg_cns_options" in raw and "-sp" in raw["ctg_cns_options"].split():

@@ -327,19 +327,26 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
                 cns_ovl, bl = kept, bl_info_for_graph(info)
                 cns_ovl.save(st.path("cns.filt.dovt.ovl"))
                 json.dump(bl, open(st.path("cnsbl.json"), "w"))
+                np.savez(st.path("cnsinfo.npz"), st=info.st,
+                         touched=info.touched, alns=info.alns,
+                         lens=info.lens)
                 st.mark()
             else:
                 hs.wait_done(st)
         else:
             cns_rids = np.arange(len(cns_store))
             with span("cns_align", reads=len(cns_store)):
-                cns_ovl, bl = retry("cns_align", lambda: cns_overlap_stage(
-                    cns_store, cns_rids, k=cfg.cns_k, w=cfg.cns_w,
-                    maxhan1=cfg.maxhan1, maxhan2=cfg.maxhan2,
-                    min_span=cfg.cns_min_span, interpret=interpret),
+                cns_ovl, bl, cinfo = retry(
+                    "cns_align", lambda: cns_overlap_stage(
+                        cns_store, cns_rids, k=cfg.cns_k, w=cfg.cns_w,
+                        maxhan1=cfg.maxhan1, maxhan2=cfg.maxhan2,
+                        min_span=cfg.cns_min_span, interpret=interpret,
+                        return_info=True),
                     cfg.rerun)
             cns_ovl.save(st.path("cns.filt.dovt.ovl"))
             json.dump(bl, open(st.path("cnsbl.json"), "w"))
+            np.savez(st.path("cnsinfo.npz"), st=cinfo.st,
+                     touched=cinfo.touched, alns=cinfo.alns, lens=cinfo.lens)
             st.mark()
     cns_ovl = OvlBlock.load(st.path("cns.filt.dovt.ovl"))
     bl = {int(k): v for k, v in json.load(open(st.path("cnsbl.json"))).items()}
@@ -366,7 +373,7 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
             sg, seqs = assemble(cns_ovl, read_lens, bl_info=bl,
                                 get_read=lambda r: cns_store.get(r),
                                 min_ctg_len=cfg.min_ctg_len,
-                                alt_ctg=cfg.alt_ctg)
+                                alt_ctg=cfg.alt_ctg, **cfg.graph_params)
         paths = getattr(sg, "last_paths", [None] * len(seqs))
         node_meta = getattr(sg, "last_node_meta", None)
         from ..graph.output import (write_ctg_fasta, write_ctg_gfa,

@@ -34,6 +34,7 @@ workdir = ./rundir
 [correct_option]
 read_cutoff = 1k
 genome_size = {glen}
+nextgraph_options = -l 2
 seed_depth = 12
 """)
     return d, g, sim

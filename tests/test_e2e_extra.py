@@ -10,7 +10,7 @@ from nextdenovo_tpu.pipeline.run import run_pipeline
 def test_circular_genome_assembles(tmp_path):
     glen = 50_000
     g = simulate_genome(glen, seed=70)
-    sim = simulate_reads(g, coverage=22, mean_len=9000, error_rate=0.09,
+    sim = simulate_reads(g, coverage=30, mean_len=7000, error_rate=0.09,
                          seed=71, min_len=2500, circular=True)
     write_fasta(str(tmp_path / "reads.fa"),
                 [(f"r{i}", r) for i, r in enumerate(sim.reads)])
@@ -23,7 +23,8 @@ input_fofn = ./input.fofn
 workdir = ./rundir
 read_cutoff = 1k
 genome_size = {glen}
-seed_depth = 12
+nextgraph_options = -l 2
+seed_depth = 18
 """)
     cfg = load_config(str(tmp_path / "run.cfg"))
     out = run_pipeline(cfg)
@@ -50,6 +51,7 @@ input_fofn = ./input.fofn
 workdir = ./rundir
 read_cutoff = 1k
 genome_size = {glen}
+nextgraph_options = -l 2
 """)
     cfg = load_config(str(tmp_path / "run.cfg"))
     out = run_pipeline(cfg)

@@ -50,6 +50,7 @@ workdir = ./rundir
 [correct_option]
 read_cutoff = 1k
 genome_size = {glen}
+nextgraph_options = -l 1
 seed_depth = 10
 """)
     cwd = os.getcwd()

@@ -1,0 +1,152 @@
+"""Golden cross-validation of the consensus core against the reference's
+own nextcorrect.so (built out-of-tree by experiments/build_ref_tools.sh
+from lib/align.c + dag.c + nextcorrect.c; skipped when absent).
+
+The same seed jobs — produced by OUR overlap + sort machinery — are fed
+to BOTH engines: the reference's `nextCorrect` (which banded-aligns each
+support internally, lib/nextcorrect.c:2219) and our `correct_seed` (TPU
+op-string interface; here driven by the native scalar aligner tier,
+whose semantics mirror lib/align.c).  Corrected sequences must agree at
+the base level."""
+import ctypes
+import os
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_SO = os.path.join(REPO, ".scratch", "refbin", "nextcorrect.so")
+
+needs_ref = pytest.mark.skipif(not os.path.exists(REF_SO),
+                               reason="reference nextcorrect.so not built")
+
+_B2C = np.frombuffer(b"ACGT", np.uint8)
+
+
+class _CnsTrimed(ctypes.Structure):
+    _fields_ = [("len", ctypes.c_uint), ("identity", ctypes.c_float),
+                ("seq", ctypes.c_char_p)]
+
+
+def _ref_lib():
+    lib = ctypes.CDLL(REF_SO)
+    lib.nextCorrect.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint),
+        ctypes.POINTER(ctypes.c_uint), ctypes.c_uint, ctypes.c_uint,
+        ctypes.c_uint, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
+        ctypes.c_float, ctypes.c_uint, ctypes.c_uint, ctypes.c_int]
+    lib.nextCorrect.restype = ctypes.POINTER(_CnsTrimed)
+    lib.free_consensus_trimed.argtypes = [ctypes.POINTER(_CnsTrimed)]
+    return lib
+
+
+def _codes_to_bytes(codes: np.ndarray) -> bytes:
+    return _B2C[np.asarray(codes, np.uint8) & 3].tobytes()
+
+
+def _ref_correct(lib, seed_codes, sups, tss, tes, *, min_len_aln=500,
+                 max_cov_aln=130, min_cov=4, max_lq_length=10000,
+                 min_error_corrected_ratio=0.8, split=0, fast=0,
+                 read_type=1):
+    """Call the reference nextCorrect the way nextcorrect.py's worker does
+    (lib/nextcorrect.py:183-199): seqs[0] = the seed itself (the seed
+    group's self-record), aln window inclusive on seed coords."""
+    seed_b = _codes_to_bytes(seed_codes)
+    seqs = [seed_b] + [_codes_to_bytes(s) for s in sups]
+    starts = [0] + [int(t) for t in tss]
+    ends = [len(seed_codes) - 1] + [int(t) for t in tes]
+    n = len(seqs)
+    max_mem = len(seed_codes)
+    for s, a, b in zip(sups, tss, tes):
+        max_mem = max(max_mem, (b - a) + len(s) + 2)
+    c_seqs = (ctypes.c_char_p * n)(*seqs)
+    c_s = (ctypes.c_uint * n)(*starts)
+    c_e = (ctypes.c_uint * n)(*ends)
+    max_lq = min(ends[0] // 2, max_lq_length)
+    res = lib.nextCorrect(c_seqs, c_s, c_e, n, max_mem, min_len_aln,
+                          max_cov_aln, min_cov, max_lq,
+                          min_error_corrected_ratio, split, fast, read_type)
+    c = res.contents
+    out = (int(c.len), float(c.identity), c.seq.decode() if c.seq else "")
+    lib.free_consensus_trimed(res)
+    return out
+
+
+def _jobs_from_sim(glen=60_000, coverage=18, mean_len=9000, err=0.10,
+                   seed=140):
+    from nextdenovo_tpu.correct.driver import iter_seed_jobs
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+    from nextdenovo_tpu.overlap.sort import sort_filter_overlaps
+
+    g = simulate_genome(glen, seed=seed)
+    sim = simulate_reads(g, coverage=coverage, mean_len=mean_len,
+                         error_rate=err, seed=seed + 1, min_len=2500)
+    store = SeqStore.from_codes(sim.reads)
+    rids = np.arange(len(store))
+    idx = build_index(store, rids, k=15, w=5)
+    ovl = find_overlaps(store, rids, idx, k=15, w=5)
+    lens = np.asarray(store.length)
+    is_seed = lens >= np.quantile(lens, 0.6)
+    res = sort_filter_overlaps(ovl, is_seed, lens, max_bin_cov=14)
+    jobs = list(iter_seed_jobs(res.block, res.blacklist, lens,
+                               min_len_seed=3000, min_cov_seed=4))
+    return store, jobs
+
+
+def _ident(a: str, b: str) -> float:
+    """Alignment identity of two sequences via the native aligner."""
+    from nextdenovo_tpu.native import band_align_cpu
+    if not a or not b:
+        return 0.0
+    d, qa, ta = band_align_cpu(a, b)
+    if not qa:
+        return 0.0
+    qa_b = np.frombuffer(qa.encode(), np.uint8)
+    ta_b = np.frombuffer(ta.encode(), np.uint8)
+    return float((qa_b == ta_b).mean())
+
+
+@needs_ref
+def test_consensus_golden_vs_reference():
+    from nextdenovo_tpu.native import correct_seed
+    from nextdenovo_tpu.ops.align import band_align_native, OP_DIAG
+
+    lib = _ref_lib()
+    store, jobs = _jobs_from_sim()
+    assert len(jobs) >= 4, len(jobs)
+    n_cmp = 0
+    idents = []
+    for job in jobs[:8]:
+        seed_codes = store.get(job.seed)
+        sups, tss, tes, ops = [], [], [], []
+        for (t, rev, ss, se, sqs, sqe) in job.sups:
+            sup = store.subseq(t, sqs, sqe + 1, rc=bool(rev))
+            seg = seed_codes[ss : se + 1]
+            r = band_align_native([sup.astype(np.int8)],
+                                  [seg.astype(np.int8)])[0]
+            if not (r["ok"] and r["reached"]):
+                continue
+            sups.append(sup.astype(np.uint8))
+            tss.append(ss)
+            tes.append(se)
+            ops.append(r["ops"].astype(np.uint8))
+        if len(sups) < 4:
+            continue
+        ref_len, ref_ide, ref_seq = _ref_correct(lib, seed_codes, sups,
+                                                 tss, tes)
+        our_len, our_ide, our_seq = correct_seed(
+            seed_codes, sups, tss, tes, ops,
+            max_lq_length=min(10000, len(seed_codes) // 2))
+        if ref_len <= 3 or our_len <= 3:
+            # sentinel outcomes must agree (both reject or both accept)
+            assert (ref_len <= 3) == (our_len <= 3), (ref_len, our_len)
+            continue
+        n_cmp += 1
+        assert abs(our_len - ref_len) < 0.02 * ref_len + 50, \
+            (job.seed, our_len, ref_len)
+        idents.append(_ident(our_seq, ref_seq))
+    assert n_cmp >= 3, n_cmp
+    # the two consensus engines must produce near-identical sequence
+    assert float(np.mean(idents)) > 0.995, idents

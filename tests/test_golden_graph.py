@@ -1,0 +1,76 @@
+"""Golden cross-validation of the graph layer against the reference's own
+nextgraph binary (built out-of-tree by experiments/build_ref_tools.sh;
+skipped when absent).  Our cns-stage artifacts are exported in the
+reference formats, the reference assembler runs on them, and its contigs
+must agree with ours: same graph-input read count regime, comparable
+contig set, and mutual 31-mer containment.
+
+Reads are simulated SHORT (mean 5 kb) so enough non-contained reads
+survive to exceed the reference's 15-node short-branch floor
+(util/ng/opt.c sbranch_len) at a test-sized genome."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFBIN = os.path.join(REPO, ".scratch", "refbin")
+sys.path.insert(0, os.path.join(REPO, "experiments"))
+
+needs_ng = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFBIN, "nextgraph")),
+    reason="reference nextgraph not built (.scratch/refbin)")
+
+
+@pytest.fixture(scope="module")
+def finished_run(tmp_path_factory):
+    from nextdenovo_tpu.io.fastx import write_fasta
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.pipeline.config import load_config
+    from nextdenovo_tpu.pipeline.run import run_pipeline
+
+    d = tmp_path_factory.mktemp("golden")
+    glen = 150_000
+    g = simulate_genome(glen, seed=11)
+    sim = simulate_reads(g, coverage=30, mean_len=5000, error_rate=0.09,
+                         seed=12, min_len=1500)
+    write_fasta(str(d / "reads.fa"),
+                [(f"read{i}", r) for i, r in enumerate(sim.reads)])
+    (d / "input.fofn").write_text("reads.fa\n")
+    (d / "run.cfg").write_text(f"""
+[General]
+task = all
+input_type = raw
+read_type = ont
+input_fofn = ./input.fofn
+workdir = ./rundir
+
+[correct_option]
+read_cutoff = 1k
+genome_size = {glen}
+seed_depth = 18
+""")
+    out = run_pipeline(load_config(str(d / "run.cfg")))
+    return d, g, out
+
+
+@needs_ng
+def test_graph_golden_vs_nextgraph(finished_run):
+    from golden_graph import golden_graph_compare
+
+    d, g, out = finished_run
+    res = golden_graph_compare(str(d / "rundir"), str(d / "refgraph"))
+    # the reference assembler must produce a real assembly from OUR
+    # exported evidence (formats + stats land correctly); this workload
+    # deliberately includes a sub-15-read component that BOTH assemblers
+    # drop (the rm_sht_brh noise floor), so the bar is vs each other,
+    # not vs the genome
+    assert res["ref"]["n"] >= 1, res
+    assert res["ref"]["total_bp"] > 0.3 * len(g), res
+    # the two contig sets must be the same sequence content
+    assert res["ours"]["n"] == res["ref"]["n"], res
+    assert abs(res["ours"]["total_bp"] - res["ref"]["total_bp"]) \
+        < 0.01 * res["ref"]["total_bp"] + 100, res
+    assert res["ours_kmers_in_ref"] > 0.99, res
+    assert res["ref_kmers_in_ours"] > 0.99, res

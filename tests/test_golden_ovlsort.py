@@ -1,0 +1,127 @@
+"""Golden cross-validation of the overlap sort/filter against the
+reference's own ovl_sort binary (built out-of-tree by
+experiments/build_ref_tools.sh; skipped when absent).
+
+Our raw step-1 overlap records are exported in the reference's binary
+mode-8 .ovl encoding plus a seed .idx, the reference ovl_sort runs its
+external sort + coverage/chimera filter on them, and its kept records +
+blacklist must match our sort_filter_overlaps on identical input."""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REFBIN = os.path.join(REPO, ".scratch", "refbin")
+
+needs_ref = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFBIN, "ovl_sort")),
+    reason="reference ovl_sort not built (.scratch/refbin)")
+
+
+def _sim_raw(glen=120_000, coverage=16, mean_len=9000, err=0.10, seed=150):
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+
+    g = simulate_genome(glen, seed=seed)
+    sim = simulate_reads(g, coverage=coverage, mean_len=mean_len,
+                         error_rate=err, seed=seed + 1, min_len=2500)
+    store = SeqStore.from_codes(sim.reads)
+    rids = np.arange(len(store))
+    idx = build_index(store, rids, k=15, w=5)
+    ovl = find_overlaps(store, rids, idx, k=15, w=5)
+    return store, ovl
+
+
+def _group_by_seed(blk, shift=0):
+    """seed -> sorted list of content tuples (order-insensitive compare:
+    the reference's qsort is unstable on its 3-key comparator, so tie
+    order inside a seed group is not reproducible)."""
+    out = {}
+    for i in range(len(blk)):
+        key = int(blk.qname[i]) - shift
+        out.setdefault(key, []).append(
+            (int(blk.rev[i]), int(blk.qs[i]), int(blk.qe[i]),
+             int(blk.tname[i]) - shift, int(blk.ts[i]), int(blk.te[i]),
+             int(blk.match[i])))
+    return {k: sorted(v) for k, v in out.items()}
+
+
+@needs_ref
+def test_ovl_sort_golden_vs_reference(tmp_path):
+    from nextdenovo_tpu.io.refformats import read_ovl, write_ovl
+    from nextdenovo_tpu.overlap.records import OvlBlock
+    from nextdenovo_tpu.overlap.sort import sort_filter_overlaps
+
+    store, raw = _sim_raw()
+    lens = np.asarray(store.length, np.int64)
+    is_seed = lens >= np.quantile(lens, 0.6)
+    max_bin_cov, max_flank = 14, 300
+
+    # ---- reference side: mode-8 .ovl + seed idx (+1 names) ----
+    # ovl_sort expects minimap2-nd's job-matrix layout (nextDenovo:445-463
+    # `minimap2-nd --step 1 <seed_part> <part>`): the TARGET side of every
+    # record is a seed, and a seed-seed pair appears once per direction
+    # (partA vs seedB AND partB vs seedA).  Its reader also disables a
+    # side's seed lookup after 5 misses (sort_ovl_file key_exist, ovl_sort
+    # .c:957-1004), so records with non-seed queries are emitted FIRST to
+    # deterministically kill the q-side view like a real part file does.
+    g = lambda k: np.asarray(raw.data[k], np.int64)
+    qn, tn = g("qname"), g("tname")
+    cols = {}
+    t_seeded = np.nonzero(is_seed[tn])[0]
+    q_seeded = np.nonzero(is_seed[qn])[0]
+    for k in ("qname", "rev", "qs", "qe", "tname", "ts", "te", "match"):
+        swap = {"qname": "tname", "qs": "ts", "qe": "te", "tname": "qname",
+                "ts": "qs", "te": "qe"}.get(k, k)
+        cols[k] = np.concatenate([g(k)[t_seeded], g(swap)[q_seeded]])
+    qfirst = np.argsort(is_seed[cols["qname"]], kind="stable")
+    cols = {k: v[qfirst] + (1 if k in ("qname", "tname") else 0)
+            for k, v in cols.items()}
+    ovl_path = str(tmp_path / "raw.ovl")
+    write_ovl(ovl_path, OvlBlock(cols), mode=8)
+    idx_path = str(tmp_path / "seeds.idx")
+    with open(idx_path, "w") as fh:
+        for r in np.nonzero(is_seed)[0]:
+            fh.write(f"{r + 1}\t0\t{int(lens[r])}\n")
+    fofn = str(tmp_path / "in.fofn")
+    open(fofn, "w").write(ovl_path + "\n")
+    out_path = str(tmp_path / "ref.sorted.ovl")
+    # -o must stay relative: the reference joins tempdir + outfile for its
+    # spill files (init_sort, ovl_sort.c:227)
+    r = subprocess.run(
+        [os.path.join(REFBIN, "ovl_sort"), "-i", idx_path,
+         "-k", str(max_bin_cov), "-l", str(max_flank), "-m", "1G",
+         "-t", "2", "-d", ".", "-o", "ref.sorted.ovl", fofn],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    ref_blk, _ = read_ovl(out_path)
+    ref_bl = {}
+    for line in open(out_path + ".bl"):
+        name, mark = line.split()
+        ref_bl[int(name) - 1] = mark
+
+    # ---- our side ----
+    res = sort_filter_overlaps(raw, is_seed, lens,
+                               max_bin_cov=max_bin_cov,
+                               max_flank_len=max_flank)
+
+    assert res.blacklist == ref_bl
+    ours = _group_by_seed(res.block)
+    refs = _group_by_seed(ref_blk, shift=1)
+    assert set(ours) == set(refs), (
+        sorted(set(ours) ^ set(refs)), len(ours), len(refs))
+    n_rec_ours = sum(len(v) for v in ours.values())
+    n_rec_refs = sum(len(v) for v in refs.values())
+    # record-for-record equality per seed; the depth-cap pass is
+    # tie-order-dependent, so allow a small slack before failing hard
+    diff = 0
+    for k in ours:
+        a, b = ours[k], refs[k]
+        if a != b:
+            sa, sb = set(a), set(b)
+            diff += len(sa ^ sb)
+    assert diff <= 0.01 * max(n_rec_ours, n_rec_refs), (
+        diff, n_rec_ours, n_rec_refs)

@@ -21,7 +21,10 @@ def _assemble_sim(glen, cov, err, seed, mean_len=12000):
     ide = np.minimum((ovl.match / span * 10000).astype(np.int32), 10000)
     ovl.data["ide"] = np.maximum(ide, 8000)
     lens = {i: int(store.length[i]) for i in range(len(store))}
-    sg, seqs = assemble(ovl, lens, get_read=lambda r: store.get(r))
+    # tiny-genome regime: these workloads sit below nextgraph's default
+    # 15-read short-branch floor, so use its own escape hatch (-l 2)
+    sg, seqs = assemble(ovl, lens, get_read=lambda r: store.get(r),
+                        sbranch_len=2)
     return g, sim, store, sg, seqs
 
 

@@ -162,3 +162,76 @@ def test_keep_best_edges_respects_rep_protection():
         e.rep = True
     assert g.keep_best_edges() == 0
     assert (0, 4) in _alive(g)
+
+
+def test_clip_z_by_score_tc_removes_weak_link():
+    # two strong through-chains bridged by a weak z-edge 2+ -> 10+
+    # (start branches out, end merges in); rm_z_clip_score3 semantics:
+    # both the relative-score and triangle-count ratios are far below
+    # perc=60, so the bridge goes and the chains stay
+    E = [(0, 2, 100, 9000, 9800), (2, 4, 100, 9000, 9800),
+         (4, 6, 100, 9000, 9800),
+         (8, 10, 100, 9000, 9800), (10, 12, 100, 9000, 9800),
+         (12, 14, 100, 9000, 9800),
+         (2, 10, 100, 3000, 8000)]
+    g = _mkgraph(8, E)
+    n = g.clip_z_by_score_tc(8, 0, 60)
+    assert n == 1
+    alive = _alive(g)
+    assert (2, 10) not in alive
+    for uv in [(0, 2), (2, 4), (4, 6), (8, 10), (10, 12), (12, 14)]:
+        assert uv in alive
+
+
+def test_clip_z_by_score_tc_guards_last_branch():
+    # two weak z-arms from the same start: after the weaker is cut the
+    # start's out-degree drops to 2 (main + remaining z); cutting the
+    # second leaves out-degree 1 — allowed, matching the reference's
+    # od>=2 pre-check per removal
+    E = [(0, 2, 100, 9000, 9800), (2, 4, 100, 9000, 9800),
+         (8, 10, 100, 9000, 9800), (10, 12, 100, 9000, 9800),
+         (16, 18, 100, 9000, 9800), (18, 20, 100, 9000, 9800),
+         (2, 10, 100, 3000, 8000), (2, 18, 100, 2500, 8000)]
+    g = _mkgraph(11, E)
+    n = g.clip_z_by_score_tc(8, 0, 60)
+    assert n == 2
+    alive = _alive(g)
+    assert (2, 10) not in alive and (2, 18) not in alive
+    assert (0, 2) in alive and (2, 4) in alive
+
+
+def test_clip_z_progressive_removes_weak_multi_edge_path():
+    # z-path of 2 edges through a pure simple node (10): branch 2+ ->
+    # 10+ -> 18+ merge; rm_z_clip_score2 removes the whole weak path
+    E = [(0, 2, 100, 9000, 9800), (2, 4, 100, 9000, 9800),
+         (4, 6, 100, 9000, 9800),
+         (16, 18, 100, 9000, 9800), (18, 20, 100, 9000, 9800),
+         (2, 10, 100, 3000, 8000), (10, 18, 100, 3000, 8000)]
+    g = _mkgraph(11, E)
+    n = g.clip_z_progressive(16, 0, -1)
+    assert n == 1
+    alive = _alive(g)
+    assert (2, 10) not in alive and (10, 18) not in alive
+    for uv in [(0, 2), (2, 4), (4, 6), (16, 18), (18, 20)]:
+        assert uv in alive
+
+
+def test_clip_z_progressive_rediscovers_after_removal():
+    # two stacked z-links: cutting the weaker 4+ -> 12+ turns the
+    # remaining 2+ -> 10+ -> 12? no — it leaves 2's out-degree 2 and a
+    # NEW z-path from 2 via 4 (now pure simple) is re-discovered and
+    # cut in the same sweep
+    E = [(0, 2, 100, 9000, 9800), (2, 4, 100, 6000, 9000),
+         (4, 6, 100, 2000, 8000),
+         (2, 8, 100, 9000, 9800), (8, 20, 100, 9000, 9800),
+         (16, 6, 100, 9000, 9800), (6, 18, 100, 9000, 9800),
+         (4, 12, 100, 1500, 7500), (14, 12, 100, 9000, 9800),
+         (12, 22, 100, 9000, 9800)]
+    g = _mkgraph(12, E)
+    g.clip_z_progressive(16, 0, -1)
+    alive = _alive(g)
+    assert (4, 12) not in alive
+    # after (4,12) goes, 4 becomes pure simple; the weak z 2->4->6 is
+    # found by the endpoint re-scan and cut too
+    assert (2, 4) not in alive and (4, 6) not in alive
+    assert (2, 8) in alive and (16, 6) in alive

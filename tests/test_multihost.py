@@ -36,6 +36,7 @@ workdir = ./{workdir}
 [correct_option]
 read_cutoff = 1k
 genome_size = {glen}
+nextgraph_options = -l 1
 seed_depth = 10
 """)
     return str(cfgp)

@@ -31,6 +31,7 @@ rewrite = {rewrite}
 [correct_option]
 read_cutoff = 1k
 genome_size = {glen}
+nextgraph_options = -l 2
 seed_depth = 8
 """)
     return str(cfgp)
