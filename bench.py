@@ -163,9 +163,14 @@ def bench_myers(rng):
     cells = float(n.astype(np.int64).sum()) * W
     gcups = cells / dt / 1e9
 
+    # e2e over the SAME batch size as the device bench: myers_align pads
+    # to the same (B, n_pad, qp_w) bucket, so fwd/tb compile once per
+    # process instead of paying a second Mosaic compile for a smaller B
+    # (each TPU compile through the tunnel costs minutes and is not
+    # persistently cached)
     t0 = time.time()
-    res = M.myers_align([q.astype(np.int8) for q in qs_l[:256]],
-                        [t.astype(np.int8) for t in ts_l[:256]])
+    res = M.myers_align([q.astype(np.int8) for q in qs_l],
+                        [t.astype(np.int8) for t in ts_l])
     e2e_pairs_s = sum(1 for r in res if r["ok"]) / (time.time() - t0)
     return dict(gcups=gcups, e2e_pairs_s=e2e_pairs_s)
 

@@ -1168,25 +1168,52 @@ class StringGraph:
 
     def contig_sequences(self, get_read, with_paths: bool = False,
                          with_meta: bool = False):
-        """Emit contig base arrays.  get_read(rid) -> codes (fwd)."""
+        """Emit contig base arrays.  get_read(rid) -> codes (fwd).
+
+        End nodes of a LINEAR contig contribute their FULL read past the
+        trimmed extent, like the reference (generate_ctg ctg.c:142 first
+        node s=0, :236 last node e=UINT32_MAX; single nodes both) — the
+        .bl le/re trims only bound the overlap arithmetic, not the contig
+        ends.  Circular paths get no extension (the ends would duplicate
+        the wrap-around overlap)."""
         seqs, metas = [], []
         all_paths = self.contigs()
         for path in all_paths:
+            vN = path[-1][0]
+            is_circ = len(path) > 1 and any(
+                e2.v == path[0][0] for e2 in self.out_edges(vN))
             parts = []
             seg_lens = []
             v0, _ = path[0]
             r0 = self.reads[v0 // 2]
-            s0 = get_read(v0 // 2)[r0.s : r0.e]
+            lo, hi = r0.s, r0.e
+            if len(path) == 1:
+                lo, hi = 0, r0.length   # single node: whole read (type 3)
+            elif not is_circ:
+                if v0 & 1:
+                    hi = r0.length   # traversal start = fwd tail
+                else:
+                    lo = 0
+            s0 = get_read(v0 // 2)[lo:hi]
             if v0 & 1:
                 s0 = (s0 ^ 3)[::-1]
             parts.append(s0)
             seg_lens.append(len(s0))
-            for vtx, e in path[1:]:
+            for i, (vtx, e) in enumerate(path[1:], start=1):
                 r = self.reads[vtx // 2]
-                s = get_read(vtx // 2)[r.s : r.e]
+                lo, hi = r.s, r.e
+                ext = 0
+                if i == len(path) - 1 and not is_circ:
+                    if vtx & 1:
+                        ext = lo
+                        lo = 0   # traversal end = fwd head
+                    else:
+                        ext = r.length - hi
+                        hi = r.length
+                s = get_read(vtx // 2)[lo:hi]
                 if vtx & 1:
                     s = (s ^ 3)[::-1]
-                hang = min(e.hang, len(s))
+                hang = min(e.hang + ext, len(s))
                 if hang > 0:
                     parts.append(s[-hang:])
                 seg_lens.append(max(0, hang))
