@@ -125,3 +125,62 @@ def test_ovl_sort_golden_vs_reference(tmp_path):
             diff += len(sa ^ sb)
     assert diff <= 0.01 * max(n_rec_ours, n_rec_refs), (
         diff, n_rec_ours, n_rec_refs)
+
+
+@needs_ref
+def test_ovl_sort_golden_hifi_mode(tmp_path):
+    """Same cross-check through the HiFi branch (ovl_sort -H -> our
+    is_hq=True): low-error reads, encode_ovl_filter_hq semantics."""
+    from nextdenovo_tpu.io.refformats import read_ovl, write_ovl
+    from nextdenovo_tpu.overlap.records import OvlBlock
+    from nextdenovo_tpu.overlap.sort import sort_filter_overlaps
+
+    store, raw = _sim_raw(glen=80_000, coverage=14, mean_len=9000,
+                          err=0.005, seed=160)
+    lens = np.asarray(store.length, np.int64)
+    is_seed = lens >= np.quantile(lens, 0.5)
+    max_bin_cov, max_flank = 12, 300
+
+    g = lambda k: np.asarray(raw.data[k], np.int64)
+    qn, tn = g("qname"), g("tname")
+    cols = {}
+    t_seeded = np.nonzero(is_seed[tn])[0]
+    q_seeded = np.nonzero(is_seed[qn])[0]
+    for k in ("qname", "rev", "qs", "qe", "tname", "ts", "te", "match"):
+        swap = {"qname": "tname", "qs": "ts", "qe": "te", "tname": "qname",
+                "ts": "qs", "te": "qe"}.get(k, k)
+        cols[k] = np.concatenate([g(k)[t_seeded], g(swap)[q_seeded]])
+    qfirst = np.argsort(is_seed[cols["qname"]], kind="stable")
+    cols = {k: v[qfirst] + (1 if k in ("qname", "tname") else 0)
+            for k, v in cols.items()}
+    ovl_path = str(tmp_path / "raw.ovl")
+    write_ovl(ovl_path, OvlBlock(cols), mode=8)
+    idx_path = str(tmp_path / "seeds.idx")
+    with open(idx_path, "w") as fh:
+        for r in np.nonzero(is_seed)[0]:
+            fh.write(f"{r + 1}\t0\t{int(lens[r])}\n")
+    fofn = str(tmp_path / "in.fofn")
+    open(fofn, "w").write(ovl_path + "\n")
+    r = subprocess.run(
+        [os.path.join(REFBIN, "ovl_sort"), "-i", idx_path, "-H",
+         "-k", str(max_bin_cov), "-l", str(max_flank), "-m", "1G",
+         "-t", "2", "-d", ".", "-o", "ref.sorted.ovl", fofn],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path))
+    assert r.returncode == 0, r.stderr
+    ref_blk, _ = read_ovl(str(tmp_path / "ref.sorted.ovl"))
+    ref_bl = {}
+    for line in open(str(tmp_path / "ref.sorted.ovl.bl")):
+        name, mark = line.split()
+        ref_bl[int(name) - 1] = mark
+
+    res = sort_filter_overlaps(raw, is_seed, lens,
+                               max_bin_cov=max_bin_cov,
+                               max_flank_len=max_flank, is_hq=True)
+    assert res.blacklist == ref_bl
+    ours = _group_by_seed(res.block)
+    refs = _group_by_seed(ref_blk, shift=1)
+    assert set(ours) == set(refs), sorted(set(ours) ^ set(refs))
+    n_rec = sum(len(v) for v in refs.values())
+    diff = sum(len(set(ours[k]) ^ set(refs[k])) for k in ours
+               if ours[k] != refs[k])
+    assert diff <= 0.01 * max(1, n_rec), (diff, n_rec)
