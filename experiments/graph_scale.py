@@ -1,0 +1,82 @@
+"""Scale benchmark for the native packed-array string graph (VERDICT r2
+item 4): a ~10^7-edge synthetic graph must clean in < 5 min and < 10 GB.
+
+Builds a genome-shaped topology — long backbone chains with bubbles,
+tips, and random repeat cross-links — entirely in numpy, then times
+native/graph.cpp nd_graph_run (mode 1: direct edge tuples).
+
+Run: python experiments/graph_scale.py [n_edges_million=10]
+"""
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from nextdenovo_tpu.native import graph_run
+
+
+def build_inputs(n_pairs: int, seed=0):
+    """n_pairs add_pair tuples -> 2*n_pairs edges.  ~70% backbone chain,
+    15% bubbles/branches, 15% random cross-links (repeats)."""
+    rng = np.random.default_rng(seed)
+    n_backbone = int(n_pairs * 0.70)
+    n_reads = n_backbone + 2  # chain reads; extra tuples reuse them
+    i = np.arange(n_backbone, dtype=np.int64)
+    bb = np.stack([2 * i, 2 * (i + 1),
+                   rng.integers(2000, 12000, n_backbone),
+                   rng.integers(2000, 12000, n_backbone),
+                   rng.integers(4000, 18000, n_backbone),
+                   rng.integers(8500, 10000, n_backbone)], axis=1)
+    n_side = n_pairs - n_backbone
+    a = rng.integers(0, n_reads - 1, n_side)
+    kind = rng.random(n_side)
+    # bubbles/tips: short-range skips; repeats: long-range links
+    b = np.where(kind < 0.5,
+                 np.minimum(a + rng.integers(2, 6, n_side), n_reads - 1),
+                 rng.integers(0, n_reads - 1, n_side))
+    keep = a != b
+    side = np.stack([2 * a, 2 * b,
+                     rng.integers(2000, 12000, n_side),
+                     rng.integers(2000, 12000, n_side),
+                     rng.integers(3000, 15000, n_side),
+                     rng.integers(7000, 10000, n_side)], axis=1)[keep]
+    tuples = np.concatenate([bb, side]).astype(np.int32)
+    rinfo = np.zeros((n_reads, 10), np.int64)
+    rinfo[:, 0] = rng.integers(8000, 30000, n_reads)      # length
+    rinfo[:, 2] = rinfo[:, 0]                             # e = length
+    rinfo[:, 8] = rng.integers(5, 40, n_reads)            # lc
+    rinfo[:, 9] = rng.integers(5, 40, n_reads)            # rc
+    return tuples, rinfo
+
+
+def main():
+    n_million = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
+    n_pairs = int(n_million * 1e6) // 2
+    t0 = time.time()
+    tuples, rinfo = build_inputs(n_pairs)
+    t_gen = time.time() - t0
+    ip = dict(max_hang_len=500, min_node_count=2, min_con_count=2,
+              fuzz_len=1000, sbranch_len=15, out_spath_len=0, sloop_len=5,
+              end_loop_len=50, zbranch_len=8, min_edge_cov=3, min_ide_i=10,
+              alt_ctg=False)
+    fp = dict(min_ide_ratio=0.7, min_sco_ratio=0.4, max_sco_ratio=0.5,
+              min_depth_ratio=0.6, min_depth_multi=1.5,
+              max_depth_multi=2000.0)
+    t0 = time.time()
+    edges, flags, _ = graph_run(tuples, rinfo, ip, fp, mode=1)
+    t_clean = time.time() - t0
+    alive = int(((flags & 3) == 0).sum())
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f"edges={len(edges)} alive={alive} gen={t_gen:.1f}s "
+          f"clean={t_clean:.1f}s peak_rss={rss_gb:.2f}GB")
+    ok = t_clean < 300 and rss_gb < 10
+    print("PASS" if ok else "FAIL", "(criterion: <300s, <10GB)")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

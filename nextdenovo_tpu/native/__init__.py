@@ -25,7 +25,8 @@ def _build():
 
 
 def _load():
-    srcs = [os.path.join(_DIR, f) for f in ("consensus.cpp", "ovl_filter.cpp")]
+    srcs = [os.path.join(_DIR, f)
+            for f in ("consensus.cpp", "ovl_filter.cpp", "graph.cpp")]
     if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < max(
             os.path.getmtime(s) for s in srcs):
         _build()
@@ -65,6 +66,10 @@ def _load():
     lib.nd_cns_filter.argtypes = [
         i32p, ctypes.c_int64, i32p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, u8p, i32p, u8p, i32p, i64p]
+    lib.nd_graph_run.restype = ctypes.c_int64
+    lib.nd_graph_run.argtypes = [
+        i32p, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
+        ctypes.POINTER(ctypes.c_double), i64p, u8p, i64p]
     lib.nd_correct_links.restype = ctypes.POINTER(NdCns)
     lib.nd_correct_links.argtypes = [
         u8p, ctypes.c_int32, ctypes.c_int32,
@@ -195,6 +200,58 @@ def cns_filter(recs9: np.ndarray, lens: np.ndarray, maxhan1: int,
         alns.ctypes.data_as(i32p), ctypes.byref(n_alns))
     return (keep.astype(bool), st, touched.astype(bool),
             alns[: n_alns.value])
+
+
+GRAPH_F_DEL, GRAPH_F_RED, GRAPH_F_CHIM, GRAPH_F_REP = 1, 2, 4, 8
+
+
+def graph_run(recs: np.ndarray, rinfo: np.ndarray, iparams: dict,
+              fparams: dict, mode: int = 0, stop_after: int = -1):
+    """Native string-graph build + clean (graph.cpp; port of
+    graph/assemble.py StringGraph on packed arrays).
+
+    recs: mode 0 -> (n, 8) int32 overlap records (q, t, rev, qs, qe, ts,
+    te, ide) pre-gated + pre-ordered (the caller computes the same
+    match-descending argsort the Python build uses); mode 1 -> (n, 6)
+    int32 direct edge tuples (u, v, hang_uv, hang_vu, sco, ide).
+    rinfo: (n_reads, 10) int64 [length, s, e, con, lim, rim, llm, rlm,
+    lc, rc], dense by rid.
+    Returns (edges (ne, 5) int64 [u, v, hang, sco, ide], flags (ne,)
+    uint8 bitfield DEL|RED|CHIM|REP, con (n_reads,) int64 updated)."""
+    L = lib()
+    recs = np.ascontiguousarray(recs, np.int32)
+    if recs.size == 0:
+        recs = recs.reshape(0, 8 if mode == 0 else 6)
+    rinfo = np.ascontiguousarray(rinfo, np.int64)
+    n = recs.shape[0]
+    n_reads = rinfo.shape[0]
+    ip = np.array([
+        iparams["max_hang_len"], iparams["min_node_count"],
+        iparams["min_con_count"], iparams["fuzz_len"],
+        iparams["sbranch_len"], iparams["out_spath_len"],
+        iparams["sloop_len"], iparams["end_loop_len"],
+        iparams["zbranch_len"], iparams["min_edge_cov"],
+        iparams["min_ide_i"], 1 if iparams.get("alt_ctg") else 0,
+        stop_after, mode], np.int64)
+    fp = np.array([
+        fparams["min_ide_ratio"], fparams["min_sco_ratio"],
+        fparams["max_sco_ratio"], fparams["min_depth_ratio"],
+        fparams["min_depth_multi"], fparams["max_depth_multi"]],
+        np.float64)
+    cap = 2 * max(n, 1)
+    out_edges = np.zeros((cap, 5), np.int64)
+    out_flags = np.zeros(cap, np.uint8)
+    out_con = np.zeros(n_reads, np.int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    ne = L.nd_graph_run(
+        recs.ctypes.data_as(i32p), n, rinfo.ctypes.data_as(i64p), n_reads,
+        ip.ctypes.data_as(i64p),
+        fp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        out_edges.ctypes.data_as(i64p), out_flags.ctypes.data_as(u8p),
+        out_con.ctypes.data_as(i64p))
+    return out_edges[:ne], out_flags[:ne], out_con
 
 
 def poa(seqs: List[str]) -> str:

@@ -1123,6 +1123,8 @@ def _band_align_R(queries, targets, R: int, interpret: bool):
                                        interpret=interpret)
     ops, span = band_align_tb(tb, lo, jnp.asarray(mn), R=R, a_max=a_max,
                               interpret=interpret)
+    from ..utils.fetch import fetch as _fetch
+    ops, span, stats = _fetch([ops, span, stats])
     words = np.asarray(ops).reshape(len(queries), -1)
     # unpack 16 ops per int32 word (slot g -> word g//16, bits 2*(g%16))
     shifts = (2 * np.arange(PACK, dtype=np.uint32))

@@ -45,6 +45,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.fetch import fetch
+
 UP, LEFT, DIAG = 1, 2, 0        # op encoding shared with ops.align
 EV_FAIL = 255                   # event byte: band exit / up-run overflow
 
@@ -500,11 +502,14 @@ def _myers_finish(h):
     m, n, off = h["m"], h["n"], h["off"]
     swapped, feasible = h["swapped"], h["feasible"]
     n_pad, B, B0 = h["n_pad"], h["B"], h["B0"]
-    dist = tail_walk(np.asarray(h["score"]), np.asarray(h["final"]),
-                     m, n, off)
-    evs = np.asarray(h["evs"])
-    i_f = np.asarray(h["i_f"])
-    okv = np.asarray(h["ok"]) & feasible
+    # ONE packed d2h pull for the whole sub-batch (utils/fetch.py): per-
+    # array pulls paid 5 tunnel latencies per sub-batch and dominated the
+    # end-to-end pairs/s (BENCH_r02 myers_pairs_s 123.8 vs 38.9 GCUPS
+    # device-side)
+    score, final, evs, i_f, okv = fetch(
+        [h["score"], h["final"], h["evs"], h["i_f"], h["ok"]])
+    dist = tail_walk(score, final, m, n, off)
+    okv = okv & feasible
 
     # batch expansion: one flat np.repeat over every ok pair's events
     vals_l, reps_l, lens = [], [], []

@@ -29,9 +29,19 @@ from ..io.seqstore import SeqStore
 from ..ops.segment import (segment_argmax, segment_max, segment_min,
                            segment_starts, segment_sum)
 from ..ops.sketch import sketch, sketch_wide
+from ..utils.fetch import fetch
 from .records import OvlBlock
 
 I32MAX = np.int32(2**31 - 1)
+
+# Launches per device->host pull: per-batch results stay on device and are
+# pulled in groups of FLUSH with ONE packed transfer (utils/fetch.py) — the
+# tunnel's per-transfer latency, not device compute, dominated raw_align at
+# genome scale (SCALE_r02).  Tail groups are padded with cached dummy
+# operands so every fetch sees identical shapes (one packer compile).
+FLUSH = 32
+
+REC_FIELDS = ("qname", "rev", "qs", "qe", "tname", "ts", "te", "match")
 
 
 class MiniIndex(NamedTuple):
@@ -177,19 +187,28 @@ def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
     rows = _chunk_rows(rids, lens, k, w, hpc=hpc)
     rows_lp = batch_rows * CHUNK_LP
     s = 0
-    # dispatch-pipeline: enqueue up to PIPE sketch launches before pulling
-    # results, so host buffer fill + h2d transfers overlap device compute
-    # (jax dispatch is async; the pull is the only sync point)
-    PIPE = 16
+    # all batches share one minimizer-array capacity so device-side
+    # accumulation sees one operand shape (the sketch launch itself still
+    # compiles per (nr, Lp) bucket)
+    cap_mini = 2 * rows_lp // max(1, w) + 1024
+    # device-side accumulation: per-batch sketch outputs stay on device and
+    # are pulled FLUSH-at-a-time with one packed transfer (see FLUSH note)
     inflight = []
 
     def _drain(k_keep):
-        while len(inflight) > k_keep:
-            m, row_rid, row_g0 = inflight.pop(0)
-            n = int(m.n)
-            mr = np.asarray(m.rid[:n])
-            parts.append((row_rid[mr], np.asarray(m.pos[:n]) + row_g0[mr],
-                          np.asarray(m.hash[:n]), np.asarray(m.strand[:n])))
+        if len(inflight) <= k_keep:
+            return
+        group = inflight[:]
+        del inflight[:]
+        arrs = []
+        for m, _, _ in group:
+            arrs += [m.hash, m.rid, m.pos, m.strand, m.n]
+        pulled = fetch(arrs)
+        for gi, (_, row_rid, row_g0) in enumerate(group):
+            hh, rr_, pp, ss_, nn = pulled[5 * gi : 5 * gi + 5]
+            n = int(nn)
+            mr = rr_[:n]
+            parts.append((row_rid[mr], pp[:n] + row_g0[mr], hh[:n], ss_[:n]))
 
     while s < len(rows):
         Lp = _bucket_len(rows[s][4])
@@ -199,13 +218,13 @@ def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
         nr = max(1, min(batch_rows, rows_lp // Lp))
         sub = rows[s : s + nr]
         s += len(sub)
-        m = _sketch_rows(store, sub, k, w, nr, hpc=hpc)
+        m = _sketch_rows(store, sub, k, w, nr, hpc=hpc, cap=cap_mini)
         row_rid = np.full(nr, -1, np.int64)
         row_g0 = np.zeros(nr, np.int32)
         for i, rr in enumerate(sub):
             row_rid[i], row_g0[i] = rr[0], rr[1]
         inflight.append((m, row_rid, row_g0))
-        _drain(PIPE)
+        _drain(FLUSH - 1)
     _drain(0)
     rid = np.concatenate([p[0] for p in parts]) if parts else np.zeros(0, np.int64)
     pos = np.concatenate([p[1] for p in parts]) if parts else np.zeros(0, np.int32)
@@ -267,9 +286,14 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
     f = lambda x: x.reshape(A)
     qr, t_rid, t_pos, rel, take = map(f, (qr, t_rid, t_pos, rel, take))
     qpos = f(qpos)
-    return _vote_emit(qr, t_rid, t_pos, rel, qpos, take, k=k,
-                      diag_shift=diag_shift, min_cnt=min_cnt,
-                      min_span=min_span, cap_out=cap_out, top_k=top_k)
+    rec, n_out, overflow = _vote_emit(
+        qr, t_rid, t_pos, rel, qpos, take, k=k, diag_shift=diag_shift,
+        min_cnt=min_cnt, min_span=min_span, cap_out=cap_out, top_k=top_k)
+    # single stacked output (+ 2-int meta) so the caller can accumulate
+    # batches on device and pull many at once (see FLUSH)
+    packed = jnp.stack([rec[kk] for kk in REC_FIELDS])
+    meta = jnp.stack([n_out, overflow])
+    return packed, meta
 
 
 def _vote_emit(qr, t_rid, t_pos, rel, qpos, take, *, k: int, diag_shift: int,
@@ -447,22 +471,31 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
     if cur:
         batches.append(cur)
     rows_lp = batch_rows * CHUNK_LP
-    # dispatch-pipeline (see build_index): keep up to PIPE sketch+match
-    # launches in flight so host fill + transfers overlap device compute
-    PIPE = 16
+    # device-side accumulation: per-batch (packed, meta) results stay on
+    # device; every FLUSH batches they are pulled with ONE packed transfer
+    # (see FLUSH note at top)
     inflight = []
 
     def _drain(k_keep):
-        while len(inflight) > k_keep:
-            rec, n_out, overflow = inflight.pop(0)
-            n = int(n_out)
-            if int(overflow) > 0:
+        if len(inflight) <= k_keep:
+            return
+        group = inflight[:]
+        del inflight[:]
+        arrs = []
+        for packed, meta in group:
+            arrs += [packed, meta]
+        pulled = fetch(arrs)
+        for gi in range(len(group)):
+            packed, meta = pulled[2 * gi], pulled[2 * gi + 1]
+            n, overflow = int(meta[0]), int(meta[1])
+            if overflow > 0:
                 # rare: too many candidate groups; caller batches are small
                 # enough in practice, but record the loss loudly
                 import logging
                 logging.getLogger(__name__).warning(
-                    "overlap emit overflow: %d records dropped", int(overflow))
-            blk = OvlBlock({kk: np.asarray(v[:n]) for kk, v in rec.items()})
+                    "overlap emit overflow: %d records dropped", overflow)
+            blk = OvlBlock({kk: packed[fi, :n]
+                            for fi, kk in enumerate(REC_FIELDS)})
             if len(blk):
                 blk = blk.take(np.asarray(blk.qname) >= 0)
             out.append(blk)
@@ -480,7 +513,7 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
             jnp.asarray(pbase), idx,
             k=k, max_occ=max_occ, diag_shift=diag_shift, min_cnt=min_cnt,
             min_span=min_span, cap_out=cap_out, top_k=top_k))
-        _drain(PIPE)
+        _drain(FLUSH - 1)
     _drain(0)
     res = OvlBlock.concat_all(out)
     if len(res):

@@ -1,0 +1,87 @@
+"""Single-pull device->host fetch.
+
+The d2h path (especially through a tunneled/remote TPU host) has a high and
+highly variable per-transfer latency — measured 25 ms warm to multiple
+seconds cold/contended — on top of limited bandwidth.  Any wrapper that
+pulls k result arrays per launch pays k latencies, and the overlap/
+alignment drivers launch hundreds of batches: per-array pulls made the
+transfer latency (not device compute) the production bottleneck at genome
+scale (SCALE_r02: raw_align 2365 s for milliseconds of device work).
+
+fetch() packs every result array into ONE flat uint8 buffer on device
+(bitcast + concatenate, jitted per shape-set) and pulls it with a single
+transfer, bounding each pull's cost to one latency + total_bytes/bandwidth.
+
+Byte order: jax.lax.bitcast_convert_type to uint8 yields little-endian
+bytes on all current backends; host-side reinterpretation uses '<' dtypes
+(round-trip is covered by tests/test_fetch.py on every dtype used here).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _packer(n: int):
+    @jax.jit
+    def pack(*arrs):
+        parts = []
+        for a in arrs:
+            if a.dtype == jnp.bool_:
+                a = a.astype(jnp.uint8)
+            if a.dtype != jnp.uint8:
+                a = jax.lax.bitcast_convert_type(a, jnp.uint8)
+            parts.append(a.reshape(-1))
+        if len(parts) == 1:
+            return parts[0]
+        return jnp.concatenate(parts)
+
+    return pack
+
+
+def fetch(arrays):
+    """Pull a list of device arrays with ONE d2h transfer.
+
+    Returns a list of numpy arrays (same order, shapes and dtypes; bool
+    stays bool).  Host-side numpy inputs pass through unchanged.
+    """
+    arrays = list(arrays)
+    metas = []
+    dev = []
+    for a in arrays:
+        if isinstance(a, np.ndarray) or np.isscalar(a):
+            metas.append(None)
+            continue
+        a = jnp.asarray(a)
+        metas.append((a.shape, np.dtype(a.dtype.name)))
+        dev.append(a)
+    if not dev:
+        return [np.asarray(a) for a in arrays]
+    flat = np.asarray(_packer(len(dev))(*dev))
+    out = []
+    off = 0
+    di = 0
+    for a, meta in zip(arrays, metas):
+        if meta is None:
+            out.append(np.asarray(a))
+            continue
+        shape, dt = meta
+        host_dt = np.dtype(np.uint8) if dt == np.bool_ else dt.newbyteorder("<")
+        nb = int(np.prod(shape, dtype=np.int64)) * host_dt.itemsize
+        piece = flat[off : off + nb].view(host_dt).reshape(shape)
+        if dt == np.bool_:
+            piece = piece.astype(bool)
+        out.append(piece)
+        off += nb
+        di += 1
+    return out
+
+
+def fetch_dict(d: dict) -> dict:
+    keys = list(d.keys())
+    vals = fetch([d[k] for k in keys])
+    return dict(zip(keys, vals))

@@ -1,0 +1,43 @@
+"""Round-trip tests for the single-pull fetch utility."""
+import jax.numpy as jnp
+import numpy as np
+
+from nextdenovo_tpu.utils.fetch import fetch, fetch_dict
+
+
+def test_fetch_roundtrip_dtypes():
+    rng = np.random.default_rng(0)
+    srcs = [
+        rng.integers(-2**31, 2**31 - 1, (7, 5), dtype=np.int32),
+        rng.integers(0, 2**32 - 1, (13,), dtype=np.uint32),
+        rng.integers(-128, 127, (3, 4, 2), dtype=np.int8),
+        rng.integers(0, 255, (9,), dtype=np.uint8),
+        rng.random((6, 6)).astype(np.float32),
+        rng.integers(0, 2, (11,)).astype(bool),
+        rng.integers(-2**15, 2**15 - 1, (8,), dtype=np.int16),
+    ]
+    out = fetch([jnp.asarray(s) for s in srcs])
+    assert len(out) == len(srcs)
+    for s, o in zip(srcs, out):
+        assert o.dtype == s.dtype, (o.dtype, s.dtype)
+        assert o.shape == s.shape
+        np.testing.assert_array_equal(o, s)
+
+
+def test_fetch_single_and_empty():
+    x = np.arange(10, dtype=np.int32)
+    (o,) = fetch([jnp.asarray(x)])
+    np.testing.assert_array_equal(o, x)
+    (e,) = fetch([jnp.zeros((0,), jnp.int32)])
+    assert e.shape == (0,)
+    # host passthrough mixed with device arrays
+    a, b = fetch([x, jnp.asarray(x) * 2])
+    np.testing.assert_array_equal(a, x)
+    np.testing.assert_array_equal(b, x * 2)
+
+
+def test_fetch_dict():
+    d = dict(a=jnp.arange(4), b=jnp.ones((2, 2), jnp.float32))
+    out = fetch_dict(d)
+    np.testing.assert_array_equal(out["a"], np.arange(4))
+    np.testing.assert_array_equal(out["b"], np.ones((2, 2), np.float32))

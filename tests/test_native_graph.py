@@ -1,0 +1,191 @@
+"""Parity tests: native packed-array string graph (native/graph.cpp) vs the
+Python StringGraph oracle (graph/assemble.py), pass for pass.
+
+The native port must produce IDENTICAL edge arrays, flags, and read
+containment counts at every stop_after prefix of the cleaning pipeline,
+for both record-driven builds (mode 0) and direct edge lists (mode 1)."""
+import numpy as np
+import pytest
+
+from nextdenovo_tpu.graph.assemble import DEFAULTS, ReadInfo, StringGraph
+from nextdenovo_tpu.native import graph_run
+from nextdenovo_tpu.overlap.records import OvlBlock
+
+N_PASSES = 22  # len(clean() pass list, alt_ctg=False); alt variant has 21
+
+
+def _params_from(g: StringGraph):
+    ip = dict(max_hang_len=g.p["max_hang_len"],
+              min_node_count=g.p["min_node_count"],
+              min_con_count=g.p["min_con_count"], fuzz_len=g.p["fuzz_len"],
+              sbranch_len=g.p["sbranch_len"],
+              out_spath_len=g.p["out_spath_len"], sloop_len=g.p["sloop_len"],
+              end_loop_len=g.p["end_loop_len"],
+              zbranch_len=g.p["zbranch_len"],
+              min_edge_cov=g.p["min_edge_cov"],
+              min_ide_i=int(g.p["min_ide"] * 10000))
+    fp = dict(min_ide_ratio=g.p["min_ide_ratio"],
+              min_sco_ratio=g.p["min_sco_ratio"],
+              max_sco_ratio=g.p["max_sco_ratio"],
+              min_depth_ratio=g.p["min_depth_ratio"],
+              min_depth_multi=g.p.get("min_depth_multi", 1.5),
+              max_depth_multi=g.p.get("max_depth_multi", 2000.0))
+    return ip, fp
+
+
+def _rinfo_from(reads, n_reads):
+    out = np.zeros((n_reads, 10), np.int64)
+    for rid, r in reads.items():
+        out[rid] = [r.length, r.s, r.e, r.con, r.lim, r.rim, r.llm, r.rlm,
+                    r.lc, r.rc]
+    return out
+
+
+def _py_state(g: StringGraph):
+    edges = np.array([[e.u, e.v, e.hang, e.sco, e.ide] for e in g.edges],
+                     np.int64).reshape(-1, 5)
+    flags = np.array([(1 if e.deleted else 0) | (2 if e.reduced else 0) |
+                      (4 if e.chim else 0) | (8 if e.rep else 0)
+                      for e in g.edges], np.uint8)
+    return edges, flags
+
+
+def _random_reads(rng, n_reads):
+    reads = {}
+    for i in range(n_reads):
+        L = int(rng.integers(8000, 30000))
+        s = int(rng.integers(0, 200)) if rng.random() < 0.3 else 0
+        e = L - (int(rng.integers(0, 200)) if rng.random() < 0.3 else 0)
+        reads[i] = ReadInfo(length=L, s=s, e=e,
+                            lc=int(rng.integers(0, 40)),
+                            rc=int(rng.integers(0, 40)))
+    return reads
+
+
+def _random_records(rng, reads, n_ovl):
+    """Overlap records biased toward dovetail geometry with containment
+    and junk mixed in."""
+    n_reads = len(reads)
+    cols = dict(qname=[], rev=[], qs=[], qe=[], tname=[], ts=[], te=[],
+                match=[], ide=[])
+    for _ in range(n_ovl):
+        q, t = rng.integers(0, n_reads, 2)
+        if q == t:
+            continue
+        ql, tl = reads[int(q)].length, reads[int(t)].length
+        rev = int(rng.integers(0, 2))
+        o = int(rng.integers(1500, min(ql, tl)))
+        kind = rng.random()
+        if kind < 0.55:  # dovetail
+            side = rng.integers(0, 2)
+            if side == 0:   # q suffix ~ t prefix (fwd) / q suffix ~ t suffix
+                qs, qe = ql - o, ql
+                ts, te = (0, o) if not rev else (tl - o, tl)
+            else:
+                qs, qe = 0, o
+                ts, te = (tl - o, tl) if not rev else (0, o)
+            jitter = lambda x: max(0, x + int(rng.integers(-300, 300)))
+            qs, ts = jitter(qs), jitter(ts)
+            qe = min(ql, qe + int(rng.integers(-300, 300)))
+            te = min(tl, te + int(rng.integers(-300, 300)))
+        elif kind < 0.75:  # containment
+            qs, qe = int(rng.integers(0, 400)), ql - int(rng.integers(0, 400))
+            ts = int(rng.integers(0, max(1, tl - (qe - qs))))
+            te = min(tl, ts + (qe - qs))
+        else:  # junk interior overlap
+            qs = int(rng.integers(0, max(1, ql - o)))
+            qe = min(ql, qs + o)
+            ts = int(rng.integers(0, max(1, tl - o)))
+            te = min(tl, ts + o)
+        if qe <= qs or te <= ts:
+            continue
+        cols["qname"].append(int(q)); cols["tname"].append(int(t))
+        cols["rev"].append(rev)
+        cols["qs"].append(qs); cols["qe"].append(qe)
+        cols["ts"].append(ts); cols["te"].append(te)
+        cols["match"].append(max(qe - qs, te - ts) -
+                             int(rng.integers(0, 500)))
+        cols["ide"].append(int(rng.integers(7000, 10000)))
+    return OvlBlock.from_arrays(**cols)
+
+
+def _check_parity(seed, n_reads, n_ovl, alt_ctg=False, stops=None):
+    rng = np.random.default_rng(seed)
+    reads = _random_reads(rng, n_reads)
+    ovl = _random_records(rng, reads, n_ovl)
+    stops = stops if stops is not None else [-1]
+    for stop in stops:
+        r2 = {k: ReadInfo(**{f: getattr(v, f) for f in
+                             ("length", "s", "e", "con", "lim", "rim",
+                              "llm", "rlm", "lc", "rc")})
+              for k, v in reads.items()}
+        g = StringGraph(r2)
+        recs = g.build_records(ovl)
+        rinfo = _rinfo_from(r2, n_reads)
+        g.build(ovl)
+        g.clean(alt_ctg=alt_ctg,
+                stop_after=None if stop < 0 else stop)
+        pe, pf = _py_state(g)
+        ip, fp = _params_from(g)
+        ip["alt_ctg"] = alt_ctg
+        ne_, nf, ncon = graph_run(recs, rinfo, ip, fp, mode=0,
+                                  stop_after=stop)
+        assert ne_.shape == pe.shape, \
+            (stop, ne_.shape, pe.shape)
+        np.testing.assert_array_equal(ne_, pe, err_msg=f"stop={stop}")
+        np.testing.assert_array_equal(nf, pf, err_msg=f"stop={stop}")
+        pycon = np.array([r2[i].con for i in range(n_reads)], np.int64)
+        np.testing.assert_array_equal(ncon, pycon, err_msg=f"stop={stop}")
+
+
+def test_native_graph_full_clean_small():
+    _check_parity(0, 40, 400)
+
+
+def test_native_graph_full_clean_medium():
+    _check_parity(1, 120, 1600)
+
+
+def test_native_graph_alt_ctg():
+    _check_parity(2, 80, 900, alt_ctg=True)
+
+
+def test_native_graph_every_pass_prefix():
+    _check_parity(3, 60, 700, stops=list(range(N_PASSES + 1)))
+
+
+def test_native_graph_every_pass_prefix_alt():
+    _check_parity(4, 60, 700, alt_ctg=True, stops=list(range(N_PASSES)))
+
+
+@pytest.mark.parametrize("seed", range(5, 13))
+def test_native_graph_random_full(seed):
+    _check_parity(seed, 70, 800)
+
+
+def test_native_graph_mode1_direct_edges():
+    """Direct edge-tuple input (pass-level harness parity)."""
+    rng = np.random.default_rng(42)
+    n_reads = 30
+    reads = {i: ReadInfo(length=20000, lc=int(rng.integers(0, 30)),
+                         rc=int(rng.integers(0, 30)))
+             for i in range(n_reads)}
+    tuples = []
+    for _ in range(150):
+        u, v = int(rng.integers(0, 2 * n_reads)), int(rng.integers(0, 2 * n_reads))
+        if u // 2 == v // 2:
+            continue
+        tuples.append((u, v, int(rng.integers(50, 2000)),
+                       int(rng.integers(50, 2000)),
+                       int(rng.integers(2000, 20000)),
+                       int(rng.integers(7000, 10000))))
+    g = StringGraph(reads)
+    for (u, v, h1, h2, sco, ide) in tuples:
+        g._add_pair(u, v, h1, h2, sco, ide)
+    g.clean()
+    pe, pf = _py_state(g)
+    ip, fp = _params_from(g)
+    ne_, nf, _ = graph_run(np.array(tuples, np.int32),
+                           _rinfo_from(reads, n_reads), ip, fp, mode=1)
+    np.testing.assert_array_equal(ne_, pe)
+    np.testing.assert_array_equal(nf, pf)
