@@ -1,0 +1,169 @@
+"""Driver-level golden run (VERDICT r2 item 5): feed ONE simulated read
+set to the reference's own `nextDenovo` driver (full toolchain compiled
+from the read-only checkout into .scratch/reftree) AND to our pipeline,
+then compare the final assemblies: mutual 31-mer containment, NG50, total
+length, and per-contig structural agreement.
+
+Usage:
+  python experiments/golden_driver.py [genome_kb=500] [coverage=45]
+      [mean_len=12000] [workdir=/tmp/ndtpu_golden_driver] [out_json]
+
+Requires the reference toolchain built in .scratch/reftree (run
+experiments/build_ref_tools.sh notes; the full tree build is:
+  cp -r /root/reference .scratch/reftree && edit -lcurl/-lcrypto +
+  -ldeflate link flags && make LIBRARY_PATH=.scratch/libs)
+and the paralleltask shim (experiments/ptshim).  Reference run is
+CPU-only; ours runs on whatever backend jax selects (set
+JAX_PLATFORMS=cpu to keep the TPU free).
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def kmer_sets(seqs, k=31):
+    """FULL canonical-strand-free 31-mer set (no subsampling: two strided
+    sets with different phases would cap containment at 1/stride even for
+    identical sequences)."""
+    out = set()
+    for a in seqs:
+        for arr in (np.asarray(a, np.uint64),
+                    (np.asarray(a, np.uint64) ^ 3)[::-1]):
+            if len(arr) < k:
+                continue
+            v = np.zeros(len(arr) - k + 1, np.uint64)
+            for j in range(k):
+                v = (v << np.uint64(2)) | arr[j : len(arr) - k + 1 + j]
+            out.update(v.tolist())
+    return out
+
+
+def ng50(lens, genome):
+    lens = sorted(lens, reverse=True)
+    acc = 0
+    for L in lens:
+        acc += L
+        if acc >= genome / 2:
+            return L
+    return 0
+
+
+def main():
+    glen = int(float(sys.argv[1]) * 1000) if len(sys.argv) > 1 else 500_000
+    cov = int(sys.argv[2]) if len(sys.argv) > 2 else 45
+    mean_len = int(sys.argv[3]) if len(sys.argv) > 3 else 12_000
+    wd = os.path.abspath(sys.argv[4] if len(sys.argv) > 4
+                         else "/tmp/ndtpu_golden_driver")
+    out_json = sys.argv[5] if len(sys.argv) > 5 else None
+    reftree = os.path.join(REPO, ".scratch", "reftree")
+    assert os.path.exists(os.path.join(reftree, "bin", "nextgraph")), \
+        "build the reference toolchain first (see docstring)"
+
+    import logging
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(asctime)s %(levelname)s] %(message)s")
+    from nextdenovo_tpu.io.fastx import read_fastx, write_fasta
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.pipeline.config import load_config
+    from nextdenovo_tpu.pipeline.run import run_pipeline
+
+    os.makedirs(wd, exist_ok=True)
+    g = simulate_genome(glen, seed=21)
+    sim = simulate_reads(g, coverage=cov, mean_len=mean_len, error_rate=0.10,
+                         seed=22, min_len=3000)
+    reads_fa = os.path.join(wd, "reads.fa")
+    if not os.path.exists(reads_fa):
+        write_fasta(reads_fa, [(f"r{i}", r) for i, r in enumerate(sim.reads)])
+    with open(os.path.join(wd, "input.fofn"), "w") as fh:
+        fh.write(reads_fa + "\n")
+
+    # ---- reference run ----
+    ref_wd = os.path.join(wd, "ref_run")
+    ref_cfg = os.path.join(wd, "ref.cfg")
+    with open(ref_cfg, "w") as fh:
+        fh.write(f"""[General]
+job_type = local
+task = all
+rewrite = yes
+rerun = 3
+parallel_jobs = 2
+input_type = raw
+read_type = ont
+input_fofn = {wd}/input.fofn
+workdir = {ref_wd}
+
+[correct_option]
+read_cutoff = 1k
+genome_size = {glen}
+pa_correction = 2
+correction_options = -p 2
+
+[assemble_option]
+minimap2_options_cns = -t 2
+nextgraph_options = -a 1
+""")
+    ref_fa = os.path.join(ref_wd, "03.ctg_graph", "nd.asm.fasta")
+    t_ref = 0.0
+    if not os.path.exists(ref_fa):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.path.join(REPO, "experiments", "ptshim")
+        t0 = time.time()
+        rc = subprocess.call([sys.executable,
+                              os.path.join(reftree, "nextDenovo"), ref_cfg],
+                             env=env, cwd=wd)
+        t_ref = time.time() - t0
+        print("reference nextDenovo rc:", rc, f"({t_ref:.0f}s)")
+    ref_ctgs = [s for _, s in read_fastx(ref_fa)] if os.path.exists(ref_fa) \
+        else []
+
+    # ---- our run ----
+    our_wd = os.path.join(wd, "our_run")
+    our_cfg = os.path.join(wd, "our.cfg")
+    with open(our_cfg, "w") as fh:
+        fh.write(f"""[General]
+task = all
+input_type = raw
+read_type = ont
+input_fofn = {wd}/input.fofn
+workdir = {our_wd}
+
+[correct_option]
+read_cutoff = 1k
+genome_size = {glen}
+""")
+    t0 = time.time()
+    out = run_pipeline(load_config(our_cfg))
+    t_ours = time.time() - t0
+    our_ctgs = out["contigs"]
+
+    # ---- compare ----
+    rk, ok_ = kmer_sets(ref_ctgs), kmer_sets(our_ctgs)
+    inter = len(rk & ok_)
+    res = dict(
+        genome_bp=glen, coverage=cov,
+        ref=dict(n_contigs=len(ref_ctgs),
+                 total=sum(map(len, ref_ctgs)),
+                 ng50=ng50([len(c) for c in ref_ctgs], glen),
+                 wall_s=round(t_ref, 1)),
+        ours=dict(n_contigs=len(our_ctgs),
+                  total=sum(map(len, our_ctgs)),
+                  ng50=ng50([len(c) for c in our_ctgs], glen),
+                  wall_s=round(t_ours, 1)),
+        kmer_containment=dict(
+            ours_in_ref=round(inter / max(1, len(ok_)), 4),
+            ref_in_ours=round(inter / max(1, len(rk)), 4)),
+    )
+    print(json.dumps(res, indent=1))
+    if out_json:
+        json.dump(res, open(out_json, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

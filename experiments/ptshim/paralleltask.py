@@ -1,0 +1,107 @@
+"""Minimal local-execution stand-in for the `paralleltask` pip package
+(Nextomics/Paralleltask), used ONLY to run the reference `nextDenovo`
+driver for driver-level golden comparison (experiments/golden_driver.py) —
+the real package is a pip dep that cannot be installed in this image.
+
+API surface implemented = exactly what the reference driver uses
+(SURVEY.md §2.1 scheduler row; /root/reference/nextDenovo:593-599,
+645-663, 738-757): Task(path, dir_prefix, job_prefix, convert_path),
+.is_finished(), .set_run(...), .run.start()/.is_finished()/
+.unfinished_jobs/.rerun(), .jobs, .set_task_finished().
+
+Semantics: the task shell file is split into one job per non-empty,
+non-comment LINE; each job runs in its own subdirectory
+`<taskdir>/<dir_prefix><NNNNN>/` (the driver globs outputs with
+dirname(subtask.path)); a job is durably done when `<script>.done`
+exists; the whole task is done when `<taskfile>.done` exists (the
+driver itself checks `finished_task.path + '.done'`,
+nextDenovo:208)."""
+import os
+import subprocess
+from concurrent.futures import ThreadPoolExecutor
+
+
+class _Sub:
+    def __init__(self, path):
+        self.path = path
+        self.err = path + '.e'
+
+    @property
+    def done(self):
+        return os.path.exists(self.path + '.done')
+
+
+class _Run:
+    def __init__(self, task, max_parallel_job):
+        self.task = task
+        self.max_parallel_job = max(1, int(max_parallel_job))
+
+    @property
+    def unfinished_jobs(self):
+        return [s for s in self.task.jobs if not s.done]
+
+    def is_finished(self):
+        return not self.unfinished_jobs
+
+    def _run_one(self, sub):
+        with open(sub.err, 'w') as efh, \
+                open(sub.path + '.o', 'w') as ofh:
+            rc = subprocess.call(['bash', sub.path], stdout=ofh, stderr=efh,
+                                 cwd=os.path.dirname(sub.path))
+        if rc == 0:
+            with open(sub.path + '.done', 'w') as fh:
+                fh.write('done\n')
+
+    def start(self):
+        todo = self.unfinished_jobs
+        with ThreadPoolExecutor(self.max_parallel_job) as ex:
+            list(ex.map(self._run_one, todo))
+
+    def rerun(self):
+        self.start()
+
+
+class Task:
+    def __init__(self, path, dir_prefix='task', job_prefix='job',
+                 convert_path=True):
+        self.path = os.path.abspath(path)
+        self.dir_prefix = dir_prefix
+        self.job_prefix = job_prefix
+        self.jobs = []
+        taskdir = os.path.dirname(self.path)
+        lines = []
+        with open(self.path) as fh:
+            for line in fh:
+                line = line.strip()
+                if line and not line.startswith('#'):
+                    lines.append(line)
+        for i, line in enumerate(lines):
+            d = os.path.join(taskdir, '%s%05d' % (dir_prefix, i))
+            os.makedirs(d, exist_ok=True)
+            sp = os.path.join(d, '%s%05d.sh' % (job_prefix or 'job', i))
+            if not os.path.exists(sp) or open(sp).read() != self._body(line):
+                with open(sp, 'w') as fh:
+                    fh.write(self._body(line))
+                # content changed: invalidate any stale done marker
+                if os.path.exists(sp + '.done'):
+                    os.unlink(sp + '.done')
+            self.jobs.append(_Sub(sp))
+        self.run = None
+
+    @staticmethod
+    def _body(line):
+        return 'set -e\nset -o pipefail\n' + line + '\n'
+
+    def is_finished(self):
+        return os.path.exists(self.path + '.done')
+
+    def set_task_finished(self):
+        with open(self.path + '.done', 'w') as fh:
+            fh.write('done\n')
+
+    def set_run(self, max_parallel_job=4, job_type='local', mem=None,
+                cpu=None, use_drmaa=False, submit=None, kill=None,
+                check_alive=None, job_id_regex=None):
+        # job_type is ignored: this shim always executes locally
+        self.run = _Run(self, max_parallel_job)
+        return self.run

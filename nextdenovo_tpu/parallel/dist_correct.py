@@ -1,0 +1,193 @@
+"""Mesh-native seed correction (SPMD over a device mesh).
+
+The reference parallelizes correction through its job matrix (SURVEY §2.8
+row 1: seed files x part files jobs; lib/nextcorrect.py process pool).
+Here the heavy phase — banded Myers alignment of every (support, seed
+segment) pair — runs as ONE shard_mapped program over the mesh: seed jobs
+are owned by shard `seed % n_shards` (the same owner key as the
+distributed sort, parallel/dist_sort.py, so a shard aligns exactly the
+seeds whose sorted records it already holds), each shard's pairs are
+padded into its row block, and the bit-parallel Myers forward + traceback
+(ops/myers.py) runs data-parallel with no cross-shard communication.
+Consensus (native C++, host) then runs per owning shard.
+
+Output parity: corrected reads are IDENTICAL to the single-host
+correct.driver.run_correction on the same sorted records — asserted in
+dryrun_multichip (__graft_entry__.py) and tests/test_dist.py.  Pairs that
+exit the Myers band fall back to the single-chip adaptive retry tier,
+exactly like the host band_align wrapper.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..correct.driver import SeedJob, iter_seed_jobs
+from ..io.seqstore import SeqStore
+from ..native import correct_seed
+from ..ops.myers import (_build_streams, _half_octave, myers_fwd, myers_tb,
+                         tail_walk, DIAG, LEFT, UP)
+from ..utils.fetch import fetch
+from .mesh import AXIS
+
+
+@functools.partial(jax.jit, static_argnames=("nw", "mesh", "n_shards"))
+def distributed_myers_step(qpad, tpad, off, m, n, *, nw: int, mesh: Mesh,
+                           n_shards: int):
+    """qpad (S*B, qw) int8, tpad (S*B, n_pad) int8, off/m/n (S*B,) int32,
+    row-sharded over the mesh.  Returns (score (S*B,), final (2, nw, S*B),
+    evs (n_pad, S*B), i_f (S*B,), ok (S*B,)) with the batch axis sharded."""
+
+    def step(qpad, tpad, off, m, n):
+        qtop, tch, win0 = _build_streams(qpad, tpad, off, nw=nw)
+        score, planes, final = myers_fwd(win0, qtop, tch, n, off, nw=nw)
+        evs, i_f, ok = myers_tb(planes, m, n, off, nw=nw)
+        return score, final, evs, i_f, ok
+
+    if n_shards == 1:
+        return step(qpad, tpad, off, m, n)
+    # check_vma=False: the scan carries inside myers_fwd/tb start from
+    # replicated zero-constants, which the varying-manual-axes checker
+    # rejects; the program itself is purely row-local (no collectives)
+    return jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(None, None, AXIS), P(None, AXIS), P(AXIS),
+                   P(AXIS)),
+        check_vma=False,
+    )(qpad, tpad, off, m, n)
+
+
+def _expand_pair(evs_col, n_b, i_f_b, swapped):
+    """Events (scan order) -> op array for one pair (mirrors
+    ops.myers._myers_finish)."""
+    rows = evs_col[len(evs_col) - n_b:]
+    k = (rows >> 2).astype(np.int64)
+    mv = (rows & 3).astype(np.int64)
+    reps = np.empty(2 * len(rows), np.int64)
+    vals = np.empty(2 * len(rows), np.int64)
+    reps[0::2] = k
+    reps[1::2] = 1
+    vals[0::2] = UP
+    vals[1::2] = mv
+    ops = np.repeat(vals, reps)[::-1].astype(np.int8)
+    if i_f_b > 0:
+        ops = np.concatenate([np.full(int(i_f_b), UP, np.int8), ops])
+    if swapped:
+        ops = np.array([DIAG, LEFT, UP, 3], np.int8)[ops]
+    return ops
+
+
+def distributed_correct(store: SeqStore, sorted_blk, blacklist: Dict,
+                        mesh: Mesh, n_shards: int, nw: int = 8,
+                        read_type: int = 1, min_len_seed: int = 1000,
+                        min_len_aln: int = 500, min_cov_seed: int = 10,
+                        max_cov_aln: int = 130, min_cov: int = 4,
+                        max_lq_length: int = 10000,
+                        min_error_corrected_ratio: float = 0.8,
+                        split: bool = False, fast: bool = False):
+    """Full mesh-native correction: returns {seed: (len, ide, seq)} for
+    every seed job, bit-identical to the single-host correct_seeds path."""
+    from ..ops import align as tpu_align
+
+    lens = np.asarray(store.length)
+    jobs: List[SeedJob] = list(iter_seed_jobs(
+        sorted_blk, blacklist, lens, min_len_seed=min_len_seed,
+        min_len_aln=min_len_aln, min_cov_seed=min_cov_seed,
+        max_cov_aln=max_cov_aln))
+    # shard ownership: same key as the distributed sort
+    shard_jobs: List[List[SeedJob]] = [[] for _ in range(n_shards)]
+    for j in jobs:
+        shard_jobs[j.seed % n_shards].append(j)
+
+    # build every pair, grouped per shard
+    W = 32 * nw
+    per_shard = []
+    for d in range(n_shards):
+        pairs = []  # (job_idx_in_shard, sup_idx, q, t, swapped)
+        for ji, job in enumerate(shard_jobs[d]):
+            seed_codes = store.get(job.seed)
+            for si, (t, rev, ss, se, sqs, sqe) in enumerate(job.sups):
+                sup = store.subseq(t, sqs, sqe + 1, rc=bool(rev)).astype(
+                    np.uint8)
+                seg = seed_codes[ss : se + 1].astype(np.uint8)
+                if len(sup) >= len(seg):
+                    pairs.append((ji, si, sup, seg, False))
+                else:
+                    pairs.append((ji, si, seg, sup, True))
+        per_shard.append(pairs)
+
+    B = max((len(p) for p in per_shard), default=0)
+    B = max(8, -(-B // 8) * 8)       # pad shard blocks to a common size
+    m_all = [len(q) for pairs in per_shard for (_, _, q, _, _) in pairs]
+    n_all = [len(t) for pairs in per_shard for (_, _, _, t, _) in pairs]
+    n_pad = _half_octave((max(n_all) if n_all else 4) + 1)
+    qw = _half_octave((max(m_all) if m_all else 4) + W + 2)
+    S = n_shards
+    qpad = np.full((S * B, qw), 4, np.int8)
+    tpad = np.full((S * B, n_pad), 4, np.int8)
+    m = np.zeros(S * B, np.int32)
+    n = np.zeros(S * B, np.int32)
+    for d, pairs in enumerate(per_shard):
+        for bi, (_, _, q, t, _) in enumerate(pairs):
+            r = d * B + bi
+            qpad[r, : len(q)] = q
+            tpad[r, : len(t)] = t
+            m[r], n[r] = len(q), len(t)
+    off = np.clip((W - (m - n)) // 2, 16, W - 16).astype(np.int32)
+    feasible = ((m - n) < (W - off - 2)) & (n >= 1)
+
+    out = distributed_myers_step(
+        jnp.asarray(qpad), jnp.asarray(tpad), jnp.asarray(off),
+        jnp.asarray(m), jnp.asarray(n), nw=nw, mesh=mesh, n_shards=n_shards)
+    score, final, evs, i_f, okv = fetch(out)
+    dist = tail_walk(score, final, m, n, off)
+    okv = okv & feasible
+
+    # expand ops; failed pairs retry on the adaptive wide-band tier (same
+    # as the host band_align wrapper)
+    results: Dict[int, tuple] = {}
+    for d, pairs in enumerate(per_shard):
+        ops_store = [[None] * len(j.sups) for j in shard_jobs[d]]
+        retries = []
+        for bi, (ji, si, q, t, sw) in enumerate(pairs):
+            r = d * B + bi
+            if okv[r]:
+                ops_store[ji][si] = _expand_pair(
+                    evs[:, r], int(n[r]), int(i_f[r]), sw).astype(np.uint8)
+            else:
+                retries.append((ji, si, q, t, sw))
+        if retries:
+            qs_l = [(t if sw else q) for (_, _, q, t, sw) in retries]
+            ts_l = [(q if sw else t) for (_, _, q, t, sw) in retries]
+            res = tpu_align.band_align(
+                [x.astype(np.int8) for x in qs_l],
+                [x.astype(np.int8) for x in ts_l], R=2,
+                interpret=None if jax.default_backend() == "tpu" else True)
+            for (ji, si, _, _, _), rr in zip(retries, res):
+                if rr["reached"] and rr["ok"]:
+                    ops_store[ji][si] = rr["ops"].astype(np.uint8)
+        for ji, job in enumerate(shard_jobs[d]):
+            seed_codes = store.get(job.seed)
+            sups, tss, tes, ops = [], [], [], []
+            for si, o in enumerate(ops_store[ji]):
+                if o is None:
+                    continue
+                t, rev, ss, se, sqs, sqe = job.sups[si]
+                sups.append(store.subseq(t, sqs, sqe + 1,
+                                         rc=bool(rev)).astype(np.uint8))
+                tss.append(ss)
+                tes.append(se)
+                ops.append(o)
+            results[job.seed] = correct_seed(
+                seed_codes, sups, tss, tes, ops, min_len_aln=min_len_aln,
+                max_cov_aln=max_cov_aln, min_cov=min_cov,
+                max_lq_length=min(max_lq_length, job.seed_len // 2 or 1),
+                min_error_corrected_ratio=min_error_corrected_ratio,
+                split=split, read_type=read_type, fast=fast)
+    return results

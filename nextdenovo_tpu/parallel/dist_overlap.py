@@ -70,24 +70,31 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
 
         def bucketize(fields, fills, sel_owner, valid_m, cap_route):
             """Route rows to (n_shards, cap_route) buckets per destination;
-            returns one (n_shards, cap_route) array per field."""
+            returns (one (n_shards, cap_route) array per field, dropped-row
+            count) — rows beyond cap_route are COUNTED, never silently
+            lost (the caller re-runs with larger caps on overflow)."""
             outs = [[] for _ in fields]
             n_rows = fields[0].shape[0]
+            n_drop = jnp.int32(0)
             for d in range(n_shards):
                 sel = valid_m & (sel_owner == d)
                 idxs = jnp.nonzero(sel, size=cap_route, fill_value=n_rows)[0]
                 safe = jnp.minimum(idxs, n_rows - 1)
                 got = idxs < n_rows
+                n_drop = n_drop + jnp.sum(sel.astype(jnp.int32)) \
+                    - jnp.sum(got.astype(jnp.int32))
                 for o, f, fill in zip(outs, fields, fills):
                     o.append(jnp.where(got, f[safe], fill))
-            return [jnp.stack(o) for o in outs]
+            return [jnp.stack(o) for o in outs], n_drop
 
         # ---- route minimizers to index shards (all-to-all) ---------------
         cap_route = cap_mini // max(1, n_shards) * 2
         qid = rid_base[jnp.maximum(m.rid, 0)]
-        h_b, pos_b, str_b, qid_b = bucketize(
+        (h_b, pos_b, str_b, qid_b), drop_route = bucketize(
             (m.hash, m.pos, m.strand, qid),
             (jnp.uint32(0xFFFFFFFF), 0, 0, -1), owner, valid, cap_route)
+        # sketch-cap overflow also counts (minimizers beyond cap_mini)
+        drop_route = drop_route + jnp.maximum(m.n - cap_mini, 0)
         if n_shards > 1:
             a2a = lambda x: jax.lax.all_to_all(x, AXIS, 0, 0, tiled=False)
             h_r, pos_r, str_r, qid_r = map(a2a, (h_b, pos_b, str_b, qid_b))
@@ -118,12 +125,14 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
         t_rid, t_pos, rel, take = map(flat, (t_rid, t_pos, rel, take))
 
         # ---- route anchors BACK to the query's home shard ----------------
+        drop_back = jnp.int32(0)
         if n_shards > 1:
             dest = jnp.where(take, qid_a // B_local, 0)
             cap_back = (M * max_occ) // n_shards * 2
-            qid_b2, qpos_b2, trid_b2, tpos_b2, rel_b2 = bucketize(
-                (qid_a, qpos_a, t_rid, t_pos, rel),
-                (-1, 0, -1, 0, 0), dest, take, cap_back)
+            (qid_b2, qpos_b2, trid_b2, tpos_b2, rel_b2), drop_back = \
+                bucketize(
+                    (qid_a, qpos_a, t_rid, t_pos, rel),
+                    (-1, 0, -1, 0, 0), dest, take, cap_back)
             a2a = lambda x: jax.lax.all_to_all(x, AXIS, 0, 0, tiled=False)
             qid_a, qpos_a, t_rid, t_pos, rel = (
                 x.reshape(-1) for x in map(
@@ -132,13 +141,19 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
         qid_a = jnp.maximum(qid_a, 0)
 
         # ---- diagonal voting + chain + emission (shared with engine) -----
-        rec, n_out, _overflow = _vote_emit(
+        rec, n_out, emit_overflow = _vote_emit(
             qid_a, t_rid, t_pos, rel, qpos_a, take, k=k,
             diag_shift=diag_shift, min_cnt=min_cnt, min_span=min_span,
             cap_out=cap_out, top_k=top_k)
-        n_ovl = jax.lax.psum(n_out, AXIS) if n_shards > 1 else n_out
+        n_over = drop_route + drop_back + emit_overflow
+        if n_shards > 1:
+            n_ovl = jax.lax.psum(n_out, AXIS)
+            n_over = jax.lax.psum(n_over, AXIS)
+        else:
+            n_ovl = n_out
         return (rec["qname"], rec["tname"], rec["rev"], rec["qs"],
-                rec["qe"], rec["ts"], rec["te"], rec["match"], n_ovl)
+                rec["qe"], rec["ts"], rec["te"], rec["match"], n_ovl,
+                n_over)
 
     if n_shards == 1:
         return step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
@@ -147,5 +162,32 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
         step, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                   P(AXIS)),
-        out_specs=(P(AXIS),) * 8 + (P(),),
+        out_specs=(P(AXIS),) * 8 + (P(), P()),
     )(codes, lens, rid_base, idx_h, idx_rid, idx_pos, idx_strand)
+
+
+def distributed_overlap_autocap(codes, lens, rid_base, idx_h, idx_rid,
+                                idx_pos, idx_strand, *, cap_mini: int,
+                                cap_out: int, max_retries: int = 3, **kw):
+    """Overflow-safe wrapper: runs distributed_overlap_step and, when the
+    psum'd overflow counter reports dropped rows anywhere (routing buckets,
+    sketch cap, or emission cap), re-runs with doubled caps — detection and
+    re-batching instead of silent truncation (SURVEY §7 hard-part (i);
+    stress-tested on a repeat-rich genome in tests/test_dist.py).
+
+    Returns (outputs tuple as distributed_overlap_step, final caps)."""
+    import numpy as np
+
+    for _ in range(max_retries + 1):
+        out = distributed_overlap_step(
+            codes, lens, rid_base, idx_h, idx_rid, idx_pos, idx_strand,
+            cap_mini=cap_mini, cap_out=cap_out, **kw)
+        n_over = int(np.asarray(out[-1]).ravel()[0])
+        if n_over == 0:
+            return out, (cap_mini, cap_out)
+        cap_mini *= 2
+        cap_out *= 2
+    raise RuntimeError(
+        f"distributed overlap still overflowing after {max_retries} cap "
+        f"doublings ({n_over} rows dropped at cap_mini={cap_mini}, "
+        f"cap_out={cap_out})")

@@ -109,3 +109,127 @@ def test_distributed_seed_sort_matches_host():
     for k in host.block.data:
         assert np.array_equal(np.asarray(dist.block.data[k]),
                               np.asarray(host.block.data[k])), k
+
+
+def _mesh_overlap_args(n_dev, glen=12_000, repeat=True, seed=7):
+    """Shared fixture: (sharded args, cap_mini) for the distributed step
+    over a (repeat-rich when repeat=True) simulated genome."""
+    import jax.numpy as jnp
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.overlap.engine import build_index
+    from nextdenovo_tpu.parallel.mesh import make_mesh, shard_rows
+
+    g = simulate_genome(glen, seed=seed)
+    if repeat:
+        # tile one 1.5 kb unit across half the genome: minimizer hash
+        # buckets and anchor counts skew hard onto the owning shards
+        unit = g[:1500]
+        reps = np.tile(unit, (glen // 2) // len(unit) + 1)[: glen // 2]
+        g = np.concatenate([reps, g[glen // 2:]])
+    sim = simulate_reads(g, coverage=3 * n_dev, mean_len=1500,
+                         error_rate=0.05, seed=seed + 1, min_len=800)
+    B, L = ((len(sim.reads) + n_dev - 1) // n_dev) * n_dev, 2048
+    codes = np.zeros((B, L), np.int32)
+    lens = np.zeros(B, np.int32)
+    reads = []
+    for i in range(B):
+        c = np.asarray(sim.reads[i % len(sim.reads)])[:L]
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+        reads.append(c.astype(np.uint8))
+    store = SeqStore.from_codes(reads)
+    k, w, max_occ = 15, 5, 8
+    idx = build_index(store, np.arange(B), k=k, w=w, max_occ=64)
+    h = np.asarray(idx.h)
+    shift_bits = 32 - max(1, (n_dev - 1).bit_length())
+    owner = (h >> shift_bits) % n_dev
+    H = max(int(np.bincount(owner, minlength=n_dev).max()), 64)
+    ih = np.full((n_dev, H), 0xFFFFFFFF, np.uint32)
+    irid = np.full((n_dev, H), -1, np.int32)
+    ipos = np.zeros((n_dev, H), np.int32)
+    istr = np.zeros((n_dev, H), np.int32)
+    for d in range(n_dev):
+        sel = np.nonzero(owner == d)[0]
+        ih[d, : len(sel)] = h[sel]
+        irid[d, : len(sel)] = np.asarray(idx.rid)[sel]
+        ipos[d, : len(sel)] = np.asarray(idx.pos)[sel]
+        istr[d, : len(sel)] = np.asarray(idx.strand)[sel]
+    mesh = make_mesh(n_dev)
+    args = [codes, lens, np.arange(B, dtype=np.int32), ih.reshape(-1),
+            irid.reshape(-1), ipos.reshape(-1), istr.reshape(-1)]
+    args = [shard_rows(mesh, jnp.asarray(a)) for a in args]
+    cap_mini = 2 * (B // n_dev) * L // w + 1024
+    return args, mesh, dict(k=k, w=w, max_occ=max_occ, diag_shift=8)
+
+
+def test_distributed_cap_overflow_detected_and_rebatched():
+    """Repeat-rich genome through deliberately tight caps: overflow must be
+    REPORTED (not silently truncated), and the autocap wrapper must
+    converge to the same record set the roomy-cap run produces."""
+    from nextdenovo_tpu.parallel.dist_overlap import (
+        distributed_overlap_autocap, distributed_overlap_step)
+
+    n_dev = 8
+    args, mesh, kw = _mesh_overlap_args(n_dev)
+
+    # truth record set: autocap from roomy caps (the repeat skew is hot
+    # enough that even 16k/4k caps overflow on the hot shard — exactly the
+    # scenario this machinery exists for)
+    big, _ = distributed_overlap_autocap(
+        *args, cap_mini=16384, cap_out=4096, max_retries=8, mesh=mesh,
+        n_shards=n_dev, **kw)
+    assert int(np.asarray(big[-1]).ravel()[0]) == 0
+    want = {tuple(int(np.asarray(big[i]).ravel()[j]) for i in range(8))
+            for j in range(np.asarray(big[0]).size)
+            if int(np.asarray(big[0]).ravel()[j]) >= 0}
+    assert len(want) > 20
+
+    # tight caps: the hot shard must overflow, and the counter must say so
+    tight = distributed_overlap_step(*args, cap_mini=512, cap_out=64,
+                                     mesh=mesh, n_shards=n_dev, **kw)
+    n_over = int(np.asarray(tight[-1]).ravel()[0])
+    assert n_over > 0, "tight caps silently succeeded — stress too weak"
+
+    # autocap: detect + double until clean, then match the truth set
+    out, caps = distributed_overlap_autocap(
+        *args, cap_mini=512, cap_out=64, max_retries=8, mesh=mesh,
+        n_shards=n_dev, **kw)
+    assert int(np.asarray(out[-1]).ravel()[0]) == 0
+    got = {tuple(int(np.asarray(out[i]).ravel()[j]) for i in range(8))
+           for j in range(np.asarray(out[0]).size)
+           if int(np.asarray(out[0]).ravel()[j]) >= 0}
+    assert got == want, (len(got), len(want), caps)
+
+
+def test_distributed_correction_matches_single_shard():
+    """Mesh-native correction (shard_mapped Myers + per-shard consensus)
+    must be bit-identical to the single-shard run of the same program."""
+    import jax.numpy as jnp
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+    from nextdenovo_tpu.overlap.sort import sort_filter_overlaps
+    from nextdenovo_tpu.parallel.dist_correct import distributed_correct
+    from nextdenovo_tpu.parallel.mesh import make_mesh
+
+    g = simulate_genome(30_000, seed=61)
+    sim = simulate_reads(g, coverage=10, mean_len=4000, error_rate=0.08,
+                         seed=62, min_len=1500)
+    store = SeqStore.from_codes(sim.reads)
+    lens = np.asarray(store.length, np.int64)
+    rids = np.arange(len(store))
+    idx = build_index(store, rids, k=15, w=5, max_occ=64)
+    raw = find_overlaps(store, rids, idx, k=15, w=5, max_occ=16,
+                        min_cnt=4, min_span=500, top_k=1)
+    is_seed = lens >= 3000
+    srt = sort_filter_overlaps(raw, is_seed, lens)
+    kw = dict(min_len_seed=1500, min_cov_seed=1, min_len_aln=300, min_cov=2)
+    ref = distributed_correct(store, srt.block, srt.blacklist,
+                              make_mesh(1), 1, **kw)
+    assert len(ref) >= 3
+    assert any(v[0] > 3 for v in ref.values())
+    for n_dev in (2, 8):
+        got = distributed_correct(store, srt.block, srt.blacklist,
+                                  make_mesh(n_dev), n_dev, **kw)
+        assert got == ref, (n_dev, len(got), len(ref))
