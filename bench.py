@@ -171,8 +171,14 @@ def bench_myers(rng):
     t0 = time.time()
     res = M.myers_align([q.astype(np.int8) for q in qs_l],
                         [t.astype(np.int8) for t in ts_l])
-    e2e_pairs_s = sum(1 for r in res if r["ok"]) / (time.time() - t0)
-    return dict(gcups=gcups, e2e_pairs_s=e2e_pairs_s)
+    dt_e2e = time.time() - t0
+    e2e_pairs_s = sum(1 for r in res if r["ok"]) / dt_e2e
+    # VERDICT r2 item 2 "done" criterion: device-side and end-to-end
+    # throughput within 3x of each other
+    e2e_gcups = cells / dt_e2e / 1e9
+    return dict(gcups=gcups, e2e_pairs_s=e2e_pairs_s,
+                e2e_gcups=e2e_gcups,
+                dev_over_e2e=gcups / max(e2e_gcups, 1e-9))
 
 
 def main():
@@ -194,6 +200,8 @@ def main():
         myers_gcups=round(my["gcups"], 3),
         myers_pct_roofline=round(100 * my["gcups"] / my_roof, 2),
         myers_pairs_s=round(my["e2e_pairs_s"], 1),
+        myers_e2e_gcups=round(my["e2e_gcups"], 3),
+        myers_dev_over_e2e=round(my["dev_over_e2e"], 2),
         roofline_note="latency-bound (see bench.py docstring)",
     )))
 

@@ -34,6 +34,20 @@ from .structure import analyze_contig
 log = logging.getLogger(__name__)
 
 STITCH = 50          # ctg_cns.c:3620-3621
+# Window-EDGE trim before stitching: consensus quality degrades in the
+# outermost bases of each window (interpolated read clipping, alignment
+# endpoint slop, thinner effective coverage), and with 25 kb windows the
+# seams are dense enough to matter — measured 2e-2 per-base error in
+# 300 bp seam bands vs ~0 in the interior before this fix
+# (tests/test_polish_seams.py).  Consecutive windows overlap by
+# 2*EDGE + STITCH so the spliced sequence always comes from window
+# INTERIORS; the trimmed overlap is exactly STITCH bases.
+EDGE = 200
+# extra window overlap beyond 2*EDGE + STITCH: consensus length drifts by
+# up to ~1% of the window (indel corrections), so the stitch key's
+# expected offset in the next trimmed window must sit safely inside the
+# search range rather than straddling 0
+SLACK = 500
 _TR = bytes.maketrans(b"ACGT", bytes([0, 1, 2, 3]))
 
 
@@ -59,12 +73,16 @@ def _interp_read_interval(rec, ws, we):
 def polish_contig(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
                   window: int = 25000, min_cov: int = 3, read_type: int = 1,
                   pseudo: Optional[List[dict]] = None, region=None,
-                  interpret=None) -> np.ndarray:
+                  interpret=None, return_seams: bool = False) -> np.ndarray:
     """Re-consensus one contig (or the `region` slice of it) from its
-    mapped reads, plus any gap-spanning pseudo-read segments."""
+    mapped reads, plus any gap-spanning pseudo-read segments.
+
+    return_seams: also return the output coordinates of every window
+    stitch (for seam-error validation, tests/test_polish_seams.py)."""
     n = len(ctg)
     r0, r1 = region if region is not None else (0, n)
     out = ""
+    seams: List[int] = []
     ws = r0
     while ws < r1:
         we = min(r1, ws + window)
@@ -124,18 +142,29 @@ def polish_contig(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
                 wcons = _splice_uncovered(wstr, wcons)
         else:
             wcons = _codes_str(wseq)
+        # trim edge-degraded consensus (interior-only stitching, see EDGE)
+        head_trim = EDGE if ws > r0 else 0
+        tail_trim = EDGE if we < r1 else 0
+        if head_trim or tail_trim:
+            wcons = wcons[head_trim : len(wcons) - tail_trim
+                          if tail_trim else len(wcons)]
         # stitch on an exact STITCH-mer (link_consensus analogue)
         if not out:
             out = wcons
         else:
+            seams.append(len(out))
             key = out[-STITCH:]
-            pos = wcons.find(key, 0, max(len(wcons) // 4, 4 * STITCH))
+            pos = wcons.find(key, 0, max(len(wcons) // 4,
+                                         2 * (SLACK + 2 * EDGE)))
             if pos >= 0:
                 out = out + wcons[pos + STITCH:]
             else:
                 out = out + wcons  # stitch miss: keep both (rare)
-        ws = we - STITCH if we < r1 else r1
-    return np.frombuffer(out.encode().translate(_TR), np.uint8)
+        ws = we - (2 * EDGE + STITCH + SLACK) if we < r1 else r1
+    arr = np.frombuffer(out.encode().translate(_TR), np.uint8)
+    if return_seams:
+        return arr, seams
+    return arr
 
 
 def _splice_uncovered(draft: str, cons: str, k: int = 40) -> str:
