@@ -1,0 +1,134 @@
+"""Step-latency model for the affine-extend wavefront kernel (VERDICT r2
+item 6): tie the measured Gcells/s to a hardware-bound model within 15%,
+and quantify run-to-run variance (the padded-GCUPS 30.4 -> 26.1 "drop"
+between BENCH_r01/r02 needed explaining).
+
+Model.  One grid step processes `rows`x128 band cells.  The per-step time
+is the max of two terms:
+
+    t_step(rows) = max(T_lat, (rows/8) * T_issue8)
+
+  * T_lat    — the critical-path latency of the sequentially-dependent
+               wavefront step (state[t] feeds state[t+1]; independent of
+               how many row groups ride along);
+  * T_issue8 — the issue/throughput time of one 8-row group's worth of
+               vector work (VPU-throughput term, scales with rows).
+
+If T_lat >> 8/8*T_issue8 the kernel is LATENCY-bound and row-stacking is
+~free until rows*T_issue8/8 reaches T_lat — exactly the scaling KERNEL_
+NOTES measured (rows 8->64 nearly linear Gcells/s).  The script measures
+the PRODUCTION kernel (ops/extend.py affine_extend_fwd) at rows = 8..64,
+fits (T_lat, T_issue8) by least squares on the two extreme points, and
+reports the prediction error at every other point — the model must hold
+within 15% everywhere for the "tied to hardware bound" claim.
+
+Also runs the bench shape (rows=64, B=4096) N times and prints
+min/median/max Gcells/s: the axon-tunnel timings carry O(10-30%) noise,
+which is the scale of the r01->r02 delta.
+
+Run on the TPU host: python experiments/ext_latency_model.py
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def measure(rows, B, L=10_000, reps=3):
+    import jax.numpy as jnp
+    from nextdenovo_tpu.io.simulate import mutate_read
+    from nextdenovo_tpu.ops.extend import QF, TF, affine_extend_fwd, \
+        pad_for_extend
+
+    rng = np.random.default_rng(1)
+    ts = [rng.integers(0, 4, L).astype(np.int8) for _ in range(B)]
+    qs = [mutate_read(t.astype(np.uint8), 0.12, rng).astype(np.int8)
+          for t in ts]
+    m = np.array([len(q) for q in qs], np.int32)
+    n = np.array([len(t) for t in ts], np.int32)
+    a_max = ((int((m + n).max()) + 1 + 1023) // 1024) * 1024
+
+    def bucket(x, q=2048):
+        return ((int(x) + q - 1) // q) * q
+
+    m_max, n_max = bucket(m.max()), bucket(n.max())
+    tf = ((TF + max(0, (m_max - n_max + 1) // 2)) + 7) // 8 * 8
+    qpad = jnp.asarray(pad_for_extend(qs, m_max, QF))
+    TP = ((tf + n_max + 3 * 128 + 127) // 128) * 128
+    rt = np.full((B, TP), 4, np.int32)
+    for b, t in enumerate(ts):
+        t = np.asarray(t)[::-1]
+        rt[b, tf + n_max - len(t): tf + n_max] = t
+    rt[:, tf + n_max:] = 5
+    rtpad = jnp.asarray(rt)
+    mn = jnp.asarray(np.stack([m, n], 1))
+    out = affine_extend_fwd(qpad, rtpad, mn, a_max=a_max, n_max=n_max,
+                            tf=tf, rows=rows)
+    _ = np.asarray(out)
+    times = []
+    for _i in range(reps):
+        t0 = time.time()
+        out = affine_extend_fwd(qpad, rtpad, mn, a_max=a_max, n_max=n_max,
+                                tf=tf, rows=rows)
+        _ = np.asarray(out)
+        times.append(time.time() - t0)
+    dt = min(times)
+    # per grid-step time: grid = (B/rows) * a_max antidiagonal steps, but
+    # grid instances pipeline; normalize per-sequential-step per instance
+    n_steps = (B // rows) * a_max
+    t_step_ns = dt / n_steps * 1e9
+    cells = float(B) * a_max * 128          # padded accounting (model term)
+    return dict(rows=rows, B=B, dt=dt, t_step_ns=t_step_ns,
+                gcups_padded=cells / dt / 1e9, all_times=times)
+
+
+def main():
+    res = {}
+    rows_list = [8, 16, 32, 64]
+    B = 4096
+    for rows in rows_list:
+        r = measure(rows, B)
+        res[rows] = r
+        print(f"rows={rows:3d}  t_step={r['t_step_ns']:.1f} ns  "
+              f"gcups_padded={r['gcups_padded']:.1f}")
+    # fit: T_lat from rows=8 (latency floor), T_issue8 from rows=64
+    # (throughput-dominated end): t(64) = max(T_lat, 8*T_issue8)
+    t8 = res[8]["t_step_ns"]
+    t64 = res[64]["t_step_ns"]
+    T_lat = t8
+    T_issue8 = t64 / (64 // 8)
+    errs = {}
+    for rows in rows_list:
+        pred = max(T_lat, (rows / 8) * T_issue8)
+        meas = res[rows]["t_step_ns"]
+        errs[rows] = (pred - meas) / meas
+        print(f"rows={rows:3d}  model={pred:.1f} ns  measured={meas:.1f} ns "
+              f" err={100*errs[rows]:+.1f}%")
+    ok = all(abs(e) <= 0.15 for e in errs.values())
+    print("model within 15% at every point:", ok)
+
+    # noise quantification at the bench shape
+    gs = []
+    for _ in range(5):
+        gs.append(measure(64, 4096, reps=1)["gcups_padded"])
+    print(f"bench-shape padded GCUPS over 5 runs: min={min(gs):.1f} "
+          f"median={sorted(gs)[2]:.1f} max={max(gs):.1f} "
+          f"(spread {100*(max(gs)-min(gs))/min(gs):.0f}%)")
+    out = dict(
+        t_step_ns={k: v["t_step_ns"] for k, v in res.items()},
+        gcups_padded={k: v["gcups_padded"] for k, v in res.items()},
+        T_lat_ns=T_lat, T_issue8_ns=T_issue8,
+        model_errors={k: round(float(v), 4) for k, v in errs.items()},
+        model_ok=ok, bench_noise_gcups=gs)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                           "EXT_LATENCY_MODEL.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("wrote EXT_LATENCY_MODEL.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -474,6 +474,7 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
     # device-side accumulation: per-batch (packed, meta) results stay on
     # device; every FLUSH batches they are pulled with ONE packed transfer
     # (see FLUSH note at top)
+    from ..utils import span as _tspan
     inflight = []
 
     def _drain(k_keep):
@@ -484,7 +485,8 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
         arrs = []
         for packed, meta in group:
             arrs += [packed, meta]
-        pulled = fetch(arrs)
+        with _tspan("engine/drain", batches=len(group)):
+            pulled = fetch(arrs)
         for gi in range(len(group)):
             packed, meta = pulled[2 * gi], pulled[2 * gi + 1]
             n, overflow = int(meta[0]), int(meta[1])
@@ -501,8 +503,9 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
             out.append(blk)
 
     for sub in batches:
-        m = _sketch_rows(store, sub, k, w, batch_rows,
-                         cap=2 * rows_lp // max(1, w) + 1024)
+        with _tspan("engine/host_fill", rows=len(sub)):
+            m = _sketch_rows(store, sub, k, w, batch_rows,
+                             cap=2 * rows_lp // max(1, w) + 1024)
         base = np.full(batch_rows, -1, np.int32)
         pbase = np.zeros(batch_rows, np.int32)
         for i, rr in enumerate(sub):
