@@ -1076,12 +1076,15 @@ def band_align(queries: List[np.ndarray], targets: List[np.ndarray],
             # ~8x the wavefront kernel's per-column throughput); pairs
             # that exit its band retry on the adaptive wide-band kernel
             from .myers import myers_align
-            res = myers_align(queries, targets, nw=8)
+            with _tspan("kernel/myers_tier", pairs=len(queries)):
+                res = myers_align(queries, targets, nw=8)
             bad = [i for i, r in enumerate(res)
                    if not (r["ok"] and r["reached"])]
             if bad:
-                retry = _band_align_R([queries[i] for i in bad],
-                                      [targets[i] for i in bad], 2, interpret)
+                with _tspan("kernel/band_retry", pairs=len(bad)):
+                    retry = _band_align_R([queries[i] for i in bad],
+                                          [targets[i] for i in bad], 2,
+                                          interpret)
                 for i, r in zip(bad, retry):
                     res[i] = r
             return res
@@ -1091,7 +1094,17 @@ def band_align(queries: List[np.ndarray], targets: List[np.ndarray],
 def _band_align_R(queries, targets, R: int, interpret: bool):
     P = SUBLANES // R
     B0 = len(queries)
-    padB = (-B0) % (32 if R == 1 else P)
+    # half-octave batch buckets (see ops/myers.py _myers_dispatch): per-call
+    # retry counts vary freely, and every distinct padded B is a fresh
+    # Pallas compile
+    from .myers import _half_octave
+    if R == 1:
+        # R=1 needs multiples of 32 (row stacking): half-octave in units
+        units = max(1, -(-B0 // 32))
+        B_pad = 32 * (units if units <= 2 else _half_octave(units, lo=2))
+    else:
+        B_pad = _half_octave(B0, lo=8)     # all grid points divide by 4
+    padB = B_pad - B0
     queries = list(queries) + [np.zeros(1, np.int8)] * padB
     targets = list(targets) + [np.zeros(1, np.int8)] * padB
     m = np.array([len(q) for q in queries], np.int32)

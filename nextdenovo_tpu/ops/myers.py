@@ -447,8 +447,12 @@ def _myers_dispatch(queries, targets, nw: int):
     as in-flight jax arrays in the returned handle)."""
     W = 32 * nw
     B0 = len(queries)
-    # bucket the batch size so jit caches across calls
-    padB = (-B0) % 64
+    # Half-octave batch-size buckets (64, 96, 128, 192, 256, ...): every
+    # distinct padded B is a fresh fwd+tb compile, and callers like the
+    # polish windows present a different pair count per call — rounding to
+    # the next multiple of 64 minted dozens of executables (compiles, not
+    # device work, dominated the 5 Mb polish stage).
+    padB = _half_octave(B0, lo=64) - B0
     queries = list(queries) + [np.zeros(4, np.int8)] * padB
     targets = list(targets) + [np.zeros(4, np.int8)] * padB
     B = len(queries)

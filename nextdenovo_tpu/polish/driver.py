@@ -48,6 +48,10 @@ EDGE = 200
 # expected offset in the next trimmed window must sit safely inside the
 # search range rather than straddling 0
 SLACK = 500
+# read-vs-window alignment chunking (see polish_contig): pairs longer
+# than CHUNK_T split into ~PIECE-sized independently-aligned supports
+CHUNK_T = 6000
+PIECE = 5000
 _TR = bytes.maketrans(b"ACGT", bytes([0, 1, 2, 3]))
 
 
@@ -92,15 +96,42 @@ def polish_contig(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
             iv = _interp_read_interval(rec, ws, we)
             if iv is None:
                 continue
-            cs, ce, rqs, rqe = iv
+            cs, ce, _, _ = iv
             if ce - cs < 200:
                 continue
-            seg = reads.subseq(rec["qname"], rqs, rqe, rc=bool(rec["rev"]))
-            if len(seg) < 100:
-                continue
-            segs.append(seg.astype(np.int8))
-            tss.append(cs - ws)
-            tes.append(ce - ws - 1)
+            # Long read-vs-window pairs are split into ~PIECE-sized chunks
+            # aligned independently: each chunk is its own MSA support (the
+            # consensus does not care that several segments share a read),
+            # indel drift per chunk stays far inside the Myers band (25 kb
+            # pairs at ~10% error routinely exited the 256-cell band and
+            # fell to the slow adaptive retry tier — the dominant polish
+            # cost), and chunk boundaries are STAGGERED per read so any
+            # boundary alignment slop never piles onto one column.
+            if ce - cs <= CHUNK_T:
+                pieces = [(cs, ce)]
+            else:
+                st = (int(rec["qname"]) % 5) * (PIECE // 5)
+                bounds = [cs]
+                p = cs + st + PIECE if st else cs + PIECE
+                while p < ce - PIECE // 2:
+                    bounds.append(p)
+                    p += PIECE
+                bounds.append(ce)
+                pieces = list(zip(bounds[:-1], bounds[1:]))
+            for (p0, p1) in pieces:
+                piv = _interp_read_interval(rec, p0, p1)
+                if piv is None:
+                    continue
+                pcs, pce, prqs, prqe = piv
+                if pce - pcs < 200:
+                    continue
+                seg = reads.subseq(rec["qname"], prqs, prqe,
+                                   rc=bool(rec["rev"]))
+                if len(seg) < 100:
+                    continue
+                segs.append(seg.astype(np.int8))
+                tss.append(pcs - ws)
+                tes.append(pce - ws - 1)
         for p in pseudo or ():
             ts, te = p["ts"], p["te"]
             if te <= ws or ts >= we or te <= ts:
