@@ -79,8 +79,22 @@ def _build_index(h, rid, pos, strand, nvalid, lens, max_occ: int):
     keep = (cnt <= max_occ) & (rid >= 0)
     h = np.where(keep, h, np.uint32(0xFFFFFFFF))
     order2 = np.argsort(h, kind="stable")
-    return MiniIndex(jnp.asarray(h[order2]), jnp.asarray(rid[order2]),
-                     jnp.asarray(pos[order2]), jnp.asarray(strand[order2]),
+    h, rid, pos, strand = h[order2], rid[order2], pos[order2], strand[order2]
+    # pad the table to a half-octave bucket: _match_block's compiled
+    # program takes the index arrays as operands, so every distinct index
+    # LENGTH is a fresh (potentially minutes-long, remote-helper) compile;
+    # bucketing caps that at ~2 sizes per run and lets the persistent
+    # cache hit across runs.  Sentinel rows (h=0xFFFFFFFF, rid=-1) are
+    # dropped by the existing `t_rid >= 0` gate.
+    cap = _bucket_len(max(len(h), 1), lo=1 << 16)
+    if cap > len(h):
+        padn = cap - len(h)
+        h = np.concatenate([h, np.full(padn, 0xFFFFFFFF, np.uint32)])
+        rid = np.concatenate([rid, np.full(padn, -1, np.int32)])
+        pos = np.concatenate([pos, np.zeros(padn, np.int32)])
+        strand = np.concatenate([strand, np.zeros(padn, np.int32)])
+    return MiniIndex(jnp.asarray(h), jnp.asarray(rid),
+                     jnp.asarray(pos), jnp.asarray(strand),
                      jnp.int32(int(keep.sum())), jnp.asarray(lens))
 
 
