@@ -66,6 +66,10 @@ def _load():
     lib.nd_cns_filter.argtypes = [
         i32p, ctypes.c_int64, i32p, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, u8p, i32p, u8p, i32p, i64p]
+    lib.nd_expand_events.restype = ctypes.c_int64
+    lib.nd_expand_events.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p, u8p,
+        u8p, ctypes.c_int64, i64p]
     lib.nd_graph_run.restype = ctypes.c_int64
     lib.nd_graph_run.argtypes = [
         i32p, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
@@ -200,6 +204,39 @@ def cns_filter(recs9: np.ndarray, lens: np.ndarray, maxhan1: int,
         alns.ctypes.data_as(i32p), ctypes.byref(n_alns))
     return (keep.astype(bool), st, touched.astype(bool),
             alns[: n_alns.value])
+
+
+def expand_events(evs: np.ndarray, nvec: np.ndarray, i_f: np.ndarray,
+                  okv: np.ndarray, swapped: np.ndarray):
+    """Native Myers event->op-string expansion (ops/myers.py host side).
+
+    evs: (n_pad, B) uint8 event plane (scan order); nvec/i_f int32 (B,);
+    okv/swapped bool (B,).  Returns (flat uint8 ops, offsets (B+1,) int64):
+    pair b's ops (start->end, swap already applied) at
+    flat[offs[b]:offs[b+1]] (empty when not ok)."""
+    L = lib()
+    evs = np.ascontiguousarray(evs, np.uint8)
+    n_pad, B = evs.shape
+    nvec = np.ascontiguousarray(nvec, np.int32)
+    i_f32 = np.ascontiguousarray(i_f, np.int32)
+    ok8 = np.ascontiguousarray(okv, np.uint8)
+    sw8 = np.ascontiguousarray(swapped, np.uint8)
+    # per-pair ops length = n + m_used <= n_pad + (qp_w ~ 1.5*n_pad + W)
+    cap = int(np.int64(n_pad) * B * 3 +
+              int(np.maximum(i_f32, 0).sum()) + 1024)
+    out = np.empty(cap, np.uint8)
+    offs = np.zeros(B + 1, np.int64)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    n = L.nd_expand_events(
+        evs.ctypes.data_as(u8p), n_pad, B, nvec.ctypes.data_as(i32p),
+        i_f32.ctypes.data_as(i32p), ok8.ctypes.data_as(u8p),
+        sw8.ctypes.data_as(u8p), out.ctypes.data_as(u8p), cap,
+        offs.ctypes.data_as(i64p))
+    if n < 0:
+        raise RuntimeError("nd_expand_events overflow")
+    return out[:n], offs
 
 
 GRAPH_F_DEL, GRAPH_F_RED, GRAPH_F_CHIM, GRAPH_F_REP = 1, 2, 4, 8

@@ -1261,3 +1261,53 @@ int64_t nd_graph_run(const int32_t *recs, int64_t n_recs,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Myers traceback event expansion (host side of ops/myers.py):
+// evs is the (n_pad, B) row-major uint8 event plane from myers_tb (scan
+// order j = n_pad..1, event byte = min(k,63)<<2 | move).  For each ok
+// pair, emit the op string start->end (UP=1, LEFT=2, DIAG=0), prefixed
+// by i_f leading UPs, optionally transposed for swapped pairs.  Fills
+// `out` densely (pair b's ops at [offs[b], offs[b+1])); returns the total
+// length, or -1 if out_cap would be exceeded.
+int64_t nd_expand_events(const uint8_t *evs, int64_t n_pad, int64_t B,
+                         const int32_t *nvec, const int32_t *i_f,
+                         const uint8_t *okv, const uint8_t *swapped,
+                         uint8_t *out, int64_t out_cap, int64_t *offs) {
+    static const uint8_t lut_plain[4] = {0, 1, 2, 3};
+    static const uint8_t lut_swap[4] = {0, 2, 1, 3};   // UP<->LEFT
+    int64_t off = 0;
+    for (int64_t b = 0; b < B; b++) {
+        offs[b] = off;
+        if (!okv[b]) continue;
+        int64_t n = nvec[b];
+        // pass 1: total length
+        int64_t L = i_f[b];
+        for (int64_t row = n_pad - n; row < n_pad; row++) {
+            uint8_t ev = evs[row * B + b];
+            L += (ev >> 2) + 1;
+        }
+        if (off + L > out_cap) return -1;
+        const uint8_t *lut = swapped[b] ? lut_swap : lut_plain;
+        // pass 2: fill from the back (events are END->START order)
+        int64_t pos = off + L;
+        for (int64_t row = n_pad - n; row < n_pad; row++) {
+            uint8_t ev = evs[row * B + b];
+            int64_t k = ev >> 2;
+            uint8_t mv = lut[ev & 3];
+            uint8_t up = lut[1];
+            for (int64_t t = 0; t < k; t++) out[--pos] = up;
+            out[--pos] = mv;
+        }
+        // leading ups (column 0)
+        uint8_t up = lut[1];
+        for (int64_t t = 0; t < i_f[b]; t++) out[off + i_f[b] - 1 - t] = up;
+        // note: the back-fill above stopped exactly at off + i_f[b]
+        off += L;
+    }
+    offs[B] = off;
+    return off;
+}
+
+}  // extern "C"

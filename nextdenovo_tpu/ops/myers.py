@@ -514,8 +514,28 @@ def _myers_finish(h):
         [h["score"], h["final"], h["evs"], h["i_f"], h["ok"]])
     dist = tail_walk(score, final, m, n, off)
     okv = okv & feasible
+    sw = np.asarray(swapped, bool)
 
-    # batch expansion: one flat np.repeat over every ok pair's events
+    try:
+        from ..native import expand_events as _native_expand
+    except Exception:
+        _native_expand = None
+    if _native_expand is not None:
+        # native single-pass expansion (swap applied in C); ~10x the
+        # per-pair numpy loop on 2-core hosts
+        flat, offs = _native_expand(evs, n, i_f, okv, sw)
+        flat = flat.view(np.int8)
+        res = []
+        for b in range(B):
+            if okv[b]:
+                res.append(dict(dist=int(dist[b]), reached=True, ok=True,
+                                ops=flat[offs[b] : offs[b + 1]]))
+            else:
+                res.append(dict(dist=int(dist[b]), reached=False, ok=False,
+                                ops=np.zeros(0, np.int8)))
+        return res[:B0]
+
+    # numpy fallback (kept as the oracle for tests/test_myers.py)
     vals_l, reps_l, lens = [], [], []
     ok_idx = [b for b in range(B) if okv[b]]
     for b in ok_idx:

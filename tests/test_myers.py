@@ -81,3 +81,53 @@ def test_identical_and_single_edit():
     assert res[0]["dist"] == 0 and np.all(res[0]["ops"] == 0)
     assert res[1]["dist"] == 1
     assert ops_cost(q2, t, res[1]["ops"]) == 1
+
+
+def test_native_event_expansion_matches_numpy():
+    """nd_expand_events (native host expansion) must reproduce the numpy
+    reference expansion op-for-op, including swapped pairs and leading
+    UPs."""
+    import numpy as np
+    from nextdenovo_tpu.io.simulate import mutate_read
+    from nextdenovo_tpu.ops import myers as M
+
+    rng = np.random.default_rng(9)
+    qs, ts = [], []
+    for i in range(40):
+        L = int(rng.integers(300, 3000))
+        t = rng.integers(0, 4, L).astype(np.uint8)
+        q = mutate_read(t, 0.12, rng)
+        if i % 3 == 0:   # mix swapped orientations in
+            q, t = t, q[: max(200, len(q) - 200)]
+        qs.append(q.astype(np.int8))
+        ts.append(t.astype(np.int8))
+    h = M._myers_dispatch(qs, ts, 8)
+    native = M._myers_finish(dict(h))
+    # independent numpy re-expansion of the same event planes
+    evs = np.asarray(h["evs"])
+    i_f = np.asarray(h["i_f"])
+    okv = np.asarray(h["ok"]) & h["feasible"]
+    n, n_pad = h["n"], h["n_pad"]
+    swap_lut = np.array([M.DIAG, M.LEFT, M.UP, 3], np.int8)
+    n_checked = 0
+    for b in range(len(qs)):
+        if not okv[b]:
+            assert not native[b]["ok"]
+            continue
+        rows = evs[n_pad - n[b]:, b]
+        k = (rows >> 2).astype(np.int64)
+        mv = (rows & 3).astype(np.int64)
+        reps = np.empty(2 * len(rows), np.int64)
+        vals = np.empty(2 * len(rows), np.int64)
+        reps[0::2] = k
+        reps[1::2] = 1
+        vals[0::2] = M.UP
+        vals[1::2] = mv
+        ops = np.repeat(vals, reps)[::-1].astype(np.int8)
+        if i_f[b] > 0:
+            ops = np.concatenate([np.full(int(i_f[b]), M.UP, np.int8), ops])
+        if h["swapped"][b]:
+            ops = swap_lut[ops]
+        np.testing.assert_array_equal(native[b]["ops"], ops, err_msg=str(b))
+        n_checked += 1
+    assert n_checked >= 30
