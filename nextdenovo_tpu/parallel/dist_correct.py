@@ -191,3 +191,82 @@ def distributed_correct(store: SeqStore, sorted_blk, blacklist: Dict,
                 min_error_corrected_ratio=min_error_corrected_ratio,
                 split=split, read_type=read_type, fast=fast)
     return results
+
+
+def distributed_band_align(queries, targets, mesh: Mesh, n_shards: int,
+                           nw: int = 8):
+    """Mesh-native banded alignment of arbitrary (query, target) pairs —
+    the SPMD form of ops.align.band_align's Myers tier, used to shard the
+    cns_align realign phase (minimap2-nd --step 2's re-align pass) over
+    the device mesh.  Pairs are round-robin partitioned into shard row
+    blocks; failed pairs fall back to the single-chip adaptive retry,
+    exactly like the host wrapper.  Returns band_align-shaped dicts in
+    input order (parity with the host tier asserted in tests)."""
+    from ..ops import align as tpu_align
+
+    W = 32 * nw
+    B0 = len(queries)
+    if B0 == 0:
+        return []
+    # swap so m >= n (ops transposed back after)
+    qs, ts, sw = [], [], []
+    for q, t in zip(queries, targets):
+        q = np.asarray(q, np.uint8)
+        t = np.asarray(t, np.uint8)
+        if len(q) >= len(t):
+            qs.append(q); ts.append(t); sw.append(False)
+        else:
+            qs.append(t); ts.append(q); sw.append(True)
+    per = -(-B0 // n_shards)
+    per = max(8, -(-per // 8) * 8)
+    S = n_shards
+    m_all = [len(q) for q in qs]
+    n_all = [len(t) for t in ts]
+    n_pad = _half_octave(max(n_all) + 1)
+    qw = _half_octave(max(m_all) + W + 2)
+    qpad = np.full((S * per, qw), 4, np.int8)
+    tpad = np.full((S * per, n_pad), 4, np.int8)
+    m = np.zeros(S * per, np.int32)
+    n = np.zeros(S * per, np.int32)
+    rows = np.full(B0, -1, np.int64)
+    for i in range(B0):
+        d, j = i % S, i // S
+        r = d * per + j
+        rows[i] = r
+        qpad[r, : len(qs[i])] = qs[i]
+        tpad[r, : len(ts[i])] = ts[i]
+        m[r], n[r] = len(qs[i]), len(ts[i])
+    off = np.clip((W - (m - n)) // 2, 16, W - 16).astype(np.int32)
+    feasible = ((m - n) < (W - off - 2)) & (n >= 1)
+    out = distributed_myers_step(
+        jnp.asarray(qpad), jnp.asarray(tpad), jnp.asarray(off),
+        jnp.asarray(m), jnp.asarray(n), nw=nw, mesh=mesh, n_shards=n_shards)
+    score, final, evs, i_f, okv = fetch(out)
+    dist = tail_walk(score, final, m, n, off)
+    okv = okv & feasible
+    sw_rows = np.zeros(S * per, bool)
+    ok_rows = np.zeros(S * per, bool)
+    for i in range(B0):
+        sw_rows[rows[i]] = sw[i]
+        ok_rows[rows[i]] = okv[rows[i]]
+    from ..native import expand_events as _nx
+    flat, offs = _nx(evs, n, i_f, ok_rows.astype(np.uint8), sw_rows)
+    flat = flat.view(np.int8)
+    res = []
+    retries = []
+    for i in range(B0):
+        r = rows[i]
+        if okv[r]:
+            res.append(dict(dist=int(dist[r]), reached=True, ok=True,
+                            ops=flat[offs[r] : offs[r + 1]]))
+        else:
+            res.append(None)
+            retries.append(i)
+    if retries:
+        rr = tpu_align.band_align(
+            [np.asarray(queries[i], np.int8) for i in retries],
+            [np.asarray(targets[i], np.int8) for i in retries], R=2,
+            interpret=None if jax.default_backend() == "tpu" else True)
+        for i, r in zip(retries, rr):
+            res[i] = r
+    return res

@@ -233,3 +233,32 @@ def test_distributed_correction_matches_single_shard():
         got = distributed_correct(store, srt.block, srt.blacklist,
                                   make_mesh(n_dev), n_dev, **kw)
         assert got == ref, (n_dev, len(got), len(ref))
+
+
+def test_distributed_band_align_matches_host_tier():
+    """Mesh-native banded alignment must be invariant across shard
+    counts (1 vs 2 vs 8), with the same Myers-tier + retry semantics as
+    the host band_align wrapper."""
+    import numpy as np
+    from nextdenovo_tpu.io.simulate import mutate_read
+    from nextdenovo_tpu.ops import align as tpu_align
+    from nextdenovo_tpu.parallel.dist_correct import distributed_band_align
+    from nextdenovo_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(77)
+    qs, ts = [], []
+    for i in range(50):
+        L = int(rng.integers(500, 4000))
+        t = rng.integers(0, 4, L).astype(np.uint8)
+        q = mutate_read(t, 0.10, rng)
+        if i % 4 == 0:
+            q, t = t, q
+        qs.append(q.astype(np.int8))
+        ts.append(t.astype(np.int8))
+    ref = distributed_band_align(qs, ts, make_mesh(1), 1)
+    for n_dev in (2, 8):
+        got = distributed_band_align(qs, ts, make_mesh(n_dev), n_dev)
+        assert len(got) == len(ref)
+        for a, b in zip(got, ref):
+            assert a["ok"] == b["ok"] and a["dist"] == b["dist"]
+            np.testing.assert_array_equal(a["ops"], b["ops"])
