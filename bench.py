@@ -42,6 +42,21 @@ import numpy as np
 VPU_OPS_S = 8 * 128 * 4 * 1.5e9      # ~6.1e12 (see module docstring)
 EXT_OPS_PER_CELL = 45
 MYERS_OPS_PER_CELL = 1.9
+TRIALS = 5   # median-of-5: single-sample GCUPS through the axon tunnel has
+             # a measured 121% min-to-max spread (EXT_LATENCY_MODEL.json
+             # bench_noise_gcups), so round-over-round comparisons need a
+             # robust statistic
+
+
+def median_time(run, trials: int = TRIALS) -> float:
+    """Median wall time of `trials` invocations of run() (each must fully
+    sync device work before returning)."""
+    ts = []
+    for _ in range(trials):
+        t0 = time.time()
+        run()
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
 
 
 def _ext_real_cells(m: np.ndarray, n: np.ndarray, half: int = 64,
@@ -95,14 +110,14 @@ def bench_extend(rng):
 
     out = affine_extend_fwd(qpad, rtpad, mn, a_max=a_max, n_max=n_max,
                             tf=tf, rows=ROWS)
-    _ = np.asarray(out)  # tunnel-safe sync
-    reps = 3
-    t0 = time.time()
-    for _i in range(reps):
+    _ = np.asarray(out)  # tunnel-safe sync (warm/compile)
+
+    def run():
         out = affine_extend_fwd(qpad, rtpad, mn, a_max=a_max, n_max=n_max,
                                 tf=tf, rows=ROWS)
         _ = np.asarray(out)
-    dt = (time.time() - t0) / reps
+
+    dt = median_time(run)
 
     cells_real = _ext_real_cells(m, n)
     cells_padded = float(B) * a_max * 128
@@ -153,13 +168,13 @@ def bench_myers(rng):
     score, planes, final = M.myers_fwd(win0, qtop, tch, nv, ov, nw=NW)
     evs, i_f, ok = M.myers_tb(planes, mv, nv, ov, nw=NW)
     _ = np.asarray(i_f)     # warm + sync
-    reps = 3
-    t0 = time.time()
-    for _i in range(reps):
+
+    def run():
         score, planes, final = M.myers_fwd(win0, qtop, tch, nv, ov, nw=NW)
         evs, i_f, ok = M.myers_tb(planes, mv, nv, ov, nw=NW)
         _ = np.asarray(i_f)
-    dt = (time.time() - t0) / reps
+
+    dt = median_time(run)
     cells = float(n.astype(np.int64).sum()) * W
     gcups = cells / dt / 1e9
 
@@ -171,10 +186,9 @@ def bench_myers(rng):
     qs8 = [q.astype(np.int8) for q in qs_l]
     ts8 = [t.astype(np.int8) for t in ts_l]
     res = M.myers_align(qs8, ts8)      # warm (one-off packer/stream compiles)
-    t0 = time.time()
-    res = M.myers_align(qs8, ts8)
-    dt_e2e = time.time() - t0
-    e2e_pairs_s = sum(1 for r in res if r["ok"]) / dt_e2e
+    n_ok = sum(1 for r in res if r["ok"])
+    dt_e2e = median_time(lambda: M.myers_align(qs8, ts8))
+    e2e_pairs_s = n_ok / dt_e2e
     # VERDICT r2 item 2 "done" criterion: device-side and end-to-end
     # throughput within 3x of each other
     e2e_gcups = cells / dt_e2e / 1e9
@@ -204,6 +218,7 @@ def main():
         myers_pairs_s=round(my["e2e_pairs_s"], 1),
         myers_e2e_gcups=round(my["e2e_gcups"], 3),
         myers_dev_over_e2e=round(my["dev_over_e2e"], 2),
+        trials=TRIALS,
         roofline_note="latency-bound (see bench.py docstring)",
     )))
 

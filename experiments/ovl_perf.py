@@ -1,0 +1,102 @@
+"""Attribute raw_align wall time per phase on the live chip.
+
+SCALE_10M_r3 charged 1351 s of the 2079 s raw_align stage to engine/drain,
+yet the _match_block micro-benchmark runs at ~151 ms/batch — a ~6x gap.
+This experiment decomposes the per-batch wall (host fill / sketch dispatch
+/ match dispatch / drain wait) at a real index and sweeps batch_rows to
+test the fixed-per-dispatch-overhead hypothesis (the axon tunnel charges
+per launch, so fewer+bigger launches should approach the device-bound
+floor).
+
+Run: python experiments/ovl_perf.py [genome_kb=4000] [coverage=30] [out_json]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    glen = int(float(sys.argv[1]) * 1000) if len(sys.argv) > 1 else 4_000_000
+    cov = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    out_json = sys.argv[3] if len(sys.argv) > 3 else None
+
+    import jax
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.overlap import engine
+    from nextdenovo_tpu.utils import get_tracer
+
+    print(f"backend: {jax.default_backend()}")
+    g = simulate_genome(glen, seed=5)
+    sim = simulate_reads(g, coverage=cov, mean_len=12_000, error_rate=0.10,
+                         seed=6, min_len=3000)
+    store = SeqStore.from_codes(sim.reads)
+    rids = np.arange(len(store))
+    print(f"{glen/1e6:.1f} Mb x {cov}: {len(store)} reads")
+
+    t0 = time.time()
+    idx = engine.build_index(store, rids, k=15, w=5, max_occ=64)
+    print(f"index build: {time.time()-t0:.1f} s, "
+          f"{int(idx.h.shape[0])/1e6:.1f}M slots ({int(idx.n)} valid)")
+
+    res = {"genome_mb": glen / 1e6, "coverage": cov,
+           "index_slots": int(idx.h.shape[0])}
+    tracer = get_tracer()
+    queries = rids[np.argsort(np.asarray(store.length))[::-1][:256]]
+
+    for br in (16, 32, 64):
+        # warmup (compile) on a small slice
+        engine.find_overlaps(store, queries[:br], idx, k=15, w=5, max_occ=16,
+                             min_cnt=4, min_span=500, top_k=4, batch_rows=br)
+        n0 = len(tracer.spans)
+        t0 = time.time()
+        blk = engine.find_overlaps(store, queries, idx, k=15, w=5, max_occ=16,
+                                   min_cnt=4, min_span=500, top_k=4,
+                                   batch_rows=br)
+        wall = time.time() - t0
+        phases = {}
+        for s in tracer.spans[n0:]:
+            phases[s.name] = round(phases.get(s.name, 0.0) + s.wall, 2)
+        row = dict(batch_rows=br, wall_s=round(wall, 2),
+                   per_query_ms=round(1000 * wall / len(queries), 1),
+                   n_records=len(blk), phases=phases)
+        print(json.dumps(row))
+        res[f"br{br}"] = row
+
+    # single-batch dispatch->ready latency at the default shape: how much
+    # of the per-batch wall is one launch's round trip?
+    rows = engine._chunk_rows(queries[:16], np.asarray(store.length), 15, 5)
+    rows = rows[:16]
+    m = engine._sketch_rows(store, rows, 15, 5, 16,
+                            cap=2 * 16 * engine.CHUNK_LP // 5 + 1024)
+    base = np.full(16, -1, np.int32)
+    pbase = np.zeros(16, np.int32)
+    for i, rr in enumerate(rows):
+        base[i], pbase[i] = rr[0], rr[1]
+    import jax.numpy as jnp
+    args = (m.rid, m.pos, m.hash, m.strand, jnp.asarray(base),
+            jnp.asarray(pbase), idx)
+    kw = dict(k=15, max_occ=16, diag_shift=8, min_cnt=4, min_span=500,
+              cap_out=256 * 16 + 256, top_k=4)
+    packed, meta = engine._match_block(*args, **kw)   # compile
+    np.asarray(meta)
+    ts = []
+    for _ in range(8):
+        t0 = time.time()
+        packed, meta = engine._match_block(*args, **kw)
+        np.asarray(meta)            # force full sync incl. d2h of 2 ints
+        ts.append(time.time() - t0)
+    res["match_block_sync_ms"] = [round(1000 * t, 1) for t in ts]
+    print("match_block dispatch+sync ms:", res["match_block_sync_ms"])
+
+    if out_json:
+        json.dump(res, open(out_json, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

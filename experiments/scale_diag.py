@@ -1,0 +1,181 @@
+"""Post-hoc quality diagnosis of a scale run against simulation truth.
+
+VERDICT r3 flagged an uninvestigated quality collapse at 10 Mb (9 contigs /
+91.6% genome fraction vs 2 / 98.5% at 5 Mb).  This script re-simulates the
+workload (deterministic seeds match experiments/scale_run.py) and walks the
+rundir's durable stage artifacts to localize WHERE genome coverage is lost:
+
+  truth      genome covered by seed reads (upper bound)
+  raw_ovl    per-seed raw overlap support: true partners vs recorded ones
+  cns        genome covered by corrected reads (by seed truth interval)
+  contigs    genome bins hit by contig 31-mers
+
+Prints per-layer coverage + the uncovered genome regions of each layer, and
+for regions newly lost at a layer, drills into the artifacts that should
+have covered them.
+
+Run: python experiments/scale_diag.py <genome_kb> <coverage> <rundir>
+     [mean_len=12000]
+"""
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BIN = 10_000
+
+
+def regions(mask, binsz=BIN):
+    """Uncovered bin mask -> list of (start, end) bp regions."""
+    out = []
+    i = 0
+    while i < len(mask):
+        if not mask[i]:
+            j = i
+            while j < len(mask) and not mask[j]:
+                j += 1
+            out.append((i * binsz, j * binsz))
+            i = j
+        else:
+            i += 1
+    return out
+
+
+def cover_bins(nbins, starts, ends):
+    cov = np.zeros(nbins + 1, np.int64)
+    s = np.clip(np.asarray(starts) // BIN, 0, nbins)
+    e = np.clip((np.asarray(ends) - 1) // BIN + 1, 0, nbins)
+    np.add.at(cov, s, 1)
+    np.add.at(cov, e, -1)
+    return np.cumsum(cov)[:nbins]
+
+
+def main():
+    glen = int(float(sys.argv[1]) * 1000)
+    cov = int(sys.argv[2])
+    rundir = sys.argv[3]
+    mean_len = int(sys.argv[4]) if len(sys.argv) > 4 else 12_000
+
+    from nextdenovo_tpu.io.fastx import read_fastx
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.overlap.records import OvlBlock
+
+    g = simulate_genome(glen, seed=5)
+    sim = simulate_reads(g, coverage=cov, mean_len=mean_len, error_rate=0.10,
+                         seed=6, min_len=3000)
+    nbins = glen // BIN
+    lens = np.array([len(r) for r in sim.reads])
+
+    meta = json.load(open(os.path.join(rundir, "00.db/meta.json")))
+    seed_mask = np.asarray(meta["seed_mask"], bool)
+    seed_rids = np.nonzero(seed_mask)[0]
+    print(f"seeds: {len(seed_rids)} / {len(lens)} reads, "
+          f"cutoff {meta['seed_cutoff']}")
+
+    # layer 0: truth seed coverage
+    scov = cover_bins(nbins, sim.start[seed_rids], sim.end[seed_rids])
+    print(f"[truth] seed depth p5/p50 = {np.percentile(scov,5):.0f}/"
+          f"{np.percentile(scov,50):.0f}; bins with <3 seeds: "
+          f"{int((scov<3).sum())}  regions: {regions(scov>=1)[:10]}")
+
+    # layer 1: raw overlap support per seed
+    p = os.path.join(rundir, "01.raw_align/raw.ovl.npz")
+    if os.path.exists(p):
+        raw = OvlBlock.load(p[:-4])
+        qn = np.asarray(raw.qname)
+        # per-seed recorded partner count vs true partner count (>=2 kb true
+        # overlap).  True partners counted by interval intersection.
+        order = np.argsort(sim.start)
+        st_s, en_s = sim.start[order], sim.end[order]
+        rec_cnt = np.bincount(qn, minlength=len(lens))
+        true_cnt = np.zeros(len(seed_rids), np.int64)
+        for i, r in enumerate(seed_rids):
+            lo = np.searchsorted(st_s, sim.end[r] - 2000)
+            hi0 = np.searchsorted(en_s, sim.start[r] + 2000)
+            true_cnt[i] = max(0, lo - hi0 - 1)
+        rc = rec_cnt[seed_rids]
+        ratio = rc / np.maximum(true_cnt, 1)
+        print(f"[raw_ovl] records {len(raw)}; per-seed rec/true partners "
+              f"p5/p50/p95 = {np.percentile(ratio,5):.2f}/"
+              f"{np.percentile(ratio,50):.2f}/{np.percentile(ratio,95):.2f}")
+        weak = seed_rids[rc < 10]
+        print(f"[raw_ovl] seeds with <10 records: {len(weak)}"
+              + (f" e.g. {weak[:8].tolist()}" if len(weak) else ""))
+
+    # layer 2: corrected reads (map back via integer names "seed[_piece]")
+    p = os.path.join(rundir, "03.seed_cns")
+    if os.path.exists(os.path.join(p, "cns.npz")):
+        cns = SeqStore.load(os.path.join(p, "cns"))
+        src = np.array([int(str(n).partition("_")[0]) for n in cns.names])
+        pieces = np.bincount(src, minlength=len(lens))
+        cl = np.asarray(cns.length)
+        # approximate truth interval: the source seed's interval scaled by
+        # corrected/original length (pieces reuse the whole interval -> only
+        # used for bin coverage, fine at 10 kb bins)
+        ccov = cover_bins(nbins, sim.start[src], sim.end[src])
+        seeds_out = np.unique(src)
+        lost = np.setdiff1d(seed_rids, seeds_out)
+        n_split = int((pieces[seeds_out] > 1).sum())
+        print(f"[cns] {len(cns)} corrected pieces from {len(seeds_out)} seeds "
+              f"({len(lost)} seeds produced NOTHING, {n_split} split); "
+              f"total {int(cl.sum())} bp")
+        print(f"[cns] corrected-read genome cover: bins<1: "
+              f"{int((ccov<1).sum())}, bins<3: {int((ccov<3).sum())}, "
+              f"gap regions: {regions(ccov>=3)[:10]}")
+        if len(lost):
+            ll = lens[lost]
+            print(f"[cns] lost-seed lens p50={np.percentile(ll,50):.0f} "
+                  f"max={ll.max()}; ids {lost[:12].tolist()}")
+
+    # layer 3: cns_align dovetail records per cns read
+    p = os.path.join(rundir, "04.cns_align/cns.filt.dovt.ovl.npz")
+    if os.path.exists(p):
+        dov = OvlBlock.load(p[:-4])
+        qn = np.asarray(dov.qname)
+        tn = np.asarray(dov.tname)
+        ncns = int(max(qn.max(), tn.max())) + 1 if len(qn) else 0
+        deg = np.bincount(np.concatenate([qn, tn]), minlength=ncns)
+        print(f"[cns_align] {len(dov)} dovetail records; reads with 0 edges: "
+              f"{int((deg == 0).sum())} of {len(deg)}")
+
+    # layer 4: contigs
+    p = os.path.join(rundir, "06.ctg_cns/nd.asm.fasta")
+    if os.path.exists(p):
+        contigs = [s for _, s in read_fastx(p)]
+        k = 31
+        # genome kmer -> position (sample every 97 bp for speed)
+        gv = np.zeros(glen - k + 1, np.uint64)
+        a = g.astype(np.uint64)
+        for j in range(k):
+            gv = (gv << np.uint64(2)) | a[j : glen - k + 1 + j]
+        samp = np.arange(0, len(gv), 97)
+        lut = dict(zip(gv[samp].tolist(), samp.tolist()))
+        hit = np.zeros(nbins, bool)
+        for c in contigs:
+            cc = np.asarray(c, np.uint64)
+            if len(cc) < k:
+                continue
+            cv = np.zeros(len(cc) - k + 1, np.uint64)
+            for j in range(k):
+                cv = (cv << np.uint64(2)) | cc[j : len(cc) - k + 1 + j]
+            rc = (cc ^ np.uint64(3))[::-1]
+            rv = np.zeros(len(cc) - k + 1, np.uint64)
+            for j in range(k):
+                rv = (rv << np.uint64(2)) | rc[j : len(cc) - k + 1 + j]
+            for vv in (cv, rv):
+                for v in vv[::13].tolist():
+                    pos = lut.get(v)
+                    if pos is not None:
+                        hit[min(pos // BIN, nbins - 1)] = True
+        print(f"[contigs] {len(contigs)} contigs, {sum(len(c) for c in contigs)}"
+              f" bp; genome bins hit: {int(hit.sum())}/{nbins}, "
+              f"missing regions: {regions(hit)[:20]}")
+
+
+if __name__ == "__main__":
+    main()

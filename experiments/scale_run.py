@@ -8,6 +8,11 @@ equivalent harness for synthetic genomes at increasing scale.
 
 Run: python experiments/scale_run.py [genome_kb=1000] [coverage=30]
      [mean_len=12000] [workdir=/tmp/ndtpu_scale] [out_json]
+     [read_type=ont] [error_rate=0.10] [repeat_frac=0] [het=0]
+
+read_type=hifi switches the error model to 0.4% and the pipeline to the
+long-kmer (-k51 -w51) HiFi sketch + phasing-consensus path; repeat_frac /
+het exercise the repeat/bubble graph machinery at scale.
 
 When out_json is given, the result — including per-stage wall times from
 the tracer and the native consensus phase profile (nd_prof_report) — is
@@ -50,6 +55,11 @@ def main():
     mean_len = int(sys.argv[3]) if len(sys.argv) > 3 else 12_000
     workdir = sys.argv[4] if len(sys.argv) > 4 else "/tmp/ndtpu_scale"
     out_json = sys.argv[5] if len(sys.argv) > 5 else None
+    read_type = sys.argv[6] if len(sys.argv) > 6 else "ont"
+    err = float(sys.argv[7]) if len(sys.argv) > 7 else \
+        (0.004 if read_type == "hifi" else 0.10)
+    repeat_frac = float(sys.argv[8]) if len(sys.argv) > 8 else 0.0
+    het = float(sys.argv[9]) if len(sys.argv) > 9 else 0.0
 
     import logging
     logging.basicConfig(level=logging.INFO,
@@ -62,9 +72,9 @@ def main():
 
     os.makedirs(workdir, exist_ok=True)
     print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
-    g = simulate_genome(glen, seed=5)
-    sim = simulate_reads(g, coverage=cov, mean_len=mean_len, error_rate=0.10,
-                         seed=6, min_len=3000)
+    g = simulate_genome(glen, seed=5, repeat_frac=repeat_frac)
+    sim = simulate_reads(g, coverage=cov, mean_len=mean_len, error_rate=err,
+                         seed=6, min_len=3000, het_snp_rate=het)
     lens = np.array([len(r) for r in sim.reads])
     print(f"workload: {glen/1e6:.2f} Mb genome, {cov}x, {len(sim.reads)} reads, "
           f"len p50/p95/max = {np.percentile(lens,50):.0f}/"
@@ -80,7 +90,7 @@ def main():
 [General]
 task = all
 input_type = raw
-read_type = ont
+read_type = {read_type}
 input_fofn = {workdir}/input.fofn
 workdir = {workdir}/rundir
 
@@ -94,7 +104,9 @@ genome_size = {glen}
     contigs = out["contigs"]
     total = sum(len(c) for c in contigs)
     ident = kmer_identity(contigs, g)
-    res = dict(genome_mb=glen / 1e6, coverage=cov, wall_s=round(wall, 1),
+    res = dict(genome_mb=glen / 1e6, coverage=cov, read_type=read_type,
+               error_rate=err, repeat_frac=repeat_frac, het_snp_rate=het,
+               wall_s=round(wall, 1),
                n_contigs=len(contigs),
                n50=int(out["stats"].get("N50", (0,))[0]) if out["stats"] else 0,
                total_bp=total, genome_frac=round(total / glen, 3),

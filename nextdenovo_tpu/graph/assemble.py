@@ -1078,53 +1078,73 @@ class StringGraph:
         resolution, simple bubbles instead of long-bubble popping.
 
         stop_after: run only the first N passes (parity testing against the
-        native port, tests/test_native_graph.py)."""
+        native port, tests/test_native_graph.py).
+
+        After clean(), self.pass_stats holds (name, edges_removed) per pass
+        (live-edge delta) — the observability hook for asserting that the
+        repeat/bubble machinery actually fires on repeat-rich workloads
+        (the reference prints per-pass node/edge counts under -d,
+        ng/main.c:193-278)."""
         passes = [
-            lambda: self.mark_repeat_edges(
+            ("mark_edge_rep", lambda: self.mark_repeat_edges(
                 self.p.get("min_depth_multi", 1.5),
-                self.p.get("max_depth_multi", 2000.0)),
-            lambda: self.mark_chimeric_nodes(),       # mark_node_chim
-            lambda: self.transitive_reduction(),      # mark_edge_tr
+                self.p.get("max_depth_multi", 2000.0))),
+            ("mark_node_chim", lambda: self.mark_chimeric_nodes()),
+            ("mark_edge_tr", lambda: self.transitive_reduction()),
         ]
-        for _ in range(2):
+        for it in range(2):
             passes += [
-                lambda: self.clip_tips(),         # rm_edge_spur/rm_sht_brh
-                lambda: self.clip_z_labeled(),    # rm_z_clip_lable(CN)
-                lambda: self.clip_z_edges(),      # rm_z_clip_score
-                lambda: self.pop_bubbles(),
-                lambda: self.drop_low_score_branches(),  # hls/rm_edge_ls
+                (f"rm_edge_spur.{it}", lambda: self.clip_tips()),
+                (f"rm_z_clip_lable.{it}", lambda: self.clip_z_labeled()),
+                (f"rm_z_clip_score.{it}", lambda: self.clip_z_edges()),
+                (f"rm_sht_bubble.{it}", lambda: self.pop_bubbles()),
+                (f"rm_edge_ls.{it}",
+                 lambda: self.drop_low_score_branches()),
             ]
-        passes.append(lambda: self.keep_best_edges())  # mark_edge_bs
+        passes.append(("mark_edge_bs", lambda: self.keep_best_edges()))
         if alt_ctg:
-            passes += [lambda: self.clip_z_edges(),   # rm_z_clip_score x2
-                       lambda: self.clip_z_edges()]
+            passes += [("rm_z_clip_score.a", lambda: self.clip_z_edges()),
+                       ("rm_z_clip_score.b", lambda: self.clip_z_edges())]
         else:
             zb = self.p["zbranch_len"]
             sp = self.p["out_spath_len"]
             passes += [
-                lambda: self.resolve_superbubbles(),  # clean_complex_*
-                lambda: self.clip_z_by_score_tc(      # rm_z_clip_score3
-                    zb, sp, int(self.p["min_depth_ratio"] * 100)),
-                lambda: self.clip_z_progressive(2 * zb, sp, -1),  # score2
+                ("clean_complex", lambda: self.resolve_superbubbles()),
+                ("rm_z_clip_score3", lambda: self.clip_z_by_score_tc(
+                    zb, sp, int(self.p["min_depth_ratio"] * 100))),
+                ("rm_z_clip_score2",
+                 lambda: self.clip_z_progressive(2 * zb, sp, -1)),
             ]
         passes += [
-            lambda: self.clip_tips(),
-            lambda: self.break_short_loops(self.p["sloop_len"]),  # sht_loop
+            ("rm_edge_spur.2", lambda: self.clip_tips()),
+            ("rm_sht_loop",
+             lambda: self.break_short_loops(self.p["sloop_len"])),
         ]
         if alt_ctg:
-            passes.append(lambda: self.pop_bubbles())  # rm_sht_bubble
+            passes.append(("rm_sht_bubble.2", lambda: self.pop_bubbles()))
         else:
-            passes += [lambda: self.pop_long_bubble_arms(),  # rm_long_bubble
-                       lambda: self.pop_bubbles()]
+            passes += [("rm_long_bubble",
+                        lambda: self.pop_long_bubble_arms()),
+                       ("rm_sht_bubble.2", lambda: self.pop_bubbles())]
         passes += [
-            lambda: self.break_end_loops(self.p["end_loop_len"]),
-            lambda: self.drop_untriangled_edges(self.p["min_edge_cov"]),
-            lambda: self.clip_tips(),
+            ("rm_end_loop",
+             lambda: self.break_end_loops(self.p["end_loop_len"])),
+            ("rm_edge_ltc",
+             lambda: self.drop_untriangled_edges(self.p["min_edge_cov"])),
+            ("rm_edge_spur.3", lambda: self.clip_tips()),
         ]
-        for i, fn in enumerate(passes):
+
+        def n_live():
+            return sum(1 for e in self.edges
+                       if not (e.deleted or e.reduced))
+
+        self.pass_stats = []
+        for i, (name, fn) in enumerate(passes):
             if stop_after is not None and i >= stop_after:
                 break
+            before = n_live()
             fn()
+            self.pass_stats.append((name, before - n_live()))
 
     # ---------- contig extraction ----------
     def contigs(self) -> List[List[Tuple[int, Edge]]]:

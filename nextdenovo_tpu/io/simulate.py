@@ -69,24 +69,37 @@ class SimReads:
 def simulate_reads(genome: np.ndarray, coverage: float, mean_len: int,
                    error_rate: float = 0.10, seed: int = 0,
                    min_len: int = 1000, circular: bool = False,
-                   mix=(0.25, 0.45, 0.30)) -> SimReads:
+                   mix=(0.25, 0.45, 0.30),
+                   het_snp_rate: float = 0.0) -> SimReads:
+    """het_snp_rate > 0 simulates a diploid sample: a second haplotype is
+    derived from `genome` by substituting bases at that rate (SNPs only,
+    so truth coordinates stay aligned), and each read is drawn from either
+    haplotype with equal probability.  This is the heterozygosity stress
+    the reference's bubble-popping passes exist for (ng/asg.c rm_sht_bubble
+    / rm_long_bubble; doc/TEST2-4 are all real heterozygous genomes)."""
     rng = np.random.default_rng(seed)
     glen = len(genome)
+    hap2 = genome
+    if het_snp_rate > 0:
+        hap2 = genome.copy()
+        snp = rng.random(glen) < het_snp_rate
+        hap2[snp] = (hap2[snp] + rng.integers(1, 4, int(snp.sum()))) % 4
     total = int(glen * coverage)
     reads, starts, ends, strands = [], [], [], []
     acc = 0
     while acc < total:
         ln = int(rng.gamma(3.0, mean_len / 3.0))
         ln = max(min_len, min(ln, glen))
+        src = hap2 if (het_snp_rate > 0 and rng.integers(0, 2)) else genome
         if circular:
             s = int(rng.integers(0, glen))
             idx = (np.arange(s, s + ln)) % glen
-            frag = genome[idx]
+            frag = src[idx]
             e = s + ln
         else:
             s = int(rng.integers(0, max(1, glen - ln)))
             e = s + ln
-            frag = genome[s:e]
+            frag = src[s:e]
         strand = int(rng.integers(0, 2))
         if strand:
             frag = (frag ^ 3)[::-1]

@@ -32,7 +32,10 @@ class Minimizers(NamedTuple):
     pos: jnp.ndarray     # int32 k-mer start position (fwd strand coords)
     hash: jnp.ndarray    # uint32 canonical hash
     strand: jnp.ndarray  # int32 0 = canonical is fwd, 1 = rc
-    n: jnp.ndarray       # int32 scalar: number of valid entries
+    n: jnp.ndarray       # int32 scalar: number of valid entries (<= cap)
+    n_all: jnp.ndarray   # int32 scalar: TRUE selected count before the cap
+                         # (n_all > n means the cap silently truncated;
+                         # overflow-detecting callers compare the two)
 
 
 def _shift_or(hi_a, lo_a, hi_b, lo_b, bits_b: int):
@@ -184,6 +187,7 @@ def sketch(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
         hash=jnp.where(in_range, h.reshape(-1)[hits_c], UMAX),
         strand=jnp.where(in_range, strand.reshape(-1)[hits_c], 0),
         n=jnp.sum(in_range.astype(jnp.int32)),
+        n_all=jnp.sum(flat.astype(jnp.int32)),
     )
 
 
@@ -346,6 +350,7 @@ def sketch_wide(codes: jnp.ndarray, lengths: jnp.ndarray, k: int, w: int,
         hash=jnp.where(in_range, h.reshape(-1)[hits_c], UMAX),
         strand=jnp.where(in_range, strand.reshape(-1)[hits_c], 0),
         n=jnp.sum(in_range.astype(jnp.int32)),
+        n_all=jnp.sum(flat.astype(jnp.int32)),
     )
 
 

@@ -37,19 +37,23 @@ I32MAX = jnp.int32(2**31 - 1)
 @functools.partial(jax.jit, static_argnames=("k", "w", "cap_mini", "max_occ",
                                              "diag_shift", "min_cnt",
                                              "min_span", "top_k", "cap_out",
-                                             "mesh", "n_shards"))
+                                             "mesh", "n_shards", "qid0"))
 def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
                              idx_strand, *, k: int, w: int, cap_mini: int,
                              max_occ: int, diag_shift: int, cap_out: int,
                              mesh: Mesh, n_shards: int, min_cnt: int = 4,
-                             min_span: int = 500, top_k: int = 1):
+                             min_span: int = 500, top_k: int = 1,
+                             qid0: int = 0):
     """One SPMD overlap step.
 
     codes:   (n_shards*B, L) int32, sharded by rows (data-parallel queries)
     lens:    (n_shards*B,)   int32, sharded
     rid_base:(n_shards*B,)   int32 global rid per row, sharded; global rid r
-             must live on shard r // B (block distribution) for the anchor
-             route-back to find its home shard.
+             must live on shard (r - qid0) // B (block distribution) for
+             the anchor route-back to find its home shard.  qid0 is the
+             rid of row 0 (nonzero when queries sit in a joint id space
+             after other reads, e.g. the polish read->contig mapping where
+             contigs occupy rids [0, n_ctg)).
     idx_*:   (n_shards*H,)   index arrays, sharded by hash range: shard d
              holds entries with hash >> (32 - log2(n_shards)) == d, sorted.
     Returns per-shard overlap record arrays (qname, tname, rev, qs, qe,
@@ -93,8 +97,11 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
         (h_b, pos_b, str_b, qid_b), drop_route = bucketize(
             (m.hash, m.pos, m.strand, qid),
             (jnp.uint32(0xFFFFFFFF), 0, 0, -1), owner, valid, cap_route)
-        # sketch-cap overflow also counts (minimizers beyond cap_mini)
-        drop_route = drop_route + jnp.maximum(m.n - cap_mini, 0)
+        # sketch-cap overflow also counts: n_all is the TRUE selected count
+        # before the cap (m.n alone clips at cap_mini and cannot detect
+        # truncation — that silent loss cost most of the polish mapping
+        # records when a caller under-sized cap_mini)
+        drop_route = drop_route + jnp.maximum(m.n_all - cap_mini, 0)
         if n_shards > 1:
             a2a = lambda x: jax.lax.all_to_all(x, AXIS, 0, 0, tiled=False)
             h_r, pos_r, str_r, qid_r = map(a2a, (h_b, pos_b, str_b, qid_b))
@@ -127,7 +134,13 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
         # ---- route anchors BACK to the query's home shard ----------------
         drop_back = jnp.int32(0)
         if n_shards > 1:
-            dest = jnp.where(take, qid_a // B_local, 0)
+            dest = jnp.where(take, (qid_a - qid0) // B_local, 0)
+            # rows routed out of the mesh would vanish without being
+            # selected by any destination bucket: count them as drops so
+            # the autocap wrapper surfaces the bug instead of silently
+            # losing records
+            drop_back = drop_back + jnp.sum(
+                (take & ((dest < 0) | (dest >= n_shards))).astype(jnp.int32))
             cap_back = (M * max_occ) // n_shards * 2
             (qid_b2, qpos_b2, trid_b2, tpos_b2, rel_b2), drop_back = \
                 bucketize(

@@ -1,0 +1,130 @@
+"""Mesh-native contig polish (SPMD over a device mesh).
+
+The reference parallelizes polishing through its ctg_align / ctg_cns job
+matrices (/root/reference/nextDenovo:368-425: reads x contigs mapping jobs,
+genome-block consensus jobs).  Here both device-heavy phases run over the
+mesh:
+
+  * ctg_align — the read->contig mapping reuses the SPMD overlap step
+    (parallel/dist_overlap.py): the contig minimizer index is partitioned
+    by hash range across shards, reads stream data-parallel, and the
+    route/lookup/route-back all_to_all pattern emits the same records as
+    the single-chip engine.
+  * ctg_cns — window consensus support alignment runs through
+    distributed_band_align (parallel/dist_correct.py): the polish driver
+    builds every window's (segment, window-slice) pair list
+    (polish.driver._window_jobs) and the pairs are round-robin partitioned
+    into shard row blocks of one shard_mapped Myers program.  Window
+    consensus + stitching stay host-side (native C++, like the reference's
+    per-window dag.c consensus), fed per owning window.
+
+Output parity: polish over the mesh is bit-identical to the single-chip
+run_polish on the same inputs — the pair construction and consensus code
+are literally shared (align_fn injection), and distributed_band_align is
+shard-count invariant (asserted in dryrun_multichip and tests/test_dist.py).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from jax.sharding import Mesh
+
+from ..io.seqstore import SeqStore
+from ..polish.driver import run_polish
+from .dist_correct import distributed_band_align
+
+
+def distributed_polish(contigs: List[np.ndarray], reads: SeqStore,
+                       mesh: Mesh, n_shards: int, *,
+                       read_type: int = 1, min_cov: int = 3,
+                       window: int = 25000,
+                       node_qv: Optional[List[List[dict]]] = None,
+                       split: bool = True, struct_min_reads: int = 150,
+                       ovl=None, contig_ids=None) -> List[np.ndarray]:
+    """run_polish with every support alignment executed as shard_mapped
+    SPMD Myers over `mesh` — the mesh-native ctg_cns stage."""
+    align_fn = lambda segs, tgts: distributed_band_align(
+        segs, tgts, mesh, n_shards)
+    return run_polish(contigs, reads, read_type=read_type, min_cov=min_cov,
+                      window=window, node_qv=node_qv, split=split,
+                      struct_min_reads=struct_min_reads, ovl=ovl,
+                      contig_ids=contig_ids, align_fn=align_fn)
+
+
+def distributed_map_polish_reads(contigs: List[np.ndarray], reads: SeqStore,
+                                 mesh: Mesh, n_shards: int,
+                                 k: int = 15, w: int = 10):
+    """ctg_align over the mesh: contig index hash-partitioned across
+    shards, reads queried data-parallel via distributed_overlap_step.
+    Returns an OvlBlock with the same record set as
+    polish.driver.map_polish_reads (single-chip parity is asserted in
+    dryrun_multichip; record order is canonicalized by a stable qname
+    sort, matching find_overlaps)."""
+    import jax.numpy as jnp
+
+    from ..overlap.engine import build_index
+    from ..overlap.records import OvlBlock
+    from .dist_overlap import distributed_overlap_autocap
+    from .mesh import shard_rows
+
+    joint = SeqStore.from_codes(list(contigs) + [reads.get(i)
+                                                 for i in range(len(reads))])
+    n_ctg = len(contigs)
+    idx = build_index(joint, np.arange(n_ctg), k=k, w=w, max_occ=256)
+
+    # hash-range partition of the (hash-sorted) index across shards
+    h = np.asarray(idx.h)
+    shift_bits = 32 - max(1, (n_shards - 1).bit_length()) if n_shards > 1 \
+        else 32
+    owner = (h >> shift_bits) % n_shards if n_shards > 1 \
+        else np.zeros(len(h), np.int64)
+    H = max(int(np.bincount(owner, minlength=n_shards).max()), 64)
+    ih = np.full((n_shards, H), 0xFFFFFFFF, np.uint32)
+    irid = np.full((n_shards, H), -1, np.int32)
+    ipos = np.zeros((n_shards, H), np.int32)
+    istr = np.zeros((n_shards, H), np.int32)
+    for d in range(n_shards):
+        sel = np.nonzero(owner == d)[0]
+        ih[d, : len(sel)] = h[sel]
+        irid[d, : len(sel)] = np.asarray(idx.rid)[sel]
+        ipos[d, : len(sel)] = np.asarray(idx.pos)[sel]
+        istr[d, : len(sel)] = np.asarray(idx.strand)[sel]
+
+    # reads as data-parallel code rows (block distribution: rid r on shard
+    # r // B_local, which the route-back step requires)
+    rlens = np.asarray(reads.length, np.int64)
+    L = max(2048, int(1 << int(np.ceil(np.log2(max(2, rlens.max()))))))
+    B = ((len(reads) + n_shards - 1) // n_shards) * n_shards
+    codes = np.zeros((B, L), np.int32)
+    lens = np.zeros(B, np.int32)
+    rid_base = np.full(B, -1, np.int32)
+    for i in range(len(reads)):
+        c = reads.get(i)[:L]
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+        rid_base[i] = n_ctg + i        # joint-store rid (query id space)
+    # pad rows keep rid_base = -1? the step indexes rid_base[max(rid,0)],
+    # and pad rows emit no minimizers (lens=0), so any value is safe; use
+    # a large distinct id so they can never alias a real query
+    rid_base[len(reads):] = n_ctg + len(reads) + np.arange(B - len(reads))
+
+    # per-SHARD minimizer capacity: every local row batch shares one array
+    cap_mini = 2 * (B // n_shards) * L // max(1, w) + 1024
+    args = [shard_rows(mesh, jnp.asarray(a))
+            for a in (codes, lens, rid_base, ih.reshape(-1),
+                      irid.reshape(-1), ipos.reshape(-1), istr.reshape(-1))]
+    out, _caps = distributed_overlap_autocap(
+        *args, k=k, w=w, cap_mini=cap_mini, max_occ=8, diag_shift=8,
+        cap_out=max(4096, 512 * (B // n_shards)), mesh=mesh,
+        n_shards=n_shards, min_cnt=4, min_span=500, top_k=4,
+        qid0=n_ctg)
+    qn, tn, rv, qs, qe, ts, te, mt = (np.asarray(x).reshape(-1)
+                                      for x in out[:8])
+    keep = qn >= 0
+    blk = OvlBlock.from_arrays(qname=qn[keep], rev=rv[keep], qs=qs[keep],
+                               qe=qe[keep], tname=tn[keep], ts=ts[keep],
+                               te=te[keep], match=mt[keep])
+    if len(blk):
+        blk = blk.take(np.argsort(np.asarray(blk.qname), kind="stable"))
+    return blk

@@ -74,24 +74,21 @@ def _interp_read_interval(rec, ws, we):
     return cs, ce, max(0, rqs - 32), rqe + 32
 
 
-def polish_contig(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
-                  window: int = 25000, min_cov: int = 3, read_type: int = 1,
-                  pseudo: Optional[List[dict]] = None, region=None,
-                  interpret=None, return_seams: bool = False) -> np.ndarray:
-    """Re-consensus one contig (or the `region` slice of it) from its
-    mapped reads, plus any gap-spanning pseudo-read segments.
+def _window_jobs(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
+                 window: int, r0: int, r1: int,
+                 pseudo: Optional[List[dict]]):
+    """Build every window's support segments for the region [r0, r1).
 
-    return_seams: also return the output coordinates of every window
-    stitch (for seam-error validation, tests/test_polish_seams.py)."""
-    n = len(ctg)
-    r0, r1 = region if region is not None else (0, n)
-    out = ""
-    seams: List[int] = []
+    Returns a list of (ws, we, segs, tss, tes) — the exact per-window
+    construction polish_contig historically did inline; factored out so the
+    alignments of ALL windows can run as one batch (fewer, larger device
+    launches) and so the mesh-native polish (parallel/dist_polish.py) can
+    shard the same pair list without duplicating this logic."""
+    jobs = []
     ws = r0
     while ws < r1:
         we = min(r1, ws + window)
-        wseq = ctg[ws:we]
-        sups, tss, tes, segs = [], [], [], []
+        tss, tes, segs = [], [], []
         for rec in recs:
             iv = _interp_read_interval(rec, ws, we)
             if iv is None:
@@ -148,10 +145,47 @@ def polish_contig(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
             segs.append(seg)
             tss.append(cs - ws)
             tes.append(ce - ws - 1)
+        jobs.append((ws, we, segs, tss, tes))
+        ws = we - (2 * EDGE + STITCH + SLACK) if we < r1 else r1
+    return jobs
+
+
+def polish_contig(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
+                  window: int = 25000, min_cov: int = 3, read_type: int = 1,
+                  pseudo: Optional[List[dict]] = None, region=None,
+                  interpret=None, return_seams: bool = False,
+                  align_fn=None) -> np.ndarray:
+    """Re-consensus one contig (or the `region` slice of it) from its
+    mapped reads, plus any gap-spanning pseudo-read segments.
+
+    All windows' support alignments run as ONE batched align_fn call
+    (default: the banded TPU aligner), then windows are consensused and
+    stitched in order.  align_fn(segs, targets) -> band_align-shaped dicts
+    lets the mesh-native polish inject distributed_band_align without
+    changing any per-window logic.
+
+    return_seams: also return the output coordinates of every window
+    stitch (for seam-error validation, tests/test_polish_seams.py)."""
+    n = len(ctg)
+    r0, r1 = region if region is not None else (0, n)
+    if align_fn is None:
+        align_fn = lambda s, t: tpu_align.band_align(s, t,
+                                                     interpret=interpret)
+    jobs = _window_jobs(ctg, recs, reads, window, r0, r1, pseudo)
+    flat_segs, flat_tgts = [], []
+    for (ws, we, segs, tss, tes) in jobs:
+        flat_segs.extend(segs)
+        flat_tgts.extend(ctg[ws + a : ws + b + 1].astype(np.int8)
+                         for a, b in zip(tss, tes))
+    flat_res = align_fn(flat_segs, flat_tgts) if flat_segs else []
+    out = ""
+    seams: List[int] = []
+    ri = 0
+    for (ws, we, segs, tss, tes) in jobs:
+        wseq = ctg[ws:we]
+        res = flat_res[ri : ri + len(segs)]
+        ri += len(segs)
         if segs:
-            res = tpu_align.band_align(
-                segs, [ctg[ws + a : ws + b + 1].astype(np.int8)
-                       for a, b in zip(tss, tes)], interpret=interpret)
             sup_ok, ts_ok, te_ok, ops_ok = [], [], [], []
             for seg, a, b, r in zip(segs, tss, tes, res):
                 if r["reached"] and r["ok"]:
@@ -191,7 +225,6 @@ def polish_contig(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
                 out = out + wcons[pos + STITCH:]
             else:
                 out = out + wcons  # stitch miss: keep both (rare)
-        ws = we - (2 * EDGE + STITCH + SLACK) if we < r1 else r1
     arr = np.frombuffer(out.encode().translate(_TR), np.uint8)
     if return_seams:
         return arr, seams
@@ -263,7 +296,7 @@ MAX_PATCH_GAP = 30000      # MAX_GAP_LEN, ctg_cns.h via check_indel
 
 def apply_gap_patches(ctg: np.ndarray, recs: List[dict], clusters,
                       reads: SeqStore, read_type: int = 1,
-                      interpret=None):
+                      interpret=None, align_fn=None):
     """Local reassembly of split-read gap clusters.
 
     The reference repairs draft indels by splicing gap-spanning read
@@ -304,8 +337,11 @@ def apply_gap_patches(ctg: np.ndarray, recs: List[dict], clusters,
         order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
         bb = seqs[order[len(order) // 2]]
         sups = [seqs[i] for i in order if seqs[i] is not bb][:40]
-        res = tpu_align.band_align(sups, [bb] * len(sups),
-                                   interpret=interpret)
+        if align_fn is not None:
+            res = align_fn(sups, [bb] * len(sups))
+        else:
+            res = tpu_align.band_align(sups, [bb] * len(sups),
+                                       interpret=interpret)
         ok_s, ts_l, te_l, ops_l = [], [], [], []
         for s, r in zip(sups, res):
             if r["reached"] and r["ok"]:
@@ -397,7 +433,7 @@ def polish_one(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
                qv: List[dict], read_type: int = 1, min_cov: int = 3,
                window: int = 25000, split: bool = True,
                struct_min_reads: int = 150,
-               interpret=None) -> List[np.ndarray]:
+               interpret=None, align_fn=None) -> List[np.ndarray]:
     """Polish one contig -> its polished pieces (>1 when the structural
     pass splits an unsupported join, ctg_cns `-sp`)."""
     ana = analyze_contig(
@@ -408,7 +444,7 @@ def polish_one(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
     # supported ones fall back to the pseudo-read MSA path
     ctg, recs, map_pos, patched, patch_map = apply_gap_patches(
         ctg, recs, ana.get("clusters", []), reads, read_type=read_type,
-        interpret=interpret)
+        interpret=interpret, align_fn=align_fn)
     # cluster-member reads become pseudo supports over their (re-mapped)
     # patch interval, so the window MSA refines the spliced patch like any
     # covered sequence; unpatched clusters keep their original role
@@ -432,7 +468,7 @@ def polish_one(ctg: np.ndarray, recs: List[dict], reads: SeqStore,
         pieces.append(polish_contig(
             ctg, recs, reads, window=window, min_cov=min_cov,
             read_type=read_type, pseudo=pseudo, region=(a, b),
-            interpret=interpret))
+            interpret=interpret, align_fn=align_fn))
     return pieces
 
 
@@ -442,7 +478,7 @@ def run_polish(contigs: List[np.ndarray], reads: SeqStore,
                node_qv: Optional[List[List[dict]]] = None,
                split: bool = True, struct_min_reads: int = 150,
                interpret=None, ovl=None,
-               contig_ids=None) -> List[np.ndarray]:
+               contig_ids=None, align_fn=None) -> List[np.ndarray]:
     """Polish every contig with the read set.  Returns polished contigs
     (possibly more than the input when `split` breaks unsupported joins,
     the reference's ctg_cns `-sp` behaviour).
@@ -465,7 +501,7 @@ def run_polish(contigs: List[np.ndarray], reads: SeqStore,
         pieces = polish_one(ctg, recs, reads, qv, read_type=read_type,
                             min_cov=min_cov, window=window, split=split,
                             struct_min_reads=struct_min_reads,
-                            interpret=interpret)
+                            interpret=interpret, align_fn=align_fn)
         out.extend(pieces)
         log.info("polish: contig %d %d -> %s bp (%d reads, %d splits)",
                  ci, len(ctg), "+".join(str(len(p)) for p in pieces),

@@ -262,3 +262,49 @@ def test_distributed_band_align_matches_host_tier():
         for a, b in zip(got, ref):
             assert a["ok"] == b["ok"] and a["dist"] == b["dist"]
             np.testing.assert_array_equal(a["ops"], b["ops"])
+
+
+def test_distributed_polish_matches_single_shard():
+    """Mesh-native polish (ctg_align mapping via the SPMD overlap step +
+    window consensus via shard_mapped Myers) must be bit-identical to the
+    single-chip polish driver on the same inputs."""
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import (mutate_read, simulate_genome,
+                                            simulate_reads)
+    from nextdenovo_tpu.parallel.dist_polish import (
+        distributed_map_polish_reads, distributed_polish)
+    from nextdenovo_tpu.parallel.mesh import make_mesh
+    from nextdenovo_tpu.polish.driver import map_polish_reads, run_polish
+
+    g = simulate_genome(12_000, seed=91)
+    sim = simulate_reads(g, coverage=12, mean_len=3000, error_rate=0.06,
+                         seed=92, min_len=1500)
+    store = SeqStore.from_codes(sim.reads)
+    draft = [mutate_read(g, 0.02, np.random.default_rng(93))]
+
+    ref_map = map_polish_reads(draft, store)
+    mkey = lambda blk: {
+        tuple(int(blk.data[kk][i]) for kk in
+              ("qname", "tname", "rev", "qs", "qe", "ts", "te", "match"))
+        for i in range(len(blk))}
+    # shard-count invariance of the SPMD program: 1-shard (the production
+    # Myers tier on TPU) vs n-shard must agree bit-for-bit; the host
+    # run_polish default differs on CPU only because band_align shortcuts
+    # to the native scalar aligner there (legitimately different
+    # tie-breaks), so it anchors the quality bar, not byte equality.
+    ref_pol = distributed_polish(draft, store, make_mesh(1), 1, ovl=ref_map,
+                                 split=False, window=6000)
+    host_pol = run_polish(draft, store, ovl=ref_map, split=False,
+                          window=6000)
+    assert sum(len(p) for p in ref_pol) > 10_000    # polished ~the genome
+    assert abs(sum(len(p) for p in ref_pol)
+               - sum(len(p) for p in host_pol)) < 100
+    for n_dev in (2, 8):
+        mesh = make_mesh(n_dev)
+        got_map = distributed_map_polish_reads(draft, store, mesh, n_dev)
+        assert mkey(got_map) == mkey(ref_map), (len(got_map), len(ref_map))
+        got_pol = distributed_polish(draft, store, mesh, n_dev, ovl=ref_map,
+                                     split=False, window=6000)
+        assert len(got_pol) == len(ref_pol)
+        for a, b in zip(got_pol, ref_pol):
+            np.testing.assert_array_equal(a, b)

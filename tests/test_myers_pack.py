@@ -1,0 +1,84 @@
+"""Device-side event-plane compression round-trip (ops/myers.pack_events).
+
+The packed (2-bit code + k-stream) representation must reproduce the raw
+event plane exactly for every ok pair's active suffix — the traceback
+expansion consumes only those bytes.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from nextdenovo_tpu.ops.myers import (_pack_cap, pack_events, unpack_events)
+
+
+def _mk_plane(rng, n_pad, B, up_density=0.05):
+    """Synthetic event plane shaped like real tracebacks: mostly DIAG(0),
+    some LEFT(2), sparse up-runs (k<<2 | move)."""
+    mv = np.where(rng.random((n_pad, B)) < 0.15, 2, 0).astype(np.uint8)
+    k = np.where(rng.random((n_pad, B)) < up_density,
+                 rng.integers(1, 63, (n_pad, B)), 0).astype(np.uint8)
+    return (k << 2) | mv
+
+
+def test_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    n_pad, B = 1024, 96
+    evs = _mk_plane(rng, n_pad, B)
+    n = rng.integers(100, n_pad, B).astype(np.int32)
+    ok = np.ones(B, bool)
+    cap = _pack_cap(n_pad, B)
+    packed, kvals, n_exc = pack_events(
+        jnp.asarray(evs), jnp.asarray(n), jnp.asarray(ok), cap=cap)
+    assert int(n_exc) <= cap
+    got = unpack_events(np.asarray(packed), np.asarray(kvals), n_pad)
+    rows = np.arange(n_pad)[:, None]
+    active = rows >= (n_pad - n)[None, :]
+    np.testing.assert_array_equal(got[active], evs[active])
+    assert (got[~active] == 0).all()
+
+
+def test_non_ok_pairs_zeroed_and_do_not_inflate_cap():
+    rng = np.random.default_rng(1)
+    n_pad, B = 512, 64
+    evs = _mk_plane(rng, n_pad, B)
+    # failed pairs carry EV_FAIL/254 bytes (k=63) over their whole suffix;
+    # they must not consume exception capacity
+    evs[:, ::2] = 255
+    ok = (np.arange(B) % 2) == 1
+    n = np.full(B, n_pad, np.int32)
+    cap = _pack_cap(n_pad, B)
+    packed, kvals, n_exc = pack_events(
+        jnp.asarray(evs), jnp.asarray(n), jnp.asarray(ok), cap=cap)
+    got = unpack_events(np.asarray(packed), np.asarray(kvals), n_pad)
+    np.testing.assert_array_equal(got[:, ok], evs[:, ok])
+    assert (got[:, ~ok] == 0).all()
+    dens = int(n_exc) / (n_pad * B)
+    assert dens < 0.05
+
+
+def test_e2e_alignment_unchanged():
+    """myers_align through the packed pull must equal the numpy oracle
+    expansion (same harness as tests/test_myers.py but asserting the
+    packed path is active)."""
+    from nextdenovo_tpu.io.simulate import mutate_read
+    from nextdenovo_tpu.ops.myers import myers_align
+    from oracles import edit_align_oracle, ops_cost
+
+    rng = np.random.default_rng(2)
+    qs, ts = [], []
+    for _ in range(8):
+        L = int(rng.integers(800, 2500))
+        t = rng.integers(0, 4, L).astype(np.uint8)
+        qs.append(mutate_read(t, 0.10, rng).astype(np.int8))
+        ts.append(t.astype(np.int8))
+    res = myers_align(qs, ts)
+    n_ok = 0
+    for q, t, r in zip(qs, ts, res):
+        if not r["ok"]:
+            continue
+        n_ok += 1
+        d, _ops = edit_align_oracle(np.asarray(q, np.uint8),
+                                    np.asarray(t, np.uint8))
+        assert r["dist"] == d
+        assert ops_cost(np.asarray(q, np.uint8), np.asarray(t, np.uint8),
+                        r["ops"]) == d
+    assert n_ok >= 6
