@@ -44,13 +44,24 @@ FLUSH = 32
 REC_FIELDS = ("qname", "rev", "qs", "qe", "tname", "ts", "te", "match")
 
 
+STRAND_BIT = 30          # index pos field: bit 30 = strand (pos < 2^20
+POS_MASK = (1 << 30) - 1  # always — reads cap at 1 Mb, seq_dump.c:13)
+
+
 class MiniIndex(NamedTuple):
     h: jnp.ndarray        # uint32 sorted hashes
     rid: jnp.ndarray      # int32 global read id
-    pos: jnp.ndarray      # int32 k-mer start (fwd coords)
-    strand: jnp.ndarray   # int32
+    pos: jnp.ndarray      # int32 k-mer start (fwd coords) | strand << 30:
+                          # 12 B/entry keeps a 50 Mb/40x index (~676M
+                          # entries) inside one chip's HBM where a separate
+                          # strand column (16 B/entry) would not fit
     n: jnp.ndarray        # int32 valid entries
     lens: jnp.ndarray     # int32 (n_reads,) read length lookup
+
+    def unpack(self):
+        """(pos, strand) numpy views for host consumers/partitioners."""
+        p = np.asarray(self.pos)
+        return p & POS_MASK, p >> STRAND_BIT
 
 
 def _build_index(h, rid, pos, strand, nvalid, lens, max_occ: int):
@@ -80,21 +91,23 @@ def _build_index(h, rid, pos, strand, nvalid, lens, max_occ: int):
     h = np.where(keep, h, np.uint32(0xFFFFFFFF))
     order2 = np.argsort(h, kind="stable")
     h, rid, pos, strand = h[order2], rid[order2], pos[order2], strand[order2]
+    posst = pos | (strand.astype(np.int32) << STRAND_BIT)
     # pad the table to a half-octave bucket: _match_block's compiled
     # program takes the index arrays as operands, so every distinct index
     # LENGTH is a fresh (potentially minutes-long, remote-helper) compile;
     # bucketing caps that at ~2 sizes per run and lets the persistent
-    # cache hit across runs.  Sentinel rows (h=0xFFFFFFFF, rid=-1) are
-    # dropped by the existing `t_rid >= 0` gate.
-    cap = _bucket_len(max(len(h), 1), lo=1 << 16)
+    # cache hit across runs.  Half-octave (not power-of-two) keeps the
+    # worst-case pad at 33%: at a 50 Mb/40x index (~676M entries) the
+    # pow2 bucket alone would blow past HBM.  Sentinel rows
+    # (h=0xFFFFFFFF, rid=-1) are dropped by the `t_rid >= 0` gate.
+    cap = _half_octave_len(max(len(h), 1), lo=1 << 16)
     if cap > len(h):
         padn = cap - len(h)
         h = np.concatenate([h, np.full(padn, 0xFFFFFFFF, np.uint32)])
         rid = np.concatenate([rid, np.full(padn, -1, np.int32)])
-        pos = np.concatenate([pos, np.zeros(padn, np.int32)])
-        strand = np.concatenate([strand, np.zeros(padn, np.int32)])
+        posst = np.concatenate([posst, np.zeros(padn, np.int32)])
     return MiniIndex(jnp.asarray(h), jnp.asarray(rid),
-                     jnp.asarray(pos), jnp.asarray(strand),
+                     jnp.asarray(posst),
                      jnp.int32(int(keep.sum())), jnp.asarray(lens))
 
 
@@ -104,6 +117,17 @@ def _bucket_len(L: int, lo: int = 4096) -> int:
     while p < L:
         p *= 2
     return p
+
+
+def _half_octave_len(L: int, lo: int = 4096) -> int:
+    """Round up to the {lo, 1.5lo, 2lo, 3lo, ...} grid (<=33% waste)."""
+    p = lo
+    while True:
+        if L <= p:
+            return p
+        if L <= p + p // 2:
+            return p + p // 2
+        p *= 2
 
 
 # Hard cap on sketch-row buffer length.  Reads longer than this are split
@@ -289,9 +313,9 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
     take = (occ < cnt[:, None]) & valid_m[:, None]
     aidx = jnp.minimum(lo[:, None] + occ, idx.h.shape[0] - 1)
     t_rid = idx.rid[aidx]
-    t_pos = idx.pos[aidx]
-    t_str = idx.strand[aidx]
-    rel = (qm_strand[:, None] ^ t_str) & 1
+    t_posst = idx.pos[aidx]
+    t_pos = t_posst & POS_MASK
+    rel = (qm_strand[:, None] ^ (t_posst >> STRAND_BIT)) & 1
     take = take & (t_rid != q_grid[:, None]) & (t_rid >= 0)
 
     qpos = jnp.broadcast_to(qm_pos[:, None], (M, max_occ))

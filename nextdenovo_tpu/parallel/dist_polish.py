@@ -84,12 +84,13 @@ def distributed_map_polish_reads(contigs: List[np.ndarray], reads: SeqStore,
     irid = np.full((n_shards, H), -1, np.int32)
     ipos = np.zeros((n_shards, H), np.int32)
     istr = np.zeros((n_shards, H), np.int32)
+    pos_u, str_u = idx.unpack()
     for d in range(n_shards):
         sel = np.nonzero(owner == d)[0]
         ih[d, : len(sel)] = h[sel]
         irid[d, : len(sel)] = np.asarray(idx.rid)[sel]
-        ipos[d, : len(sel)] = np.asarray(idx.pos)[sel]
-        istr[d, : len(sel)] = np.asarray(idx.strand)[sel]
+        ipos[d, : len(sel)] = pos_u[sel]
+        istr[d, : len(sel)] = str_u[sel]
 
     # reads as data-parallel code rows (block distribution: rid r on shard
     # r // B_local, which the route-back step requires)

@@ -149,12 +149,13 @@ def _mesh_overlap_args(n_dev, glen=12_000, repeat=True, seed=7):
     irid = np.full((n_dev, H), -1, np.int32)
     ipos = np.zeros((n_dev, H), np.int32)
     istr = np.zeros((n_dev, H), np.int32)
+    pos_u, str_u = idx.unpack()
     for d in range(n_dev):
         sel = np.nonzero(owner == d)[0]
         ih[d, : len(sel)] = h[sel]
         irid[d, : len(sel)] = np.asarray(idx.rid)[sel]
-        ipos[d, : len(sel)] = np.asarray(idx.pos)[sel]
-        istr[d, : len(sel)] = np.asarray(idx.strand)[sel]
+        ipos[d, : len(sel)] = pos_u[sel]
+        istr[d, : len(sel)] = str_u[sel]
     mesh = make_mesh(n_dev)
     args = [codes, lens, np.arange(B, dtype=np.int32), ih.reshape(-1),
             irid.reshape(-1), ipos.reshape(-1), istr.reshape(-1)]
