@@ -1,0 +1,27 @@
+#!/bin/sh
+# Build the COMPLETE reference toolchain out-of-tree for the driver-level
+# golden run (experiments/golden_driver.py).  The read-only checkout is
+# copied to .scratch/reftree; the only adjustments are LINK-time: the
+# image ships libcurl.so.4/libcrypto.so.3 without dev symlinks (created in
+# .scratch/libs) and this htslib needs -ldeflate appended.  No reference
+# SOURCE is modified beyond those Makefile link flags.
+set -e
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+TREE=$REPO/.scratch/reftree
+LIBS=$REPO/.scratch/libs
+if [ -x "$TREE/bin/nextgraph" ] && [ -f "$TREE/lib/ctg_cns.so" ]; then
+  echo "reftree already built"; exit 0
+fi
+rm -rf "$TREE"
+mkdir -p "$REPO/.scratch" "$LIBS"
+cp -r /root/reference "$TREE"
+ln -sf /usr/lib/x86_64-linux-gnu/libcurl.so.4 "$LIBS/libcurl.so"
+ln -sf /usr/lib/x86_64-linux-gnu/libcrypto.so.3 "$LIBS/libcrypto.so"
+# htslib in this image needs libdeflate at link time (lib/ctg_cns.so and
+# util/bam_sort both link libhts.a)
+sed -i 's/-lcurl -lcrypto -lm -lpthread -lz/-lcurl -lcrypto -ldeflate -lm -lpthread -lz/' "$TREE/lib/Makefile"
+sed -i 's/-lpthread -lcurl -lm -lz -lcrypto/-lpthread -lcurl -ldeflate -lm -lz -lcrypto/' "$TREE/util/Makefile"
+# gcc reads LIBRARY_PATH from the environment for -l resolution
+( cd "$TREE" && env LIBRARY_PATH="$LIBS" make 2>&1 | tail -3 )
+ls "$TREE/bin" | tr '\n' ' '; echo
+echo "built: $TREE"

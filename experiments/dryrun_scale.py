@@ -1,0 +1,168 @@
+"""Large-shape multichip dryrun (VERDICT r3 item 8): the same SPMD parity
+chain as __graft_entry__.dryrun_multichip, but at >=1 Mb-genome shapes with
+>=1e5 overlap records on the virtual 8-device CPU mesh, and with routing
+caps tight enough that the autocap overflow detection actually engages.
+
+Parity claims exercised at this scale:
+  * distributed overlap records == single-chip engine records (set equal)
+  * autocap engages (caps start deliberately small, overflow is detected
+    and retried — never silently truncated)
+  * distributed seed sort == host sort (records + blacklist)
+  * distributed correction on a sampled seed subset == 1-shard run
+
+Writes MULTICHIP_SCALE_r{N}.json.  Run (CPU mesh):
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python experiments/dryrun_scale.py [genome_kb=1000] [out_json]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    glen = int(float(sys.argv[1]) * 1000) if len(sys.argv) > 1 else 1_000_000
+    out_json = sys.argv[2] if len(sys.argv) > 2 else None
+    n_dev = 8
+
+    import jax
+    import jax.numpy as jnp
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+    from nextdenovo_tpu.overlap.sort import sort_filter_overlaps
+    from nextdenovo_tpu.parallel.dist_overlap import \
+        distributed_overlap_autocap
+    from nextdenovo_tpu.parallel.dist_sort import distributed_sort_filter
+    from nextdenovo_tpu.parallel.dist_correct import distributed_correct
+    from nextdenovo_tpu.parallel.mesh import make_mesh, shard_rows
+
+    assert len(jax.devices()) >= n_dev, jax.devices()
+    mesh = make_mesh(n_dev)
+    k, w, max_occ = 15, 5, 8
+    t0 = time.time()
+    g = simulate_genome(glen, seed=31)
+    sim = simulate_reads(g, coverage=16, mean_len=6000, error_rate=0.08,
+                         seed=32, min_len=2500)
+    # row layout: one read per row, truncated at the row cap (parity is
+    # against the single-chip engine on the SAME truncated store)
+    L = 8192
+    B = ((len(sim.reads) + n_dev - 1) // n_dev) * n_dev
+    codes = np.zeros((B, L), np.int32)
+    lens = np.zeros(B, np.int32)
+    reads = []
+    for i in range(len(sim.reads)):
+        c = np.asarray(sim.reads[i])[:L]
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+        reads.append(c.astype(np.uint8))
+    for i in range(len(sim.reads), B):
+        reads.append(np.zeros(4, np.uint8))
+        lens[i] = 4
+        codes[i, :4] = 0
+    store = SeqStore.from_codes(reads)
+    print(f"workload: {glen/1e6:.1f} Mb, {len(sim.reads)} reads "
+          f"({time.time()-t0:.0f}s sim)")
+
+    t0 = time.time()
+    idx = build_index(store, np.arange(B), k=k, w=w, max_occ=64)
+    ref = find_overlaps(store, np.arange(B), idx, k=k, w=w, max_occ=max_occ,
+                        min_cnt=4, min_span=500, top_k=1)
+    print(f"single-chip: {len(ref)} records ({time.time()-t0:.0f}s)")
+
+    # hash-range partition of the index
+    h = np.asarray(idx.h)
+    shift_bits = 32 - max(1, (n_dev - 1).bit_length())
+    owner = (h >> shift_bits) % n_dev
+    H = max(int(np.bincount(owner, minlength=n_dev).max()), 64)
+    ih = np.full((n_dev, H), 0xFFFFFFFF, np.uint32)
+    irid = np.full((n_dev, H), -1, np.int32)
+    ipos = np.zeros((n_dev, H), np.int32)
+    istr = np.zeros((n_dev, H), np.int32)
+    pos_u, str_u = idx.unpack()
+    for d in range(n_dev):
+        sel = np.nonzero(owner == d)[0]
+        ih[d, : len(sel)] = h[sel]
+        irid[d, : len(sel)] = np.asarray(idx.rid)[sel]
+        ipos[d, : len(sel)] = pos_u[sel]
+        istr[d, : len(sel)] = str_u[sel]
+
+    t0 = time.time()
+    args = [shard_rows(mesh, jnp.asarray(a))
+            for a in (codes, lens, np.arange(B, dtype=np.int32),
+                      ih.reshape(-1), irid.reshape(-1), ipos.reshape(-1),
+                      istr.reshape(-1))]
+    # caps start at 1/4 of the safe size: autocap MUST engage and double
+    # its way up (overflow detection under real pressure, SURVEY §7 (i))
+    cap_mini0 = (2 * (B // n_dev) * L // w + 1024) // 4
+    cap_out0 = max(1024, 96 * (B // n_dev))
+    out, caps = distributed_overlap_autocap(
+        *args, k=k, w=w, cap_mini=cap_mini0, max_occ=max_occ, diag_shift=8,
+        cap_out=cap_out0, mesh=mesh, n_shards=n_dev, min_cnt=4, min_span=500,
+        top_k=1, max_retries=6)
+    autocap_engaged = caps != (cap_mini0, cap_out0)
+    qn, tn, rv, qs, qe, ts, te, mt = (np.asarray(x).reshape(-1)
+                                      for x in out[:8])
+    keep = qn >= 0
+    got = set(zip(qn[keep].tolist(), tn[keep].tolist(), rv[keep].tolist(),
+                  qs[keep].tolist(), qe[keep].tolist(), ts[keep].tolist(),
+                  te[keep].tolist(), mt[keep].tolist()))
+    want = set(zip(*(np.asarray(ref.data[kk]).tolist() for kk in
+                     ("qname", "tname", "rev", "qs", "qe", "ts", "te",
+                      "match"))))
+    assert got == want, (len(got), len(want))
+    t_dist = time.time() - t0
+    print(f"mesh: {len(got)} records equal, autocap_engaged={autocap_engaged}"
+          f" final_caps={caps} ({t_dist:.0f}s)")
+
+    # distributed sort + correction on the records
+    lens64 = np.asarray(store.length, np.int64)
+    is_seed = lens64 >= 6000
+    t0 = time.time()
+    host_sorted = sort_filter_overlaps(ref, is_seed, lens64)
+    dist_sorted = distributed_sort_filter(ref, is_seed, lens64, mesh, n_dev)
+    assert dist_sorted.blacklist == host_sorted.blacklist
+    for kk in host_sorted.block.data:
+        assert np.array_equal(np.asarray(dist_sorted.block.data[kk]),
+                              np.asarray(host_sorted.block.data[kk])), kk
+    print(f"sort parity: {len(host_sorted.block)} records, "
+          f"{len(host_sorted.blacklist)} blacklisted ({time.time()-t0:.0f}s)")
+
+    # correction parity on a seed subsample (full 1 Mb correction on the
+    # CPU mesh would run for hours; the sharding contract is per-seed, so
+    # a 1/16 subsample exercises the same program at the same shapes)
+    sub = {int(s) for s in np.unique(np.asarray(host_sorted.block.qname))
+           if s % 16 == 0}
+    blk = host_sorted.block
+    selm = np.isin(np.asarray(blk.qname), sorted(sub))
+    sub_blk = blk.take(np.nonzero(selm)[0])
+    kw = dict(min_len_seed=2500, min_cov_seed=1, min_len_aln=300, min_cov=2)
+    t0 = time.time()
+    ref_cns = distributed_correct(store, sub_blk, host_sorted.blacklist,
+                                  make_mesh(1), 1, **kw)
+    got_cns = distributed_correct(store, sub_blk, host_sorted.blacklist,
+                                  mesh, n_dev, **kw)
+    assert got_cns == ref_cns, (len(got_cns), len(ref_cns))
+    n_corr = sum(1 for v in ref_cns.values() if v[0] > 3)
+    print(f"correction parity: {len(ref_cns)} seeds, {n_corr} corrected "
+          f"({time.time()-t0:.0f}s)")
+
+    res = dict(genome_mb=glen / 1e6, n_reads=len(sim.reads),
+               n_records=len(want), records_parity=True,
+               autocap_engaged=bool(autocap_engaged),
+               final_caps=list(caps),
+               sort_records=len(host_sorted.block),
+               blacklisted=len(host_sorted.blacklist),
+               cns_seeds=len(ref_cns), cns_corrected=n_corr,
+               n_devices=n_dev, backend=jax.default_backend())
+    print(json.dumps(res))
+    if out_json:
+        json.dump(res, open(out_json, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()
