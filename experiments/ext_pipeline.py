@@ -1,0 +1,271 @@
+"""Extend-kernel software-pipelining experiment (VERDICT r3 item 4).
+
+The latency model (EXT_LATENCY_MODEL.json) says the production wavefront
+kernel's per-step time is T_lat + (rows/8)*T_issue8 — the dependency
+LATENCY of one 8-row group's step and the ISSUE time of all groups
+serialize.  Hypothesis: they serialize because every jnp op in the step
+body covers the whole (rows, 128) state array, so step t+1's first op
+waits for step t's last op over ALL groups.  If the state is split into
+per-group (8, 128) slices and the step bodies are emitted group-major
+interleaved, groups are visibly independent dataflow and Mosaic's
+scheduler could overlap group g's step t+1 with group g's+1 step t —
+burying T_lat and approaching rows/8 * T_issue8 per step (the ~1.6x the
+model says is on the table).
+
+Measures t_step for the monolithic kernel vs the split variant at the
+same `rows`, plus output equality.  Writes EXT_PIPELINE.json.
+
+Run on the chip: python experiments/ext_pipeline.py [out_json]
+"""
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nextdenovo_tpu.ops.align import LANES, PACK, STEPS_PER_GRID, SUBLANES
+from nextdenovo_tpu.ops.extend import (CHUNK, HALF, NINF, QF, TF,
+                                       _lo_base, _tile_window,
+                                       affine_extend_fwd, pad_for_extend)
+
+
+def _ext_kernel_split(mnv_ref, q_ref, rt_ref, out_ref,
+                      h1, h2, ev, fv, best, besta, endv, *, n_ch: int,
+                      match: int, mism: int, gapo: int, gape: int,
+                      n_max: int, tf: int, rows: int):
+    """Same DP as ops.extend._ext_kernel, but the per-step body is emitted
+    once per 8-row GROUP on (8, 128) slices, interleaved group-major, so
+    the G dependency chains are independent at the op level."""
+    G = rows // SUBLANES
+    c = pl.program_id(1)
+    ninf = jnp.int32(NINF)
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, LANES), 1)
+    goe = jnp.int32(gapo + gape)
+    ge = jnp.int32(gape)
+
+    @pl.when(c == 0)
+    def _init():
+        full = jnp.full((rows, LANES), ninf, jnp.int32)
+        h1[...] = full
+        h2[...] = full
+        ev[...] = full
+        fv[...] = full
+        best[...] = full
+        endv[...] = full
+        besta[...] = jnp.zeros((rows, LANES), jnp.int32)
+
+    mnv = mnv_ref[...]
+    QP = q_ref.shape[1]
+    TP = rt_ref.shape[1]
+
+    def word_body(wb, _):
+        a0 = (c * CHUNK + wb) * PACK
+        lo0 = _lo_base(a0)
+        QW0, QW1 = _tile_window(q_ref, jnp.clip(QF + lo0 - 1, 0,
+                                                QP - 2 * LANES), rows)
+        TW0, TW1 = _tile_window(rt_ref, jnp.clip(tf + n_max - a0 + lo0 - 8,
+                                                 0, TP - 2 * LANES), rows)
+        # per-group state (lists of (8,128) values)
+        sl = lambda x, g: x[g * SUBLANES:(g + 1) * SUBLANES, :]
+        st = []
+        for g in range(G):
+            st.append(dict(
+                h1=sl(h1[...], g), h2=sl(h2[...], g), ev=sl(ev[...], g),
+                fv=sl(fv[...], g), best=sl(best[...], g),
+                besta=sl(besta[...], g), endv=sl(endv[...], g),
+                m=sl(mnv, g)[:, 0:1], n=sl(mnv, g)[:, 1:2],
+                i=lo0 + lane8, j=a0 - (lo0 + lane8),
+                qw0=sl(QW0, g), qw1=sl(QW1, g),
+                tw0=sl(TW0, g), tw1=sl(TW1, g)))
+
+        for s in range(PACK):
+            d1 = 1 if s % 2 else 0
+            off_q = (s + 1) // 2
+            off_t = 8 + (s + 1) // 2 - s
+            for g in range(G):   # group-major: independent chains interleave
+                S = st[g]
+                qb = jnp.where(
+                    lane8 < LANES - off_q,
+                    jnp.roll(S["qw0"], -off_q, axis=1) if off_q else S["qw0"],
+                    jnp.roll(S["qw1"], -off_q, axis=1) if off_q else S["qw1"])
+                tb = jnp.where(lane8 < LANES - off_t,
+                               jnp.roll(S["tw0"], -off_t, axis=1),
+                               jnp.roll(S["tw1"], -off_t, axis=1))
+                if s > 0:
+                    S["i"] = S["i"] + d1
+                    S["j"] = S["j"] + (1 - d1)
+                h1v, h2v, evv, fvv = S["h1"], S["h2"], S["ev"], S["fv"]
+                if d1 == 0:
+                    h_up = jnp.where(lane8 == 0, ninf,
+                                     jnp.roll(h1v, 1, axis=1))
+                    f_up = jnp.where(lane8 == 0, ninf,
+                                     jnp.roll(fvv, 1, axis=1))
+                    h_left, e_left = h1v, evv
+                else:
+                    h_left = jnp.where(lane8 == LANES - 1, ninf,
+                                       jnp.roll(h1v, -1, axis=1))
+                    e_left = jnp.where(lane8 == LANES - 1, ninf,
+                                       jnp.roll(evv, -1, axis=1))
+                    h_up, f_up = h1v, fvv
+                e_new = jnp.maximum(h_left - goe, e_left - ge)
+                f_new = jnp.maximum(h_up - goe, f_up - ge)
+                sub = jnp.where(qb == tb, jnp.int32(match), jnp.int32(-mism))
+                i0 = S["i"] == 0
+                j0 = S["j"] == 0
+                diag = jnp.where(i0 | j0, ninf, h2v + sub)
+                e_new = jnp.where(j0, ninf, e_new)
+                f_new = jnp.where(i0, ninf, f_new)
+                h_new = jnp.maximum(diag, jnp.maximum(e_new, f_new))
+                h_new = jnp.where(i0 & j0, 0, h_new)
+                invalid = ((S["i"] < 0) | (S["i"] > S["m"])
+                           | (S["j"] < 0) | (S["j"] > S["n"]))
+                h_new = jnp.where(invalid, ninf, h_new)
+                e_new = jnp.where(invalid, ninf, e_new)
+                f_new = jnp.where(invalid, ninf, f_new)
+                upd = h_new > S["best"]
+                S["best"] = jnp.where(upd, h_new, S["best"])
+                S["besta"] = jnp.where(upd, S["i"] + S["j"], S["besta"])
+                S["endv"] = jnp.where((S["i"] == S["m"]) & (S["j"] == S["n"]),
+                                      h_new, S["endv"])
+                S["h2"] = h1v
+                S["h1"] = h_new
+                S["ev"] = e_new
+                S["fv"] = f_new
+
+        for g in range(G):
+            S = st[g]
+            r = pl.ds(g * SUBLANES, SUBLANES)
+            h1[r, :] = S["h1"]
+            h2[r, :] = S["h2"]
+            ev[r, :] = S["ev"]
+            fv[r, :] = S["fv"]
+            best[r, :] = S["best"]
+            besta[r, :] = S["besta"]
+            endv[r, :] = S["endv"]
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, word_body, 0)
+
+    @pl.when(c == n_ch - 1)
+    def _out():
+        out_ref[0, 0, :, :] = best[...]
+        out_ref[0, 1, :, :] = besta[...]
+        out_ref[0, 2, :, :] = endv[...]
+        out_ref[0, 3, :, :] = jnp.zeros((rows, LANES), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "a_max", "match", "mism", "gapo", "gape", "n_max", "tf", "rows"))
+def affine_extend_fwd_split(qpad, rtpad, mn, a_max, match=2, mism=4,
+                            gapo=4, gape=2, n_max=0, tf=TF, rows=32):
+    B, QP = qpad.shape
+    TP = rtpad.shape[1]
+    BT = B // rows
+    n_ch = a_max // STEPS_PER_GRID
+    mnv = jnp.zeros((B, 128), jnp.int32)
+    mnv = mnv.at[:, 0].set(mn[:, 0]).at[:, 1].set(mn[:, 1])
+    kernel = functools.partial(_ext_kernel_split, n_ch=n_ch, match=match,
+                               mism=mism, gapo=gapo, gape=gape, n_max=n_max,
+                               tf=tf, rows=rows)
+    return pl.pallas_call(
+        kernel,
+        grid=(BT, n_ch),
+        in_specs=[
+            pl.BlockSpec((rows, 128), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, QP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, TP), lambda bt, c: (bt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, rows, LANES),
+                               lambda bt, c: (bt, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BT, 4, rows, LANES), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((rows, LANES), jnp.int32)
+                        for _ in range(7)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(mnv, qpad, rtpad)
+
+
+def main():
+    out_json = sys.argv[1] if len(sys.argv) > 1 else None
+    rng = np.random.default_rng(0)
+    from nextdenovo_tpu.io.simulate import mutate_read
+
+    B, L = 1024, 4000
+    ts = [rng.integers(0, 4, L).astype(np.int8) for _ in range(B)]
+    qs = [mutate_read(t.astype(np.uint8), 0.12, rng).astype(np.int8)
+          for t in ts]
+    m = np.array([len(q) for q in qs], np.int32)
+    n = np.array([len(t) for t in ts], np.int32)
+    a_max = ((int((m + n).max()) + 1 + STEPS_PER_GRID - 1)
+             // STEPS_PER_GRID) * STEPS_PER_GRID
+    m_max = ((int(m.max()) + 2047) // 2048) * 2048
+    n_max = ((int(n.max()) + 2047) // 2048) * 2048
+    tf = ((TF + max(0, (m_max - n_max + 1) // 2)) + 7) // 8 * 8
+    qpad = jnp.asarray(pad_for_extend(qs, m_max, QF))
+    TP = ((tf + n_max + 3 * LANES + 127) // 128) * 128
+    rt = np.full((B, TP), 4, np.int32)
+    for b, t in enumerate(ts):
+        t = np.asarray(t)[::-1]
+        rt[b, tf + n_max - len(t): tf + n_max] = t
+    rt[:, tf + n_max:] = 5
+    rtpad = jnp.asarray(rt)
+    mn = jnp.asarray(np.stack([m, n], 1))
+
+    res = {}
+    for rows in (16, 32):
+        row = {}
+        for name, fn in (("mono", affine_extend_fwd),
+                         ("split", affine_extend_fwd_split)):
+            try:
+                t0 = time.time()
+                out = fn(qpad, rtpad, mn, a_max=a_max, n_max=n_max, tf=tf,
+                         rows=rows)
+                first = np.asarray(out)
+                t_compile = time.time() - t0
+                ts_l = []
+                for _ in range(5):
+                    t0 = time.time()
+                    out = fn(qpad, rtpad, mn, a_max=a_max, n_max=n_max,
+                             tf=tf, rows=rows)
+                    _ = np.asarray(out)
+                    ts_l.append(time.time() - t0)
+                dt = float(np.median(ts_l))
+                t_step = dt / (B / rows) / a_max * 1e9
+                row[name] = dict(t_step_ns=round(t_step, 1),
+                                 wall_ms=round(dt * 1e3, 1),
+                                 compile_s=round(t_compile, 1))
+                row[f"_out_{name}"] = first
+                print(f"rows={rows} {name}: t_step={t_step:.1f} ns "
+                      f"(wall {dt*1e3:.0f} ms, compile {t_compile:.0f}s)")
+            except Exception as e:  # noqa
+                row[name] = dict(error=str(e)[:300])
+                print(f"rows={rows} {name}: FAILED {str(e)[:200]}")
+        if "_out_mono" in row and "_out_split" in row:
+            eq = bool(np.array_equal(row.pop("_out_mono"),
+                                     row.pop("_out_split")))
+            row["outputs_equal"] = eq
+            print(f"rows={rows}: outputs_equal={eq}")
+        else:
+            row.pop("_out_mono", None)
+            row.pop("_out_split", None)
+        res[f"rows{rows}"] = row
+    print(json.dumps(res))
+    if out_json:
+        json.dump(res, open(out_json, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

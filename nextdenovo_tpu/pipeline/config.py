@@ -48,7 +48,13 @@ class Config:
     max_lq_length: int = 10000
     min_error_corrected_ratio: float = 0.8
     sort_max_depth: int = 40
-    split_corrected: bool = True
+    # corrected-seed splitting at uncorrected regions is OFF by default,
+    # matching the reference (`-s` store_true default=False,
+    # lib/nextcorrect.py:294; correction_options default '-p 10',
+    # config_parser.py:92).  Splitting fragments reads at weak loci: on a
+    # 500 kb golden run it alone broke the assembly 1 contig -> 2 (the
+    # reference joined through an unsplit lowercase-region read).
+    split_corrected: bool = False
     fast_correct: bool = False  # correction_options -fast (skip lq windows)
     # sketch presets (minimap2 ava analogues; config_parser.py:202-232)
     raw_k: int = 15
@@ -151,8 +157,11 @@ def load_config(path: str) -> Config:
     if "rerun" in raw:
         # capped at 10 like the reference (config_parser.py:263)
         cfg.rerun = min(10, max(0, int(raw["rerun"].split()[0])))
-    if "correction_options" in raw and "-fast" in raw["correction_options"]:
-        cfg.fast_correct = True
+    if "correction_options" in raw:
+        if "-fast" in raw["correction_options"]:
+            cfg.fast_correct = True
+        if "-s" in raw["correction_options"].split():
+            cfg.split_corrected = True
     # nextgraph_options passthrough (ng/main.c:85-140 getopt table): every
     # graph tunable the reference CLI exposes maps onto a StringGraph
     # param; unknown switches are ignored like the reference's permissive
