@@ -447,8 +447,15 @@ def cns_overlap_stage(store: SeqStore, rids: np.ndarray, k: int = 17,
     """Full step-2 stage: candidates -> realign -> [end-extend] -> filter.
     Returns (mode-10 OvlBlock, bl_info dict for the graph)[, CnsInfo]."""
     idx = build_index(store, rids, k=k, w=w, max_occ=max(64, max_occ * 4))
+    # every read is a query: the pair-once gate keeps each ava pair a
+    # single record, like the reference's pairwise cns_files(i,j) jobs
+    # with --dual=yes (nextDenovo:356-366) whose stream the dovetail
+    # filter consumes once per pair
+    qmask = np.zeros(len(store), bool)
+    qmask[np.asarray(rids)] = True
     cand = find_overlaps(store, rids, idx, k=k, w=w, max_occ=max_occ,
-                         min_cnt=min_cnt, min_span=min_span)
+                         min_cnt=min_cnt, min_span=min_span,
+                         query_mask=qmask)
     ovl = realign_overlaps(store, cand, interpret=interpret)
     if extend_ends:
         ovl = extend_overlap_ends(store, ovl, interpret=interpret)

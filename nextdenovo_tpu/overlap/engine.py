@@ -279,11 +279,25 @@ def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
     static_argnames=("k", "max_occ", "diag_shift", "min_cnt", "min_span",
                      "cap_out", "top_k"))
 def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
-                 idx: MiniIndex, k: int, max_occ: int, diag_shift: int,
-                 min_cnt: int, min_span: int, cap_out: int, top_k: int = 1):
+                 qmask, idx: MiniIndex, k: int, max_occ: int,
+                 diag_shift: int, min_cnt: int, min_span: int, cap_out: int,
+                 top_k: int = 1):
     """Anchors + diagonal voting for one sketched query batch.
 
     qm_*: flat minimizer arrays (cap_mini,), rid local (row) ids, -1 = pad.
+    qmask: (n_reads,) int8 — 1 marks reads that are (globally) part of the
+    query set.  When two query reads overlap each other, BOTH would find
+    the pair (each against the index), and downstream seed-keyed
+    symmetrization would then count the one true overlap TWICE per seed —
+    enough to cross the MIN_CONTAINED_COUNT=2 'c'-blacklist threshold
+    from a single containing read (measured on the 500 kb golden driver
+    workload: 949 vs the reference's 861 blacklisted seeds, i.e. ~2x
+    fewer corrected reads).  The reference's seed x part job matrix
+    computes each pair once (nextDenovo:426-467); this gate reproduces
+    that: an anchor to a target that is itself a query with a SMALLER rid
+    is dropped, so each query-query pair is emitted exactly once (by its
+    min-rid side), independent of host sharding.  All-zeros disables the
+    gate.
     q_rid_base: (B,) int32 mapping local row -> global rid.  Several rows
     may map to the same global rid (halo chunks of one long read): grouping
     is by GLOBAL rid, so anchors from all chunks of a read vote together.
@@ -317,6 +331,9 @@ def _match_block(qm_rid, qm_pos, qm_hash, qm_strand, q_rid_base, q_pos_base,
     t_pos = t_posst & POS_MASK
     rel = (qm_strand[:, None] ^ (t_posst >> STRAND_BIT)) & 1
     take = take & (t_rid != q_grid[:, None]) & (t_rid >= 0)
+    # pair-once gate (see qmask in the docstring)
+    take = take & ~((qmask[jnp.maximum(t_rid, 0)] > 0)
+                    & (t_rid < q_grid[:, None]))
 
     qpos = jnp.broadcast_to(qm_pos[:, None], (M, max_occ))
     qr = jnp.broadcast_to(q_grid[:, None], (M, max_occ))
@@ -462,12 +479,17 @@ def _vote_emit(qr, t_rid, t_pos, rel, qpos, take, *, k: int, diag_shift: int,
 def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
                   max_occ: int = 16, diag_bin: int = 256, min_cnt: int = 4,
                   min_span: int = 500, batch_rows: int = 16,
-                  top_k: int = 1) -> OvlBlock:
+                  top_k: int = 1, query_mask=None) -> OvlBlock:
     """Overlap query reads against the index; returns an OvlBlock (PAF-like
     fwd-coordinate records with a rev flag, step-1 semantics).
 
     top_k > 1 emits up to that many chains per (query, target, strand) —
-    required for split-read evidence (see _match_block)."""
+    required for split-read evidence (see _match_block).
+
+    query_mask: optional (n_reads,) bool marking the GLOBAL query set (not
+    just this call's query_rids — multi-host callers pass shards).  When
+    given, a pair of two query reads is emitted exactly once, by its
+    lower-rid side (reference job-matrix semantics; see _match_block)."""
     lens = np.asarray(store.length, np.int64)
     diag_shift = int(np.log2(diag_bin))
     out = []
@@ -509,6 +531,10 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
     if cur:
         batches.append(cur)
     rows_lp = batch_rows * CHUNK_LP
+    qmask_arr = np.zeros(len(lens), np.int8)
+    if query_mask is not None:
+        qmask_arr[np.asarray(query_mask, bool)[: len(lens)]] = 1
+    qmask_dev = jnp.asarray(qmask_arr)
     # device-side accumulation: per-batch (packed, meta) results stay on
     # device; every FLUSH batches they are pulled with ONE packed transfer
     # (see FLUSH note at top)
@@ -551,7 +577,7 @@ def find_overlaps(store: SeqStore, query_rids, idx: MiniIndex, k: int, w: int,
         cap_out = 256 * batch_rows + 256
         inflight.append(_match_block(
             m.rid, m.pos, m.hash, m.strand, jnp.asarray(base),
-            jnp.asarray(pbase), idx,
+            jnp.asarray(pbase), qmask_dev, idx,
             k=k, max_occ=max_occ, diag_shift=diag_shift, min_cnt=min_cnt,
             min_span=min_span, cap_out=cap_out, top_k=top_k))
         _drain(FLUSH - 1)

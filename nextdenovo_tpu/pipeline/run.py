@@ -182,7 +182,7 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
                             lambda: find_overlaps(
                                 store, sub, idx, k=cfg.raw_k, w=cfg.raw_w,
                                 max_occ=16, min_cnt=4, min_span=500,
-                                top_k=4),
+                                top_k=4, query_mask=seed_mask),
                             cfg.rerun)
                         blk.save(cp)
                         parts.append(blk)
@@ -308,7 +308,9 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
                                        w=cfg.cns_w, max_occ=64)
                     cand = find_overlaps(cns_store, mine, cidx, k=cfg.cns_k,
                                          w=cfg.cns_w, max_occ=16, min_cnt=3,
-                                         min_span=cfg.cns_min_span)
+                                         min_span=cfg.cns_min_span,
+                                         query_mask=np.ones(len(cns_store),
+                                                            bool))
                     part = realign_overlaps(cns_store, cand,
                                             interpret=interpret)
                     part = extend_overlap_ends(cns_store, part,
