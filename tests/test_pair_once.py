@@ -1,0 +1,69 @@
+"""Engine pair-once gate (query_mask): reference job-matrix semantics.
+
+A pair of two query reads must be emitted exactly once (by its min-rid
+side) when the gate is on, and downstream containment counting must see
+one containing overlap as ONE piece of evidence — the duplicate-counting
+bug this guards against silently blacklisted ~2x too many seeds
+(GOLDEN.md round 4).
+"""
+import numpy as np
+
+from nextdenovo_tpu.io.seqstore import SeqStore
+from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+from nextdenovo_tpu.overlap.engine import build_index, find_overlaps
+from nextdenovo_tpu.overlap.sort import sort_filter_overlaps
+
+
+def _mk():
+    g = simulate_genome(40_000, seed=11)
+    sim = simulate_reads(g, coverage=8, mean_len=6000, error_rate=0.06,
+                         seed=12, min_len=3000)
+    return SeqStore.from_codes(sim.reads)
+
+
+def test_pair_emitted_once_with_mask():
+    store = _mk()
+    rids = np.arange(len(store))
+    idx = build_index(store, rids, k=15, w=5, max_occ=64)
+    kw = dict(k=15, w=5, max_occ=16, min_cnt=4, min_span=500)
+    both = find_overlaps(store, rids, idx, **kw)
+    mask = np.ones(len(store), bool)
+    once = find_overlaps(store, rids, idx, query_mask=mask, **kw)
+
+    def pairs(blk):
+        out = {}
+        for i in range(len(blk)):
+            q, t = int(blk.qname[i]), int(blk.tname[i])
+            out.setdefault((min(q, t), max(q, t)), []).append((q, t))
+        return out
+
+    p_both, p_once = pairs(both), pairs(once)
+    # ungated: overlapping query pairs are found from both sides
+    assert any(len(v) >= 2 for v in p_both.values())
+    # gated: every unordered pair appears exactly once, keyed q < t
+    assert p_once, "no overlaps found"
+    for (a, b), v in p_once.items():
+        assert len(v) == 1, ((a, b), v)
+        assert v[0][0] == a, v  # emitted by the min-rid side
+    # the gated set covers the same unordered pairs
+    assert set(p_once) == set(p_both)
+
+
+def test_containment_counting_not_doubled():
+    """One containing overlap must not cross MIN_CONTAINED_COUNT=2 on its
+    own: a seed contained in exactly one long read stays correctable."""
+    rng = np.random.default_rng(5)
+    long_read = rng.integers(0, 4, 30_000).astype(np.uint8)
+    contained = long_read[8_000:20_000].copy()
+    other = rng.integers(0, 4, 15_000).astype(np.uint8)  # unrelated
+    store = SeqStore.from_codes([long_read, contained, other])
+    rids = np.arange(3)
+    idx = build_index(store, rids, k=15, w=5, max_occ=64)
+    mask = np.ones(3, bool)
+    blk = find_overlaps(store, rids, idx, k=15, w=5, max_occ=16, min_cnt=4,
+                        min_span=500, query_mask=mask)
+    lens = np.asarray(store.length, np.int64)
+    res = sort_filter_overlaps(blk, np.ones(3, bool), lens)
+    # read 1 is contained in exactly ONE read -> count 1 < 2 -> NOT
+    # blacklisted (the duplicate bug marked it 'c')
+    assert 1 not in res.blacklist, res.blacklist
