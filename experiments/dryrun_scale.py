@@ -114,6 +114,14 @@ def main():
     want = set(zip(*(np.asarray(ref.data[kk]).tolist() for kk in
                      ("qname", "tname", "rev", "qs", "qe", "ts", "te",
                       "match"))))
+    if got != want:
+        od = sorted(got - want)
+        os_ = sorted(want - got)
+        print(f"PARITY DIFF: only_dist={len(od)} only_single={len(os_)}")
+        for r in od[:10]:
+            print("  D", r)
+        for r in os_[:10]:
+            print("  S", r)
     assert got == want, (len(got), len(want))
     t_dist = time.time() - t0
     print(f"mesh: {len(got)} records equal, autocap_engaged={autocap_engaged}"

@@ -24,6 +24,41 @@ from ..ops import align as tpu_align
 
 log = logging.getLogger(__name__)
 
+# Long (support, seed-segment) pairs are split into ~PIECE-sized chunks
+# aligned independently (same design as the polish windows,
+# polish/driver.py CHUNK_T/PIECE): each chunk is its own MSA support, the
+# per-chunk indel drift stays far inside the Myers band, and — decisive on
+# a cold compile cache — the aligner's shape-bucket ladder is bounded at
+# ~CORR_CHUNK_T columns, where unbounded pairs (a 64 kb seed vs a 49 kb
+# support) minted giant one-off lax.scan programs whose remote compiles
+# stalled production runs for tens of minutes.  Chunk boundaries are
+# staggered per support read so boundary slop never piles onto one column.
+CORR_CHUNK_T = 12288
+CORR_PIECE = 9216
+
+
+def _chunk_sup_pairs(sup: np.ndarray, seg_ss: int, seg_se: int, t: int):
+    """Split one oriented support/segment pair into staggered chunks.
+    Returns [(sup_lo, sup_hi, ss, se)] with INCLUSIVE seed ends."""
+    seg_len = seg_se - seg_ss + 1
+    if seg_len <= CORR_CHUNK_T:
+        return [(0, len(sup), seg_ss, seg_se)]
+    st = (t % 5) * (CORR_PIECE // 5)
+    bounds = [seg_ss]
+    p = seg_ss + (st + CORR_PIECE if st else CORR_PIECE)
+    while p < seg_se - CORR_PIECE // 2:
+        bounds.append(p)
+        p += CORR_PIECE
+    bounds.append(seg_se + 1)
+    f = len(sup) / max(1, seg_len)
+    out = []
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        lo = max(0, int((a - seg_ss) * f) - 32)
+        hi = min(len(sup), int((b - seg_ss) * f) + 32)
+        if b - a >= 200 and hi - lo >= 100:
+            out.append((lo, hi, a, b - 1))
+    return out or [(0, len(sup), seg_ss, seg_se)]
+
 
 @dataclass
 class SeedJob:
@@ -101,7 +136,7 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
         cns_threads = max(1, min(8, _os.cpu_count() or 4))
     ex = cf.ThreadPoolExecutor(cns_threads)
 
-    def _consensus(job, seed_codes, qs_list, ops_all):
+    def _consensus(job, seed_codes, qs_list, spans, ops_all):
         # NOTE: a sort-based batched link path exists (correct/tagmsa.py
         # correct_seed_links, bit-identical, tests/test_tagmsa.py) but
         # measured 2.5-3x SLOWER than the C++ find-or-insert at every
@@ -113,8 +148,8 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
             if o is None:
                 continue
             sups.append(qs_list[i].astype(np.uint8))
-            tss.append(job.sups[i][2])
-            tes.append(job.sups[i][3])
+            tss.append(spans[i][0])
+            tes.append(spans[i][1])
             ops.append(o)
         return correct_seed(
             seed_codes, sups, tss, tes, ops, min_len_aln=min_len_aln,
@@ -126,12 +161,12 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
     pending: List[Tuple[int, "cf.Future"]] = []
 
     def _flush(group):
-        # group: list of (job, seed_codes, qs_list, t_pairs).  All pairs go
-        # to ONE band_align call, length-sorted so the aligner's internal
-        # sub-batches (software-pipelined two deep, ops/myers.py) carry
-        # similar lengths with minimal padding.
+        # group: list of (job, seed_codes, qs_list, t_pairs, spans).  All
+        # pairs go to ONE band_align call, length-sorted so the aligner's
+        # internal sub-batches (software-pipelined two deep, ops/myers.py)
+        # carry similar lengths with minimal padding.
         flat = []
-        for gi, (_job, _sc, qs_list, t_pairs) in enumerate(group):
+        for gi, (_job, _sc, qs_list, t_pairs, _sp) in enumerate(group):
             for si in range(len(qs_list)):
                 flat.append((len(qs_list[si]) + len(t_pairs[si]), gi, si))
         flat.sort(key=lambda x: (x[0], x[1], x[2]))
@@ -143,21 +178,23 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
         for (_, gi, si), r in zip(flat, res):
             if r["reached"] and r["ok"]:
                 ops_store[gi][si] = r["ops"].astype(np.uint8)
-        for (job, sc, qs_list, _t), ops_all in zip(group, ops_store):
+        for (job, sc, qs_list, _t, spans), ops_all in zip(group, ops_store):
             pending.append((job.seed,
-                            ex.submit(_consensus, job, sc, qs_list, ops_all)))
+                            ex.submit(_consensus, job, sc, qs_list, spans,
+                                      ops_all)))
 
     try:
         group, npairs = [], 0
         for job in jobs:
             seed_codes = store.get(job.seed)
-            qs_list, t_pairs = [], []
+            qs_list, t_pairs, spans = [], [], []
             for (t, rev, ss, se, sqs, sqe) in job.sups:
                 sup = store.subseq(t, sqs, sqe + 1, rc=bool(rev))
-                seg = seed_codes[ss : se + 1]
-                qs_list.append(sup.astype(np.int8))
-                t_pairs.append(seg.astype(np.int8))
-            group.append((job, seed_codes, qs_list, t_pairs))
+                for (lo, hi, a, b) in _chunk_sup_pairs(sup, ss, se, t):
+                    qs_list.append(sup[lo:hi].astype(np.int8))
+                    t_pairs.append(seed_codes[a : b + 1].astype(np.int8))
+                    spans.append((a, b))
+            group.append((job, seed_codes, qs_list, t_pairs, spans))
             npairs += len(qs_list)
             if npairs >= align_batch * lookahead:
                 _flush(group)
@@ -178,7 +215,9 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
 
 def run_correction(store: SeqStore, sorted_blk, blacklist: Dict[int, str],
                    read_type: int = 1, min_len_seed: int = 1000,
-                   min_error_corrected_ratio: float = 0.8, split: bool = True,
+                   min_error_corrected_ratio: float = 0.8,
+                   split: bool = False,   # reference -s default (store_true
+                                          # False, lib/nextcorrect.py:294)
                    interpret: bool | None = None, resume_path: str | None = None,
                    fast: bool = False, shard: Tuple[int, int] | None = None,
                    **kw):

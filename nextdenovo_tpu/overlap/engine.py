@@ -432,7 +432,15 @@ def _vote_emit(qr, t_rid, t_pos, rel, qpos, take, *, k: int, diag_shift: int,
     alpha = jnp.minimum(jnp.minimum(dq, dt), k).astype(jnp.float32)
     beta = 0.01 * k * dd + 0.5 * jnp.log2(dd + 1.0)
     link_sc = jnp.where(link_ok, jnp.maximum(alpha - beta, 0.0), 0.0)
-    chain_sc = segment_sum(link_sc, g2).astype(jnp.int32) + k
+    # per-link scores quantize to 1/8 BEFORE the segmented sum: float
+    # segment_sum reduction order varies with array layout (shard padding,
+    # batch packing), and a single ULP flipped a chain score between the
+    # single-chip and SPMD paths at 1 Mb dryrun shapes (match 920 vs 921).
+    # Element-wise float math is deterministic; an int32 sum is
+    # order-independent.  1/8 granularity keeps per-segment totals far
+    # inside int32 for 1 Mb reads (<= ~4e5 links x 8*k).
+    link_q = jnp.round(link_sc * 8.0).astype(jnp.int32)
+    chain_sc = segment_sum(link_q, g2) // 8 + k
 
     # per-corridor extents and vote counts (segments of g2 are homogeneous
     # in corridor id, so every element carries its corridor's values)
