@@ -58,22 +58,46 @@ class OvlInfoAln:
         return [(s - EDGEBACKLEN, e + EDGEBACKLEN) for s, e in out]
 
 
+# Long realign pairs chunk into ~REALN_CORE-column pieces aligned
+# independently and recombined (identity summed, endpoints refined from
+# the terminal chunks): bounds the aligner's shape-bucket ladder — an
+# unchunked 64 kb cns-read pair minted a giant one-off scan program whose
+# remote compile could stall a production run on a cold cache (same
+# design as correct/driver.py CORR_CHUNK_T and the polish windows).
+# Interior chunk boundaries are forced global-alignment ends and add a
+# few edits of slop each (<0.5% of identity per boundary), which the
+# loose min_ide gate and the graph's RATIO-based tests absorb.
+REALN_CORE = 12288
+
+
+def _realign_chunks(lq: int, lt: int):
+    """Proportional exact partition of (q, t) spans into chunk slices."""
+    nch = max(1, -(-max(lq, lt) // REALN_CORE))
+    out = []
+    for c in range(nch):
+        out.append((lq * c // nch, lq * (c + 1) // nch,
+                    lt * c // nch, lt * (c + 1) // nch))
+    return out
+
+
 def realign_overlaps(store: SeqStore, cand: OvlBlock, ext: int = 64,
                      batch: int = 384, interpret: bool | None = None,
                      min_ide: float = 0.05) -> OvlBlock:
     """Refine candidate overlap endpoints + identity with the banded aligner.
 
     Each candidate's clipped segments (grown by `ext` toward the read ends)
-    are globally aligned; terminal gap runs are trimmed off to recover the
-    true start/end, and identity = matches / columns (x10000) fills the
-    mode-10 `ide` field.
+    are globally aligned (long pairs in chunks, see REALN_CORE); terminal
+    gap runs are trimmed off to recover the true start/end, and identity =
+    matches / columns (x10000) fills the mode-10 `ide` field.
     """
     n = len(cand)
     recs = {k: [] for k in
             ("qname", "rev", "qs", "qe", "tname", "ts", "te", "match", "ide")}
     for s0 in range(0, n, batch):
         sl = slice(s0, min(n, s0 + batch))
-        qs_l, ts_l, pairs = [], [], []
+        qs_l, ts_l = [], []
+        flat_q, flat_t, owner = [], [], []   # chunk rows -> candidate row
+        nch_of = []
         for i in range(sl.start, sl.stop):
             q, t = int(cand.qname[i]), int(cand.tname[i])
             rev = int(cand.rev[i])
@@ -84,16 +108,32 @@ def realign_overlaps(store: SeqStore, cand: OvlBlock, ext: int = 64,
             te = min(tl, int(cand.te[i]) + ext)
             qseq = store.subseq(q, qs, qe)
             tseq = store.subseq(t, ts, te, rc=bool(rev))
-            pairs.append((qseq.astype(np.int8), tseq.astype(np.int8)))
             qs_l.append((qs, qe))
             ts_l.append((ts, te))
-        res = tpu_align.band_align([p[0] for p in pairs],
-                                   [p[1] for p in pairs],
-                                   interpret=interpret)
-        for j, r in enumerate(res):
+            ch = _realign_chunks(len(qseq), len(tseq))
+            nch_of.append(len(ch))
+            for (a, b, c, d) in ch:
+                flat_q.append(qseq[a:b].astype(np.int8))
+                flat_t.append(tseq[c:d].astype(np.int8))
+                owner.append(i - sl.start)
+        if not flat_q:
+            continue
+        res_flat = tpu_align.band_align(flat_q, flat_t, interpret=interpret)
+        # regroup chunk results per candidate
+        grouped = [[] for _ in range(sl.stop - sl.start)]
+        for o, r in zip(owner, res_flat):
+            grouped[o].append(r)
+        for j in range(sl.stop - sl.start):
             i = sl.start + j
-            if not (r["reached"] and r["ok"]):
+            chunks = grouped[j]
+            if not chunks or not all(r["reached"] and r["ok"]
+                                     for r in chunks):
                 continue
+            if len(chunks) == 1:
+                r = chunks[0]
+            else:
+                r = dict(dist=sum(c["dist"] for c in chunks),
+                         ops=np.concatenate([c["ops"] for c in chunks]))
             ops = r["ops"]
             # trim terminal gap runs to refine endpoints
             lead = 0
