@@ -472,7 +472,7 @@ def _build_streams(qpad: jax.Array, tpad: jax.Array, off: jax.Array,
 
 
 def myers_align(queries: List[np.ndarray], targets: List[np.ndarray],
-                nw: int = 8, max_plane_bytes: int = 1 << 30):
+                nw: int = 8, max_plane_bytes: int = 1 << 29):
     """Batched banded global alignment; returns list of dicts
     {dist, reached, ok, ops} matching ops.align.band_align.  Pairs are
     swapped internally so m >= n (ops transposed back); the band is

@@ -496,6 +496,7 @@ def cns_overlap_stage(store: SeqStore, rids: np.ndarray, k: int = 17,
     cand = find_overlaps(store, rids, idx, k=k, w=w, max_occ=max_occ,
                          min_cnt=min_cnt, min_span=min_span,
                          query_mask=qmask)
+    idx = None           # release index HBM before the realign launches
     ovl = realign_overlaps(store, cand, interpret=interpret)
     if extend_ends:
         ovl = extend_overlap_ends(store, ovl, interpret=interpret)

@@ -188,7 +188,14 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
                         parts.append(blk)
                 raw_part = OvlBlock.concat_all(parts)
                 raw_part.save(part_p)
-                for j in range(len(parts)):
+                n_parts = len(parts)
+                # release the minimizer index's device memory NOW: as a
+                # function local it would otherwise stay resident for the
+                # whole run (a 20 Mb/40x raw index is ~4.8 GB of HBM, and
+                # holding it through polish OOM'd the chip)
+                idx = None
+                parts = None
+                for j in range(n_parts):
                     try:
                         os.unlink(part_p + f".c{j:04d}.npz")
                     except OSError:
@@ -315,6 +322,7 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
                                             interpret=interpret)
                     part = extend_overlap_ends(cns_store, part,
                                                interpret=interpret)
+                cidx = cand = None   # release index HBM (see raw_align)
                 part.save(part_p)
             hs.barrier("cns_align")
             if hs.is_main():
