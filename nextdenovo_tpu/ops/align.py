@@ -1094,6 +1094,35 @@ def band_align(queries: List[np.ndarray], targets: List[np.ndarray],
 def _band_align_R(queries, targets, R: int, interpret: bool):
     P = SUBLANES // R
     B0 = len(queries)
+    # bound the traceback buffer: tb is (a_max/PACK, ~B, 128) int32, i.e.
+    # B * a_max * 64 bytes — a retry batch of a few thousand 25 kb pairs
+    # (gap-cluster pseudo reads at polish time) is several GB and OOM'd a
+    # 20 Mb run.  Split into length-sorted sub-batches so each launch's tb
+    # stays under the budget; per-pair results are independent, so
+    # reassembly by original index is exact.
+    TB_BUDGET = 1 << 30
+    if B0 > 8:
+        mn_est = [len(q) + len(t) + 1 for q, t in zip(queries, targets)]
+        order = sorted(range(B0), key=lambda i: mn_est[i])
+        groups, cur, cur_max = [], [], 0
+        for i in order:
+            nm = max(cur_max, mn_est[i])
+            if cur and (len(cur) + 1) * nm * 64 > TB_BUDGET:
+                groups.append(cur)
+                cur, cur_max = [i], mn_est[i]
+            else:
+                cur.append(i)
+                cur_max = nm
+        if cur:
+            groups.append(cur)
+        if len(groups) > 1:
+            res = [None] * B0
+            for g in groups:
+                sub = _band_align_R([queries[i] for i in g],
+                                    [targets[i] for i in g], R, interpret)
+                for i, r in zip(g, sub):
+                    res[i] = r
+            return res
     # half-octave batch buckets (see ops/myers.py _myers_dispatch): per-call
     # retry counts vary freely, and every distinct padded B is a fresh
     # Pallas compile
