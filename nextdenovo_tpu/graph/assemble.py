@@ -34,7 +34,8 @@ import numpy as np
 # defaults mirror ng/opt.c:48-89
 DEFAULTS = dict(
     fuzz_len=1000, min_ide=0.001, min_ide_ratio=0.7, min_sco_ratio=0.4,
-    max_sco_ratio=0.5, max_hang_len=500, min_node_count=2, min_con_count=2,
+    max_sco_ratio=0.5, min_mat_ratio=0.9, max_hang_len=500, min_node_count=2,
+    min_con_count=2,
     sbranch_len=15, bubble_len=500, out_ctg_len=1000, min_edge_cov=3,
     end_loop_len=50, bfs_depth=2, sloop_len=5,
     zbranch_len=8, out_spath_len=0, min_depth_ratio=0.6,
@@ -68,6 +69,8 @@ class Edge:
     hang: int        # bases of v's read appended when traversing
     sco: int         # aln length
     ide: int         # identity x10000
+    ie: int = -1     # junction cut on u's read, fwd frame (ng edge.ie)
+    oe: int = -1     # junction cut on v's read, fwd frame (ng edge.oe)
     deleted: bool = False
     reduced: bool = False
     chim: bool = False   # MFLAG_CN: touches a chimeric-marked node
@@ -84,16 +87,35 @@ class StringGraph:
         self.einfo: Dict[Tuple[int, int], int] = {}
 
     # ---------- construction ----------
-    def _add_pair(self, u, v, hang_uv, hang_vu, sco, ide):
-        """Add edge u->v and its complement v^1 -> u^1."""
-        for (a, b, h) in ((u, v, hang_uv), (v ^ 1, u ^ 1, hang_vu)):
+    @staticmethod
+    def _cut(vtx: int, span) -> int:
+        """Junction cut coordinate for read `vtx//2` traversed in direction
+        `vtx&1`, given its alignment span [s, e) in forward-frame coords:
+        the fwd-frame position where the traversal leaves the overlap.
+        Matches the reference's per-edge ie/oe fields (ng/asg.c:1574-1676
+        add_edge args: qe-1/te-1 when exiting forward, qs/ts when exiting
+        reverse)."""
+        if span is None:
+            return -1
+        s, e = span
+        return s if (vtx & 1) else e - 1
+
+    def _add_pair(self, u, v, hang_uv, hang_vu, sco, ide,
+                  span_u=None, span_v=None):
+        """Add edge u->v and its complement v^1 -> u^1.  span_u/span_v are
+        the alignment spans [s, e) on u's / v's read (fwd frame) used to
+        derive the reference's ie/oe junction-cut coordinates."""
+        ie_uv, oe_uv = self._cut(u, span_u), self._cut(v, span_v)
+        ie_vu, oe_vu = self._cut(v ^ 1, span_v), self._cut(u ^ 1, span_u)
+        for (a, b, h, iec, oec) in ((u, v, hang_uv, ie_uv, oe_uv),
+                                    (v ^ 1, u ^ 1, hang_vu, ie_vu, oe_vu)):
             key = (a, b)
             if key in self.einfo:
                 ei = self.einfo[key]
                 if self.edges[ei].sco < sco:
-                    self.edges[ei] = Edge(a, b, h, sco, ide)
+                    self.edges[ei] = Edge(a, b, h, sco, ide, iec, oec)
                 continue
-            self.edges.append(Edge(a, b, h, sco, ide))
+            self.edges.append(Edge(a, b, h, sco, ide, iec, oec))
             self.einfo[key] = len(self.edges) - 1
             self.out.setdefault(a, []).append(len(self.edges) - 1)
 
@@ -199,23 +221,27 @@ class StringGraph:
                     if not gate(vote(rq.rim, rq.rlm), vote(rt.lim, rt.llm)):
                         continue
                     upd(rq, False); upd(rt, True)
-                    self._add_pair(Q, T, rt.e - te, qs - rq.s, alnlen, ide)
+                    self._add_pair(Q, T, rt.e - te, qs - rq.s, alnlen, ide,
+                                   span_u=(qs, qe), span_v=(ts, te))
                 elif ql and tr:    # t+ -> q+
                     if not gate(vote(rq.lim, rq.llm), vote(rt.rim, rt.rlm)):
                         continue
                     upd(rq, True); upd(rt, False)
-                    self._add_pair(T, Q, rq.e - qe, ts - rt.s, alnlen, ide)
+                    self._add_pair(T, Q, rq.e - qe, ts - rt.s, alnlen, ide,
+                                   span_u=(ts, te), span_v=(qs, qe))
             else:
                 if ql and tl:      # rc left-left: q- -> t+
                     if not gate(vote(rq.lim, rq.llm), vote(rt.lim, rt.llm)):
                         continue
                     upd(rq, True); upd(rt, True)
-                    self._add_pair(Q ^ 1, T, rt.e - te, rq.e - qe, alnlen, ide)
+                    self._add_pair(Q ^ 1, T, rt.e - te, rq.e - qe, alnlen, ide,
+                                   span_u=(qs, qe), span_v=(ts, te))
                 elif qr and tr:    # rc right-right: q+ -> t-
                     if not gate(vote(rq.rim, rq.rlm), vote(rt.rim, rt.rlm)):
                         continue
                     upd(rq, False); upd(rt, False)
-                    self._add_pair(Q, T ^ 1, ts - rt.s, qs - rq.s, alnlen, ide)
+                    self._add_pair(Q, T ^ 1, ts - rt.s, qs - rq.s, alnlen, ide,
+                                   span_u=(qs, qe), span_v=(ts, te))
         # drop edges touching contained reads discovered late
         for e in self.edges:
             if (self.reads[e.u // 2].con >= self.p["min_con_count"] or
@@ -871,14 +897,23 @@ class StringGraph:
         return len(doomed)
 
     # ---------- compound paths / superbubbles ------------------------------
-    def resolve_superbubbles(self, max_nodes: int = 60, perc: float = 0.4):
+    def resolve_superbubbles(self, max_nodes: int = 60,
+                             perc: Optional[float] = None):
         """Generalized bubble resolution (clean_complex_single_path /
         clean_complex_multi_path / rm_long_bubble, asg.c:2177+,3403+):
         from each branch vertex, detect a bounded superbubble (all paths
         reconverge at a single exit with no external entanglement), pick the
         max-weight source→exit path by DP over the interior DAG, and delete
-        every other interior edge.  Weight = sco*ide per edge (the
-        reference's path score with perc-weighted interior terms)."""
+        every other interior edge.  Edge weight matches the reference's
+        compound-path score (bfs_nodes_compound_common_callback3,
+        asg.c:2217-2235): sco*ide RELATIVE to the best live sibling at the
+        edge's tail, `sco*ide - perc * max_sibling(sco*ide)` with
+        perc = min_mat_ratio (0.9, ng/opt.c:87, passed at ng/main.c:236-254)
+        — so longer arms are penalized unless each hop is locally best,
+        which is what makes the reference prefer a single spanning read
+        over a chain of weaker ones through the same bubble."""
+        if perc is None:
+            perc = self.p.get("min_mat_ratio", 0.9)
         changed = 0
         verts = sorted({e.u for e in self.edges
                         if not (e.deleted or e.reduced)})
@@ -898,11 +933,14 @@ class StringGraph:
             for u in order:
                 if u not in bestw:
                     continue
-                for e in self.out_edges(u):
+                oes_u = self.out_edges(u)
+                max_sib = max((float(e.sco) * e.ide for e in oes_u),
+                              default=0.0)
+                for e in oes_u:
                     if e.v not in interior and e.v != exit_v:
                         continue
-                    w = bestw[u] + float(e.sco) * e.ide
-                    if w > bestw.get(e.v, -1.0):
+                    w = bestw[u] + float(e.sco) * e.ide - perc * max_sib
+                    if w > bestw.get(e.v, float("-inf")):
                         bestw[e.v] = w
                         beste[e.v] = e
             if exit_v not in bestw:
@@ -1222,57 +1260,69 @@ class StringGraph:
             off += seg
         return meta
 
+    def _node_slice(self, vtx: int, s: int, e: int, get_read):
+        """Emit one contig node's bases per the reference's out_ctg_fasta
+        (ng/out.c:504-509): endpoints are sorted (re_cal_len ng/out.c:23-27),
+        then a forward node contributes read[s+1 .. e] inclusive and a
+        reverse node revcomp(read[s .. e-1]) — both exactly e-s bases."""
+        L = self.reads[vtx // 2].length
+        s = max(0, min(s, L - 1))
+        e = max(0, min(e, L - 1))
+        if e < s:
+            s, e = e, s
+        if vtx & 1:
+            seg = get_read(vtx // 2)[s:e]
+            return (seg ^ 3)[::-1]
+        return get_read(vtx // 2)[s + 1:e + 1]
+
     def contig_sequences(self, get_read, with_paths: bool = False,
                          with_meta: bool = False):
         """Emit contig base arrays.  get_read(rid) -> codes (fwd).
 
-        End nodes of a LINEAR contig contribute their FULL read past the
-        trimmed extent, like the reference (generate_ctg ctg.c:142 first
-        node s=0, :236 last node e=UINT32_MAX; single nodes both) — the
-        .bl le/re trims only bound the overlap arithmetic, not the contig
-        ends.  Circular paths get no extension (the ends would duplicate
-        the wrap-around overlap)."""
+        Junctions are cut at the stored per-edge alignment endpoints
+        exactly like the reference (generate_ctg ctg.c:142-236): each
+        middle node contributes [in_edge.oe, out_edge.ie] in its own
+        fwd-frame coords, the first node of a linear path contributes its
+        full head up to out_edge.ie (nd->s = 0 fwd / read-end reverse,
+        ctg.c:142,167), and the last node its full tail from in_edge.oe
+        (nd->e = UINT32_MAX fwd / 0 reverse, ctg.c:219-226).  Circular
+        paths mirror the reference's loop walk (ctg.c:244-295): the first
+        node keeps its full head and the closing edge's ie bounds the last
+        node, duplicating the wrap-around overlap exactly as the reference
+        does.  Falls back to overhang tiling when an edge predates the
+        ie/oe fields (ie < 0)."""
         seqs, metas = [], []
         all_paths = self.contigs()
         for path in all_paths:
             vN = path[-1][0]
-            is_circ = len(path) > 1 and any(
-                e2.v == path[0][0] for e2 in self.out_edges(vN))
+            closing = None
+            if len(path) > 1:
+                for e2 in self.out_edges(vN):
+                    if e2.v == path[0][0]:
+                        closing = e2
+                        break
+            is_circ = closing is not None
             parts = []
             seg_lens = []
-            v0, _ = path[0]
-            r0 = self.reads[v0 // 2]
-            lo, hi = r0.s, r0.e
-            if len(path) == 1:
-                lo, hi = 0, r0.length   # single node: whole read (type 3)
-            elif not is_circ:
-                if v0 & 1:
-                    hi = r0.length   # traversal start = fwd tail
+            n = len(path)
+            for i, (vtx, e_in) in enumerate(path):
+                L = self.reads[vtx // 2].length
+                e_out = path[i + 1][1] if i + 1 < n else closing
+                if n == 1:
+                    s, e = 0, L - 1           # single node: whole read
+                elif i == 0:
+                    # path start: full head (fwd s=0 / rev s=len-1)
+                    s = (L - 1) if (vtx & 1) else 0
+                    e = e_out.ie
+                elif e_out is None:
+                    # linear path end: full tail
+                    s = e_in.oe
+                    e = 0 if (vtx & 1) else (L - 1)
                 else:
-                    lo = 0
-            s0 = get_read(v0 // 2)[lo:hi]
-            if v0 & 1:
-                s0 = (s0 ^ 3)[::-1]
-            parts.append(s0)
-            seg_lens.append(len(s0))
-            for i, (vtx, e) in enumerate(path[1:], start=1):
-                r = self.reads[vtx // 2]
-                lo, hi = r.s, r.e
-                ext = 0
-                if i == len(path) - 1 and not is_circ:
-                    if vtx & 1:
-                        ext = lo
-                        lo = 0   # traversal end = fwd head
-                    else:
-                        ext = r.length - hi
-                        hi = r.length
-                s = get_read(vtx // 2)[lo:hi]
-                if vtx & 1:
-                    s = (s ^ 3)[::-1]
-                hang = min(e.hang + ext, len(s))
-                if hang > 0:
-                    parts.append(s[-hang:])
-                seg_lens.append(max(0, hang))
+                    s, e = e_in.oe, e_out.ie
+                seg = self._node_slice(vtx, s, e, get_read)
+                parts.append(seg)
+                seg_lens.append(len(seg))
             seqs.append(np.concatenate(parts) if parts else np.zeros(0, np.uint8))
             if with_meta:
                 metas.append(self.contig_node_meta(path, seg_lens))
@@ -1316,14 +1366,16 @@ def _native_build_clean(g: "StringGraph", ovl, alt_ctg: bool) -> bool:
               max_sco_ratio=g.p["max_sco_ratio"],
               min_depth_ratio=g.p["min_depth_ratio"],
               min_depth_multi=g.p.get("min_depth_multi", 1.5),
-              max_depth_multi=g.p.get("max_depth_multi", 2000.0))
+              max_depth_multi=g.p.get("max_depth_multi", 2000.0),
+              min_mat_ratio=g.p.get("min_mat_ratio", 0.9))
     edges, flags, con = graph_run(recs, rinfo, ip, fp, mode=0)
     for rid, r in reads.items():
         r.con = int(con[rid])
     alive = (flags & 3) == 0
     ea, fa = edges[alive], flags[alive]
-    for (u, v, h, s, i), fl in zip(ea.tolist(), fa.tolist()):
-        e = Edge(u, v, h, s, i, chim=bool(fl & 4), rep=bool(fl & 8))
+    for (u, v, h, s, i, iec, oec), fl in zip(ea.tolist(), fa.tolist()):
+        e = Edge(u, v, h, s, i, iec, oec,
+                 chim=bool(fl & 4), rep=bool(fl & 8))
         g.edges.append(e)
         g.einfo[(u, v)] = len(g.edges) - 1
         g.out.setdefault(u, []).append(len(g.edges) - 1)

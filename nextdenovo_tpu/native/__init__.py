@@ -253,8 +253,9 @@ def graph_run(recs: np.ndarray, rinfo: np.ndarray, iparams: dict,
     int32 direct edge tuples (u, v, hang_uv, hang_vu, sco, ide).
     rinfo: (n_reads, 10) int64 [length, s, e, con, lim, rim, llm, rlm,
     lc, rc], dense by rid.
-    Returns (edges (ne, 5) int64 [u, v, hang, sco, ide], flags (ne,)
-    uint8 bitfield DEL|RED|CHIM|REP, con (n_reads,) int64 updated)."""
+    Returns (edges (ne, 7) int64 [u, v, hang, sco, ide, ie, oe] (ie/oe =
+    junction-cut coords, -1 for mode-1 edges), flags (ne,) uint8 bitfield
+    DEL|RED|CHIM|REP, con (n_reads,) int64 updated)."""
     L = lib()
     recs = np.ascontiguousarray(recs, np.int32)
     if recs.size == 0:
@@ -273,10 +274,11 @@ def graph_run(recs: np.ndarray, rinfo: np.ndarray, iparams: dict,
     fp = np.array([
         fparams["min_ide_ratio"], fparams["min_sco_ratio"],
         fparams["max_sco_ratio"], fparams["min_depth_ratio"],
-        fparams["min_depth_multi"], fparams["max_depth_multi"]],
+        fparams["min_depth_multi"], fparams["max_depth_multi"],
+        fparams.get("min_mat_ratio", 0.9)],
         np.float64)
     cap = 2 * max(n, 1)
-    out_edges = np.zeros((cap, 5), np.int64)
+    out_edges = np.zeros((cap, 7), np.int64)
     out_flags = np.zeros(cap, np.uint8)
     out_con = np.zeros(n_reads, np.int64)
     i32p = ctypes.POINTER(ctypes.c_int32)

@@ -39,7 +39,8 @@ I32MAX = jnp.int32(2**31 - 1)
                                              "min_span", "top_k", "cap_out",
                                              "mesh", "n_shards", "qid0"))
 def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
-                             idx_strand, *, k: int, w: int, cap_mini: int,
+                             idx_strand, qmask=None, *, k: int, w: int,
+                             cap_mini: int,
                              max_occ: int, diag_shift: int, cap_out: int,
                              mesh: Mesh, n_shards: int, min_cnt: int = 4,
                              min_span: int = 500, top_k: int = 1,
@@ -56,12 +57,23 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
              contigs occupy rids [0, n_ctg)).
     idx_*:   (n_shards*H,)   index arrays, sharded by hash range: shard d
              holds entries with hash >> (32 - log2(n_shards)) == d, sorted.
+    qmask:   optional (n_reads,) int8, REPLICATED: 1 marks reads in the
+             global query set.  Mirrors engine._match_block's pair-once
+             gate (overlap/engine.py) so all-vs-all workloads emit each
+             query-query pair exactly once (by its min-rid side) and the
+             SPMD record set stays identical to the single-chip engine's
+             (the r4 fix for double-counted containment, reproducing the
+             reference's i<=j job matrix, nextDenovo:426-467).  None (or
+             all-zeros) disables the gate — correct for mapping workloads
+             with disjoint query/target id spaces (dist_polish).
     Returns per-shard overlap record arrays (qname, tname, rev, qs, qe,
     ts, te, match; -1 qname = pad) and a psum'd total record count.
     """
     shift_bits = 32 - max(1, (n_shards - 1).bit_length()) if n_shards > 1 else 32
+    if qmask is None:
+        qmask = jnp.zeros(1, jnp.int8)   # gather clamps -> gate disabled
 
-    def step(codes, lens, rid_base, ih, irid, ipos, istr):
+    def step(codes, lens, rid_base, ih, irid, ipos, istr, qm):
         B_local = codes.shape[0]
         me = jax.lax.axis_index(AXIS) if n_shards > 1 else 0
 
@@ -125,6 +137,9 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
         t_pos = ipos[aidx]
         rel = (istr[aidx] ^ str_r[:, None]) & 1
         take = take & (t_rid >= 0) & (t_rid != qid_r[:, None])
+        # pair-once gate (engine._match_block parity; see qmask docstring)
+        take = take & ~((qm[jnp.maximum(t_rid, 0)] > 0)
+                        & (t_rid < qid_r[:, None]))
 
         flat = lambda x: x.reshape(M * max_occ)
         qid_a = flat(jnp.broadcast_to(qid_r[:, None], (M, max_occ)))
@@ -142,10 +157,11 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
             drop_back = drop_back + jnp.sum(
                 (take & ((dest < 0) | (dest >= n_shards))).astype(jnp.int32))
             cap_back = (M * max_occ) // n_shards * 2
-            (qid_b2, qpos_b2, trid_b2, tpos_b2, rel_b2), drop_back = \
+            (qid_b2, qpos_b2, trid_b2, tpos_b2, rel_b2), drop_bucket = \
                 bucketize(
                     (qid_a, qpos_a, t_rid, t_pos, rel),
                     (-1, 0, -1, 0, 0), dest, take, cap_back)
+            drop_back = drop_back + drop_bucket
             a2a = lambda x: jax.lax.all_to_all(x, AXIS, 0, 0, tiled=False)
             qid_a, qpos_a, t_rid, t_pos, rel = (
                 x.reshape(-1) for x in map(
@@ -170,13 +186,13 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
 
     if n_shards == 1:
         return step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
-                    idx_strand)
+                    idx_strand, qmask)
     return jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  P(AXIS)),
+                  P(AXIS), P()),
         out_specs=(P(AXIS),) * 8 + (P(), P()),
-    )(codes, lens, rid_base, idx_h, idx_rid, idx_pos, idx_strand)
+    )(codes, lens, rid_base, idx_h, idx_rid, idx_pos, idx_strand, qmask)
 
 
 def distributed_overlap_autocap(codes, lens, rid_base, idx_h, idx_rid,

@@ -29,7 +29,8 @@ def _params_from(g: StringGraph):
               max_sco_ratio=g.p["max_sco_ratio"],
               min_depth_ratio=g.p["min_depth_ratio"],
               min_depth_multi=g.p.get("min_depth_multi", 1.5),
-              max_depth_multi=g.p.get("max_depth_multi", 2000.0))
+              max_depth_multi=g.p.get("max_depth_multi", 2000.0),
+              min_mat_ratio=g.p.get("min_mat_ratio", 0.9))
     return ip, fp
 
 
@@ -42,8 +43,9 @@ def _rinfo_from(reads, n_reads):
 
 
 def _py_state(g: StringGraph):
-    edges = np.array([[e.u, e.v, e.hang, e.sco, e.ide] for e in g.edges],
-                     np.int64).reshape(-1, 5)
+    edges = np.array([[e.u, e.v, e.hang, e.sco, e.ide, e.ie, e.oe]
+                      for e in g.edges],
+                     np.int64).reshape(-1, 7)
     flags = np.array([(1 if e.deleted else 0) | (2 if e.reduced else 0) |
                       (4 if e.chim else 0) | (8 if e.rep else 0)
                       for e in g.edges], np.uint8)
