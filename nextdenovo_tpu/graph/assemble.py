@@ -410,18 +410,23 @@ class StringGraph:
         maxd11, maxd12 = d0 * min_depth_multi, d0 * max_depth_multi
         maxd21, maxd22 = d1 * min_depth_multi, d1 * max_depth_multi
         maxd23 = int(d1) * 10
+        # degenerate-median guard: a zero median (no .bl depth stats, or a
+        # graph dominated by isolated nodes) would turn every >= threshold
+        # into "remove all"; the reference never sees this because init_os
+        # only loads reads with real per-end depths (ng/main.c:13-79)
+        use_d0, use_d1 = d0 > 0, d1 > 0
         n_rep = 0
         for v in self.node_order:
             oes = [e for e in self._out_all(v) if self._live_e(e)]
             od = len(oes)
             mark = 0
-            if od >= maxd22:
+            if use_d1 and od >= maxd22:
                 self._rm_node(v)
                 self._rm_node(v ^ 1)
                 continue
-            elif od >= maxd21:
+            elif use_d1 and od >= maxd21:
                 mark = 1
-            elif od:
+            elif od and use_d0:
                 r = self.reads[v // 2]
                 dp = r.lc if (v & 1) else r.rc
                 if dp >= maxd12:
@@ -430,7 +435,7 @@ class StringGraph:
                     continue
                 elif dp >= maxd11:
                     mark = 1
-            if od >= maxd23 > 0:
+            if use_d1 and od >= maxd23 > 0:
                 st = sorted(self._out_all(v),
                             key=lambda e: (-e.sco, -e.ide))
                 t = 0
@@ -680,9 +685,7 @@ class StringGraph:
         max_tip = max_tip or self.p["sbranch_len"]
         if spath is None:
             spath = self.p["out_spath_len"]
-        verts = sorted({e.u for e in self.edges
-                        if not (e.deleted or e.reduced)})
-        for v in verts:
+        for v in self.node_order:
             ind, outd = self.degree(v)
             if ind != 0 or outd != 1:
                 continue
@@ -856,8 +859,10 @@ class StringGraph:
 
     @staticmethod
     def _bfs_flagged(info):
-        """Nodes flagged P1|P2|U (get_pending_nodes, asg.c:2340-2359)."""
-        return [v for v, d in info.items() if d["l"] & (2 | 4 | 16)]
+        """Nodes flagged P1|P2|U (get_pending_nodes, asg.c:2340-2359).
+        Sorted: the reference iterates khash order, which is arbitrary —
+        a fixed order keeps Python and the native port bit-identical."""
+        return sorted(v for v, d in info.items() if d["l"] & (2 | 4 | 16))
 
     @staticmethod
     def _bfs_path(info, start, w):
@@ -948,8 +953,8 @@ class StringGraph:
             pending = self._bfs_flagged(info)
             if not pending:
                 continue
-            common = [st for st, rec in info[pending[0]]["recs"].items()
-                      if rec["n"] > 0]
+            common = sorted(st for st, rec in info[pending[0]]["recs"].items()
+                            if rec["n"] > 0)
             for w in pending[1:]:
                 have = {st for st, rec in info[w]["recs"].items()
                         if rec["n"] > 0}
@@ -1162,7 +1167,7 @@ class StringGraph:
                     for k in range(j, len(arms)):
                         if k != s_best and arms[k][1][-1].v == end:
                             arms[k][0] = 0
-            arms.sort(key=lambda a: -a[0])
+            arms.sort(key=lambda a: a[0])   # msort_phs: score ascending
             for j, (sco_j, pj) in enumerate(arms):
                 end = pj[-1].v
                 for k in range(j + 1, len(arms)):
@@ -1531,9 +1536,7 @@ class StringGraph:
             return tc.get(self.einfo.get((e.u, e.v)), 0)
 
         n_cut = 0
-        verts = sorted({e.u for e in self.edges
-                        if not (e.deleted or e.reduced)})
-        for v in verts:
+        for v in self.node_order:
             oes = self.out_edges(v)
             if len(oes) < 2:
                 continue
@@ -1612,9 +1615,7 @@ class StringGraph:
         from bisect import insort
 
         paths = []
-        verts = sorted({e.u for e in self.edges
-                        if not (e.deleted or e.reduced)})
-        for v in verts:
+        for v in self.node_order:
             if len(self.out_edges(v)) < 2:
                 continue
             for e in self.out_edges(v):
@@ -2039,6 +2040,11 @@ def _native_build_clean(g: "StringGraph", ovl, alt_ctg: bool) -> bool:
         g.einfo[(u, v)] = len(g.edges) - 1
         g.out.setdefault(u, []).append(len(g.edges) - 1)
         g.inn.setdefault(v, []).append(len(g.edges) - 1)
+        for r in (u // 2, v // 2):
+            if r not in g._known_nodes:
+                g._known_nodes.add(r)
+                g.node_order.append(r * 2)
+                g.node_order.append(r * 2 + 1)
     return True
 
 

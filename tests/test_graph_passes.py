@@ -5,11 +5,14 @@ Graphs are built directly through StringGraph internals so each pass is
 exercised in isolation on a hand-crafted topology."""
 import numpy as np
 
-from nextdenovo_tpu.graph.assemble import ReadInfo, StringGraph
+from nextdenovo_tpu.graph.assemble import M_REP1, ReadInfo, StringGraph
 
 
 def _mkgraph(n_reads, edges, lens=20000, **params):
-    reads = {i: ReadInfo(length=lens) for i in range(n_reads)}
+    # nonzero per-end aligned depths: a zero median depth makes
+    # mark_edge_rep's max-depth gate (median * multi = 0) remove every
+    # node, exactly as the reference would on such degenerate .bl stats
+    reads = {i: ReadInfo(length=lens, lc=10, rc=10) for i in range(n_reads)}
     g = StringGraph(reads, **params)
     for (u, v, hang, sco, ide) in edges:
         g._add_pair(u, v, hang, hang, sco, ide)
@@ -27,8 +30,8 @@ def test_superbubble_keeps_best_path():
          (2, 6, 100, 9000, 9800), (4, 6, 100, 5000, 9000),
          (2, 8, 100, 4000, 8500), (8, 6, 100, 4000, 8500)]
     g = _mkgraph(5, E)
-    n = g.resolve_superbubbles()
-    assert n == 1
+    n = g.clean_complex_single_path(500, 0, 0.9)
+    assert n >= 1
     alive = _alive(g)
     assert (0, 2) in alive and (2, 6) in alive
     assert (0, 4) not in alive and (4, 6) not in alive
@@ -44,7 +47,7 @@ def test_long_bubble_arms_cut_weak_arm():
          (8, 10, 100, 4000, 8000),
          (10, 12, 100, 9000, 9900)]
     g = _mkgraph(7, E)
-    n = g.pop_long_bubble_arms()
+    n = g.rm_long_bubble(500, 0, 0.9)
     assert n == 1
     alive = _alive(g)
     assert (0, 2) in alive and (4, 10) in alive
@@ -159,7 +162,7 @@ def test_keep_best_edges_respects_rep_protection():
          (6, 4, 100, 8000, 9500)]
     g = _mkgraph(4, E)
     for e in g.edges:
-        e.rep = True
+        e.mfl |= M_REP1
     assert g.keep_best_edges() == 0
     assert (0, 4) in _alive(g)
 
