@@ -2020,7 +2020,11 @@ def _native_build_clean(g: "StringGraph", ovl, alt_ctg: bool) -> bool:
               end_loop_len=g.p["end_loop_len"],
               zbranch_len=g.p["zbranch_len"],
               min_edge_cov=g.p["min_edge_cov"],
-              min_ide_i=int(g.p["min_ide"] * 10000), alt_ctg=alt_ctg)
+              min_ide_i=int(g.p["min_ide"] * 10000), alt_ctg=alt_ctg,
+              bubble_len=g.p["bubble_len"],
+              cpath_len=g.p.get("cpath_len", 20),
+              keep_comp_path=g.p.get("keep_comp_path", 1),
+              keep_chimera_edge=g.p.get("keep_chimera_edge", 0))
     fp = dict(min_ide_ratio=g.p["min_ide_ratio"],
               min_sco_ratio=g.p["min_sco_ratio"],
               max_sco_ratio=g.p["max_sco_ratio"],
@@ -2028,9 +2032,11 @@ def _native_build_clean(g: "StringGraph", ovl, alt_ctg: bool) -> bool:
               min_depth_multi=g.p.get("min_depth_multi", 1.5),
               max_depth_multi=g.p.get("max_depth_multi", 2000.0),
               min_mat_ratio=g.p.get("min_mat_ratio", 0.9))
-    edges, flags, con = graph_run(recs, rinfo, ip, fp, mode=0)
+    edges, flags, con, norder = graph_run(recs, rinfo, ip, fp, mode=0)
     for rid, r in reads.items():
         r.con = int(con[rid])
+    g.node_order = [int(x) for x in norder]
+    g._known_nodes = {v // 2 for v in g.node_order}
     alive = (flags & 3) == 0
     ea, fa = edges[alive], flags[alive]
     for (u, v, h, s, i, iec, oec), fl in zip(ea.tolist(), fa.tolist()):
@@ -2040,11 +2046,6 @@ def _native_build_clean(g: "StringGraph", ovl, alt_ctg: bool) -> bool:
         g.einfo[(u, v)] = len(g.edges) - 1
         g.out.setdefault(u, []).append(len(g.edges) - 1)
         g.inn.setdefault(v, []).append(len(g.edges) - 1)
-        for r in (u // 2, v // 2):
-            if r not in g._known_nodes:
-                g._known_nodes.add(r)
-                g.node_order.append(r * 2)
-                g.node_order.append(r * 2 + 1)
     return True
 
 

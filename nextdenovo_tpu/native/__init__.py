@@ -73,7 +73,7 @@ def _load():
     lib.nd_graph_run.restype = ctypes.c_int64
     lib.nd_graph_run.argtypes = [
         i32p, ctypes.c_int64, i64p, ctypes.c_int64, i64p,
-        ctypes.POINTER(ctypes.c_double), i64p, u8p, i64p]
+        ctypes.POINTER(ctypes.c_double), i64p, u8p, i64p, i64p]
     lib.nd_correct_links.restype = ctypes.POINTER(NdCns)
     lib.nd_correct_links.argtypes = [
         u8p, ctypes.c_int32, ctypes.c_int32,
@@ -255,7 +255,8 @@ def graph_run(recs: np.ndarray, rinfo: np.ndarray, iparams: dict,
     lc, rc], dense by rid.
     Returns (edges (ne, 7) int64 [u, v, hang, sco, ide, ie, oe] (ie/oe =
     junction-cut coords, -1 for mode-1 edges), flags (ne,) uint8 bitfield
-    DEL|RED|CHIM|REP, con (n_reads,) int64 updated)."""
+    DEL|RED|CHIM|REP, con (n_reads,) int64 updated, node_order (int64)
+    vertex ids in the reference's node-creation order)."""
     L = lib()
     recs = np.ascontiguousarray(recs, np.int32)
     if recs.size == 0:
@@ -270,7 +271,10 @@ def graph_run(recs: np.ndarray, rinfo: np.ndarray, iparams: dict,
         iparams["sloop_len"], iparams["end_loop_len"],
         iparams["zbranch_len"], iparams["min_edge_cov"],
         iparams["min_ide_i"], 1 if iparams.get("alt_ctg") else 0,
-        stop_after, mode], np.int64)
+        stop_after, mode,
+        iparams.get("bubble_len", 500), iparams.get("cpath_len", 20),
+        iparams.get("keep_comp_path", 1),
+        1 if iparams.get("keep_chimera_edge") else 0], np.int64)
     fp = np.array([
         fparams["min_ide_ratio"], fparams["min_sco_ratio"],
         fparams["max_sco_ratio"], fparams["min_depth_ratio"],
@@ -281,6 +285,7 @@ def graph_run(recs: np.ndarray, rinfo: np.ndarray, iparams: dict,
     out_edges = np.zeros((cap, 7), np.int64)
     out_flags = np.zeros(cap, np.uint8)
     out_con = np.zeros(n_reads, np.int64)
+    out_norder = np.zeros(2 * max(n_reads, 1) + 1, np.int64)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -289,8 +294,10 @@ def graph_run(recs: np.ndarray, rinfo: np.ndarray, iparams: dict,
         ip.ctypes.data_as(i64p),
         fp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         out_edges.ctypes.data_as(i64p), out_flags.ctypes.data_as(u8p),
-        out_con.ctypes.data_as(i64p))
-    return out_edges[:ne], out_flags[:ne], out_con
+        out_con.ctypes.data_as(i64p), out_norder.ctypes.data_as(i64p))
+    n_no = int(out_norder[0])
+    return out_edges[:ne], out_flags[:ne], out_con, \
+        out_norder[1:1 + n_no]
 
 
 def poa(seqs: List[str]) -> str:

@@ -11,7 +11,7 @@ from nextdenovo_tpu.graph.assemble import DEFAULTS, ReadInfo, StringGraph
 from nextdenovo_tpu.native import graph_run
 from nextdenovo_tpu.overlap.records import OvlBlock
 
-N_PASSES = 22  # len(clean() pass list, alt_ctg=False); alt variant has 21
+N_PASSES = 29  # len(clean() pass list, alt_ctg=False); alt variant has 26
 
 
 def _params_from(g: StringGraph):
@@ -130,7 +130,7 @@ def _check_parity(seed, n_reads, n_ovl, alt_ctg=False, stops=None):
         pe, pf = _py_state(g)
         ip, fp = _params_from(g)
         ip["alt_ctg"] = alt_ctg
-        ne_, nf, ncon = graph_run(recs, rinfo, ip, fp, mode=0,
+        ne_, nf, ncon, _no = graph_run(recs, rinfo, ip, fp, mode=0,
                                   stop_after=stop)
         assert ne_.shape == pe.shape, \
             (stop, ne_.shape, pe.shape)
@@ -187,7 +187,7 @@ def test_native_graph_mode1_direct_edges():
     g.clean()
     pe, pf = _py_state(g)
     ip, fp = _params_from(g)
-    ne_, nf, _ = graph_run(np.array(tuples, np.int32),
+    ne_, nf, _, _no = graph_run(np.array(tuples, np.int32),
                            _rinfo_from(reads, n_reads), ip, fp, mode=1)
     np.testing.assert_array_equal(ne_, pe)
     np.testing.assert_array_equal(nf, pf)
