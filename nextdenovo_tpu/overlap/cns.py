@@ -82,7 +82,7 @@ def _realign_chunks(lq: int, lt: int):
 
 def realign_overlaps(store: SeqStore, cand: OvlBlock, ext: int = 64,
                      batch: int = 384, interpret: bool | None = None,
-                     min_ide: float = 0.05) -> OvlBlock:
+                     min_ide: float = 0.05, align_fn=None) -> OvlBlock:
     """Refine candidate overlap endpoints + identity with the banded aligner.
 
     Each candidate's clipped segments (grown by `ext` toward the read ends)
@@ -118,7 +118,9 @@ def realign_overlaps(store: SeqStore, cand: OvlBlock, ext: int = 64,
                 owner.append(i - sl.start)
         if not flat_q:
             continue
-        res_flat = tpu_align.band_align(flat_q, flat_t, interpret=interpret)
+        res_flat = (align_fn(flat_q, flat_t) if align_fn is not None
+                    else tpu_align.band_align(flat_q, flat_t,
+                                              interpret=interpret))
         # regroup chunk results per candidate
         grouped = [[] for _ in range(sl.stop - sl.start)]
         for o, r in zip(owner, res_flat):

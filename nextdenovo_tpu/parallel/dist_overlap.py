@@ -196,7 +196,8 @@ def distributed_overlap_step(codes, lens, rid_base, idx_h, idx_rid, idx_pos,
 
 
 def distributed_overlap_autocap(codes, lens, rid_base, idx_h, idx_rid,
-                                idx_pos, idx_strand, *, cap_mini: int,
+                                idx_pos, idx_strand, qmask=None, *,
+                                cap_mini: int,
                                 cap_out: int, max_retries: int = 3, **kw):
     """Overflow-safe wrapper: runs distributed_overlap_step and, when the
     psum'd overflow counter reports dropped rows anywhere (routing buckets,
@@ -210,7 +211,7 @@ def distributed_overlap_autocap(codes, lens, rid_base, idx_h, idx_rid,
     for _ in range(max_retries + 1):
         out = distributed_overlap_step(
             codes, lens, rid_base, idx_h, idx_rid, idx_pos, idx_strand,
-            cap_mini=cap_mini, cap_out=cap_out, **kw)
+            qmask, cap_mini=cap_mini, cap_out=cap_out, **kw)
         n_over = int(np.asarray(out[-1]).ravel()[0])
         if n_over == 0:
             return out, (cap_mini, cap_out)

@@ -1,0 +1,198 @@
+"""Mesh-native pipeline stages — the production wiring of the SPMD layer.
+
+The reference's production scale-out IS its job-matrix parallelism
+(/root/reference/nextDenovo:426-467 raw_align seed x part jobs, :356-366
+cns pair jobs, :368-467 ctg_align/ctg_cns blocks).  The `use_mesh = N`
+config knob routes the pipeline's heavy stages through the SPMD layer so
+the same structure runs as collectives over a device mesh instead:
+
+  raw_align  -> distributed_overlap_step   (hash-sharded index,
+                                            all_to_all minimizer routing)
+  sort_align -> distributed_sort_filter    (all_to_all seed shuffle)
+  seed_cns   -> distributed_correct        (shard_mapped Myers + host
+                                            consensus per owning shard)
+  cns_align  -> SPMD candidates + distributed_band_align realign
+  ctg_align  -> distributed_map_polish_reads
+  ctg_cns    -> distributed_polish
+
+Every stage is record/sequence-identical to its single-chip counterpart
+(asserted end to end in tests/test_mesh_pipeline.py and by
+dryrun_multichip); `run_pipeline` output with use_mesh = N must be
+byte-identical to use_mesh = 0.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Dict
+
+import numpy as np
+
+from ..io.seqstore import SeqStore
+from ..overlap.records import OvlBlock
+
+log = logging.getLogger("nextdenovo_tpu")
+
+
+def _pow2_rows(reads: SeqStore, n_shards: int):
+    """Pack EVERY read as a data-parallel code row (block distribution:
+    rid r on shard r // B_local, required by the anchor route-back)."""
+    rlens = np.asarray(reads.length, np.int64)
+    L = max(2048, int(1 << int(np.ceil(np.log2(max(2, rlens.max()))))))
+    B = ((len(reads) + n_shards - 1) // n_shards) * n_shards
+    codes = np.zeros((B, L), np.int32)
+    lens = np.zeros(B, np.int32)
+    rid_base = np.arange(B, dtype=np.int32)
+    for i in range(len(reads)):
+        c = reads.get(i)[:L]
+        codes[i, : len(c)] = c
+        lens[i] = len(c)
+    return codes, lens, rid_base, L, B
+
+
+def mesh_raw_align(store: SeqStore, seed_mask: np.ndarray, mesh, n_shards,
+                   *, k: int, w: int, max_occ: int = 16, min_cnt: int = 4,
+                   min_span: int = 500, top_k: int = 4) -> OvlBlock:
+    """raw_align over the mesh: every read is a data-parallel query row,
+    the minimizer index is hash-partitioned across shards, and the record
+    set is filtered to seed queries — identical to the single-chip
+    find_overlaps(seed queries, query_mask=seed_mask) emission."""
+    import jax.numpy as jnp
+
+    from ..overlap.engine import build_index
+    from .dist_overlap import distributed_overlap_autocap
+    from .mesh import partition_index, replicate, shard_rows
+
+    rids = np.arange(len(store))
+    idx = build_index(store, rids, k=k, w=w, max_occ=64)
+    ih, irid, ipos, istr = partition_index(idx, n_shards)
+    idx = None
+    codes, lens, rid_base, L, B = _pow2_rows(store, n_shards)
+    qmask = np.asarray(seed_mask, np.int8)
+    cap_mini = 2 * (B // n_shards) * L // max(1, w) + 1024
+    args = [shard_rows(mesh, jnp.asarray(a))
+            for a in (codes, lens, rid_base, ih, irid, ipos, istr)]
+    out, _caps = distributed_overlap_autocap(
+        *args, replicate(mesh, jnp.asarray(qmask)), k=k, w=w,
+        cap_mini=cap_mini, max_occ=max_occ, diag_shift=8,
+        cap_out=max(4096, 512 * (B // n_shards)), mesh=mesh,
+        n_shards=n_shards, min_cnt=min_cnt, min_span=min_span, top_k=top_k)
+    qn, tn, rv, qs, qe, ts, te, mt = (np.asarray(x).reshape(-1)
+                                      for x in out[:8])
+    keep = qn >= 0
+    # non-seed query rows were computed data-parallel but the single-chip
+    # stage only queries seeds: drop their records
+    keep &= np.where(qn >= 0, qmask[np.maximum(qn, 0)] > 0, False)
+    blk = OvlBlock.from_arrays(qname=qn[keep], rev=rv[keep], qs=qs[keep],
+                               qe=qe[keep], tname=tn[keep], ts=ts[keep],
+                               te=te[keep], match=mt[keep])
+    if len(blk):
+        blk = blk.take(np.argsort(np.asarray(blk.qname), kind="stable"))
+    return blk
+
+
+def mesh_correction(store: SeqStore, sorted_blk, blacklist: Dict, mesh,
+                    n_shards, *, read_type: int = 1,
+                    min_len_seed: int = 1000,
+                    min_error_corrected_ratio: float = 0.8,
+                    split: bool = False, fast: bool = False,
+                    **kw) -> SeqStore:
+    """seed_cns over the mesh: distributed_correct per seed, then the
+    exact post-processing of correct.driver.run_correction (piece naming,
+    split-at-uncorrected runs, min-length gates) in global job order."""
+    from ..correct.driver import _TR, iter_seed_jobs
+    from .dist_correct import distributed_correct
+
+    lens = np.asarray(store.length)
+    jobs = list(iter_seed_jobs(
+        sorted_blk, blacklist, lens, min_len_seed=min_len_seed,
+        **{k: v for k, v in kw.items()
+           if k in ("min_len_aln", "min_cov_seed", "max_cov_aln")}))
+    results = distributed_correct(
+        store, sorted_blk, blacklist, mesh, n_shards,
+        read_type=read_type, min_len_seed=min_len_seed,
+        min_error_corrected_ratio=min_error_corrected_ratio, split=split,
+        fast=fast,
+        **{k: v for k, v in kw.items()
+           if k in ("min_len_aln", "min_cov_seed", "max_cov_aln",
+                    "min_cov", "max_lq_length")})
+    out_seqs, out_names = [], []
+    n_fail = 0
+    for job in jobs:
+        ln, ide, seq = results[job.seed]
+        pieces = []
+        if ln < min_len_seed or ide < min_error_corrected_ratio:
+            if ln == 3:
+                n_fail += 1
+        elif split:
+            runs, cur = [], []
+            for c in seq:
+                if c in "ACGT":
+                    cur.append(c)
+                else:
+                    if cur:
+                        runs.append("".join(cur))
+                    cur = []
+            if cur:
+                runs.append("".join(cur))
+            for i, r in enumerate(runs):
+                if len(r) >= min_len_seed:
+                    pieces.append((f"{job.seed}_{i+1}", r))
+        else:
+            pieces.append((str(job.seed), seq.upper()))
+        for name, r in pieces:
+            out_names.append(name)
+            out_seqs.append(
+                np.frombuffer(r.encode().translate(_TR), np.uint8))
+    log.info("mesh correction: %d corrected sequences (%d failures)",
+             len(out_seqs), n_fail)
+    return SeqStore.from_codes(out_seqs, names=out_names)
+
+
+def mesh_cns_align(cns_store: SeqStore, mesh, n_shards, *, k: int, w: int,
+                   maxhan1: int, maxhan2: int, min_span: int,
+                   min_cnt: int = 3, max_occ: int = 16,
+                   interpret=None):
+    """cns_align over the mesh: ava candidates via the SPMD overlap step
+    (pair-once gated), realign via shard_mapped Myers
+    (distributed_band_align); end-extension and the sequential dovetail
+    filter run exactly as on one chip (per-pair local compute / the
+    order-dependent global filter).  Returns (OvlBlock, bl_info, CnsInfo)
+    like cns_overlap_stage(return_info=True)."""
+    import jax.numpy as jnp
+
+    from ..overlap.cns import (bl_info_for_graph, extend_overlap_ends,
+                               filter_cns_overlaps, realign_overlaps)
+    from ..overlap.engine import build_index
+    from .dist_correct import distributed_band_align
+    from .dist_overlap import distributed_overlap_autocap
+    from .mesh import partition_index, replicate, shard_rows
+
+    rids = np.arange(len(cns_store))
+    idx = build_index(cns_store, rids, k=k, w=w, max_occ=max(64, max_occ * 4))
+    ih, irid, ipos, istr = partition_index(idx, n_shards)
+    idx = None
+    codes, lens, rid_base, L, B = _pow2_rows(cns_store, n_shards)
+    qmask = np.ones(len(cns_store), np.int8)
+    cap_mini = 2 * (B // n_shards) * L // max(1, w) + 1024
+    args = [shard_rows(mesh, jnp.asarray(a))
+            for a in (codes, lens, rid_base, ih, irid, ipos, istr)]
+    out, _caps = distributed_overlap_autocap(
+        *args, replicate(mesh, jnp.asarray(qmask)), k=k, w=w,
+        cap_mini=cap_mini, max_occ=max_occ, diag_shift=8,
+        cap_out=max(4096, 512 * (B // n_shards)), mesh=mesh,
+        n_shards=n_shards, min_cnt=min_cnt, min_span=min_span, top_k=1)
+    qn, tn, rv, qs, qe, ts, te, mt = (np.asarray(x).reshape(-1)
+                                      for x in out[:8])
+    keep = qn >= 0
+    cand = OvlBlock.from_arrays(qname=qn[keep], rev=rv[keep], qs=qs[keep],
+                                qe=qe[keep], tname=tn[keep], ts=ts[keep],
+                                te=te[keep], match=mt[keep])
+    if len(cand):
+        cand = cand.take(np.argsort(np.asarray(cand.qname), kind="stable"))
+    align_fn = lambda fq, ft: distributed_band_align(fq, ft, mesh, n_shards)
+    ovl = realign_overlaps(cns_store, cand, interpret=interpret,
+                           align_fn=align_fn)
+    ovl = extend_overlap_ends(cns_store, ovl, interpret=interpret)
+    kept, info = filter_cns_overlaps(ovl, np.asarray(cns_store.length),
+                                     maxhan1=maxhan1, maxhan2=maxhan2)
+    return kept, bl_info_for_graph(info), info

@@ -29,3 +29,35 @@ def shard_rows(mesh: Mesh, arr):
 
 def replicate(mesh: Mesh, arr):
     return jax.device_put(arr, NamedSharding(mesh, P()))
+
+
+def partition_index(idx, n_shards: int, min_rows: int = 64):
+    """Hash-range partition of a hash-sorted minimizer index into per-shard
+    row blocks (shard d owns hashes with top bits == d, the ownership rule
+    of distributed_overlap_step's minimizer routing).
+
+    Returns (ih, irid, ipos, istr) as flattened (n_shards * H,) arrays
+    where H pads every shard to the largest shard's entry count —
+    previously triplicated in __graft_entry__, dist_polish and the scale
+    dryrun (one drifting copy would silently break the parity claims).
+    """
+    h = np.asarray(idx.h)
+    shift_bits = 32 - max(1, (n_shards - 1).bit_length()) if n_shards > 1 \
+        else 32
+    owner = (h >> shift_bits) % n_shards if n_shards > 1 \
+        else np.zeros(len(h), np.int64)
+    H = max(int(np.bincount(owner, minlength=n_shards).max()), min_rows)
+    ih = np.full((n_shards, H), 0xFFFFFFFF, np.uint32)
+    irid = np.full((n_shards, H), -1, np.int32)
+    ipos = np.zeros((n_shards, H), np.int32)
+    istr = np.zeros((n_shards, H), np.int32)
+    pos_u, str_u = idx.unpack()
+    rid = np.asarray(idx.rid)
+    for d in range(n_shards):
+        sel = np.nonzero(owner == d)[0]      # hash-sorted -> contiguous
+        ih[d, : len(sel)] = h[sel]
+        irid[d, : len(sel)] = rid[sel]
+        ipos[d, : len(sel)] = pos_u[sel]
+        istr[d, : len(sel)] = str_u[sel]
+    return (ih.reshape(-1), irid.reshape(-1), ipos.reshape(-1),
+            istr.reshape(-1))

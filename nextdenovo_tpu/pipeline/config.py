@@ -36,6 +36,11 @@ class Config:
     workdir: str = "./01_rundir"
     rewrite: bool = True
     rerun: int = 3             # bounded stage rerun (nextDenovo:652-661)
+    # use_mesh = N: run the heavy stages as SPMD programs over an N-device
+    # jax mesh (parallel/dist_pipeline.py) — the device-collective form of
+    # the reference's job-matrix parallelism (nextDenovo:426-467).  Output
+    # is byte-identical to use_mesh = 0 (tests/test_mesh_pipeline.py).
+    use_mesh: int = 0
     # [correct_option]
     read_cutoff: int = 1000
     genome_size: int = 0
@@ -157,6 +162,8 @@ def load_config(path: str) -> Config:
     if "rerun" in raw:
         # capped at 10 like the reference (config_parser.py:263)
         cfg.rerun = min(10, max(0, int(raw["rerun"].split()[0])))
+    if "use_mesh" in raw:
+        cfg.use_mesh = int(raw["use_mesh"].split()[0])
     if "correction_options" in raw:
         if "-fast" in raw["correction_options"]:
             cfg.fast_correct = True

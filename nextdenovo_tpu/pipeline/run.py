@@ -109,6 +109,18 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
     os.makedirs(cfg.workdir, exist_ok=True)
     t_start = time.time()
 
+    # use_mesh = N: route the heavy stages through the SPMD layer
+    # (parallel/dist_pipeline.py) over an N-device mesh.  Byte-identical
+    # output to the single-device path (tests/test_mesh_pipeline.py);
+    # mutually exclusive with multi-host process sharding.
+    mesh_n = int(getattr(cfg, "use_mesh", 0) or 0)
+    use_mesh = mesh_n > 1 and not multi
+    mesh = None
+    if use_mesh:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh(mesh_n)
+        log.info("use_mesh=%d: SPMD stages over %s", mesh_n, mesh)
+
     # ---- db_stat + db_split --------------------------------------------
     st = Stage(cfg.workdir, "00.db")
     if multi and not hs.is_main() and not st.done():
@@ -159,6 +171,13 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
             mine = seed_rids[hs.shard(len(seed_rids))]
             part_p = st.path(f"raw.ovl.h{hs.host_id}") if multi \
                 else st.path("raw.ovl")
+            if use_mesh and not os.path.exists(part_p + ".npz"):
+                from ..parallel.dist_pipeline import mesh_raw_align
+                with span("raw_align", reads=len(store), queries=len(mine)):
+                    blk = retry("raw_align(mesh)", lambda: mesh_raw_align(
+                        store, seed_mask, mesh, mesh_n, k=cfg.raw_k,
+                        w=cfg.raw_w), cfg.rerun)
+                blk.save(part_p)
             if not os.path.exists(part_p + ".npz"):
                 # intra-stage resume: queries run in fixed chunks, each
                 # durably checkpointed — a crash mid-overlap redoes only
@@ -229,8 +248,16 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
                          json.load(open(st.path("bl.json"))).items()}
         else:
             with span("sort_align", records=len(raw_ovl)):
-                res = sort_filter_overlaps(raw_ovl, seed_mask, lens,
-                                           max_bin_cov=cfg.sort_max_depth)
+                if use_mesh:
+                    from ..parallel.dist_sort import distributed_sort_filter
+                    res = distributed_sort_filter(
+                        raw_ovl, seed_mask, lens, mesh, mesh_n,
+                        max_bin_cov=cfg.sort_max_depth,
+                        is_hq=cfg.read_type == "hifi")
+                else:
+                    res = sort_filter_overlaps(
+                        raw_ovl, seed_mask, lens,
+                        max_bin_cov=cfg.sort_max_depth)
             sorted_blk, blacklist = res.block, res.blacklist
             log.info("sort_align: %d records, %d blacklisted seeds",
                      len(sorted_blk), len(blacklist))
@@ -242,6 +269,21 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
         st = Stage(cfg.workdir, "03.seed_cns")
         if not st.done():
             part_p = st.path(f"cns.h{hs.host_id}") if multi else st.path("cns")
+            if use_mesh and not os.path.exists(part_p + ".npz"):
+                from ..parallel.dist_pipeline import mesh_correction
+                with span("seed_cns", records=len(sorted_blk)):
+                    cns_part = retry("seed_cns(mesh)", lambda: mesh_correction(
+                        store, sorted_blk, blacklist, mesh, mesh_n,
+                        read_type=cfg.read_type_code,
+                        min_len_seed=cfg.min_len_seed,
+                        min_error_corrected_ratio=cfg.min_error_corrected_ratio,
+                        split=cfg.split_corrected, fast=cfg.fast_correct,
+                        min_len_aln=cfg.min_len_aln,
+                        min_cov_seed=cfg.min_cov_seed,
+                        max_cov_aln=cfg.max_cov_aln,
+                        min_cov=cfg.min_cov_base,
+                        max_lq_length=cfg.max_lq_length), cfg.rerun)
+                cns_part.save(part_p)
             if not os.path.exists(part_p + ".npz"):
                 with span("seed_cns", records=len(sorted_blk)):
                     cns_part = retry("seed_cns", lambda: run_correction(
@@ -343,6 +385,20 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
                 st.mark()
             else:
                 hs.wait_done(st)
+        elif use_mesh:
+            from ..parallel.dist_pipeline import mesh_cns_align
+            with span("cns_align", reads=len(cns_store)):
+                cns_ovl, bl, cinfo = retry(
+                    "cns_align(mesh)", lambda: mesh_cns_align(
+                        cns_store, mesh, mesh_n, k=cfg.cns_k, w=cfg.cns_w,
+                        maxhan1=cfg.maxhan1, maxhan2=cfg.maxhan2,
+                        min_span=cfg.cns_min_span, interpret=interpret),
+                    cfg.rerun)
+            cns_ovl.save(st.path("cns.filt.dovt.ovl"))
+            json.dump(bl, open(st.path("cnsbl.json"), "w"))
+            np.savez(st.path("cnsinfo.npz"), st=cinfo.st,
+                     touched=cinfo.touched, alns=cinfo.alns, lens=cinfo.lens)
+            st.mark()
         else:
             cns_rids = np.arange(len(cns_store))
             with span("cns_align", reads=len(cns_store)):
@@ -422,6 +478,13 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
             else:
                 map_store = cns_store
             map_p = st.path(f"map.h{hs.host_id}" if multi else "map")
+            if use_mesh and not os.path.exists(map_p + ".npz"):
+                from ..parallel.dist_polish import \
+                    distributed_map_polish_reads
+                with span("ctg_align", contigs=len(seqs)):
+                    part = distributed_map_polish_reads(
+                        seqs, map_store, mesh, mesh_n)
+                part.save(map_p)
             if not os.path.exists(map_p + ".npz"):
                 with span("ctg_align", contigs=len(seqs)):
                     part = map_polish_reads(
@@ -451,13 +514,22 @@ def run_pipeline(cfg: Config, interpret: bool | None = None, hosts=None):
                         ci = int(ci)
                         qv = (node_qv[ci] if node_qv and ci < len(node_qv)
                               else [])
+                        if use_mesh:
+                            from ..parallel.dist_correct import \
+                                distributed_band_align
+                            align_fn = (lambda a_, b_:
+                                        distributed_band_align(
+                                            a_, b_, mesh, mesh_n))
+                        else:
+                            align_fn = None
                         for j, p in enumerate(retry(
                                 f"ctg_cns contig {ci}",
                                 lambda: polish_one(
                                     seqs[ci], per_ctg[ci], map_store, qv,
                                     read_type=cfg.read_type_code,
                                     split=cfg.ctg_split,
-                                    interpret=interpret),
+                                    interpret=interpret,
+                                    align_fn=align_fn),
                                 cfg.rerun)):
                             keyed.append((f"{ci:06d}.{j:03d}", p))
                         log.info("polish: contig %d done", ci)
