@@ -74,28 +74,14 @@ def main():
                         min_cnt=4, min_span=500, top_k=1)
     print(f"single-chip: {len(ref)} records ({time.time()-t0:.0f}s)")
 
-    # hash-range partition of the index
-    h = np.asarray(idx.h)
-    shift_bits = 32 - max(1, (n_dev - 1).bit_length())
-    owner = (h >> shift_bits) % n_dev
-    H = max(int(np.bincount(owner, minlength=n_dev).max()), 64)
-    ih = np.full((n_dev, H), 0xFFFFFFFF, np.uint32)
-    irid = np.full((n_dev, H), -1, np.int32)
-    ipos = np.zeros((n_dev, H), np.int32)
-    istr = np.zeros((n_dev, H), np.int32)
-    pos_u, str_u = idx.unpack()
-    for d in range(n_dev):
-        sel = np.nonzero(owner == d)[0]
-        ih[d, : len(sel)] = h[sel]
-        irid[d, : len(sel)] = np.asarray(idx.rid)[sel]
-        ipos[d, : len(sel)] = pos_u[sel]
-        istr[d, : len(sel)] = str_u[sel]
+    from nextdenovo_tpu.parallel.mesh import partition_index
+
+    ih, irid, ipos, istr = partition_index(idx, n_dev)
 
     t0 = time.time()
     args = [shard_rows(mesh, jnp.asarray(a))
             for a in (codes, lens, np.arange(B, dtype=np.int32),
-                      ih.reshape(-1), irid.reshape(-1), ipos.reshape(-1),
-                      istr.reshape(-1))]
+                      ih, irid, ipos, istr)]
     # caps start at 1/4 of the safe size: autocap MUST engage and double
     # its way up (overflow detection under real pressure, SURVEY §7 (i))
     cap_mini0 = (2 * (B // n_dev) * L // w + 1024) // 4

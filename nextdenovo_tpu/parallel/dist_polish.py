@@ -66,31 +66,13 @@ def distributed_map_polish_reads(contigs: List[np.ndarray], reads: SeqStore,
     from ..overlap.engine import build_index
     from ..overlap.records import OvlBlock
     from .dist_overlap import distributed_overlap_autocap
-    from .mesh import shard_rows
+    from .mesh import partition_index, shard_rows
 
     joint = SeqStore.from_codes(list(contigs) + [reads.get(i)
                                                  for i in range(len(reads))])
     n_ctg = len(contigs)
     idx = build_index(joint, np.arange(n_ctg), k=k, w=w, max_occ=256)
-
-    # hash-range partition of the (hash-sorted) index across shards
-    h = np.asarray(idx.h)
-    shift_bits = 32 - max(1, (n_shards - 1).bit_length()) if n_shards > 1 \
-        else 32
-    owner = (h >> shift_bits) % n_shards if n_shards > 1 \
-        else np.zeros(len(h), np.int64)
-    H = max(int(np.bincount(owner, minlength=n_shards).max()), 64)
-    ih = np.full((n_shards, H), 0xFFFFFFFF, np.uint32)
-    irid = np.full((n_shards, H), -1, np.int32)
-    ipos = np.zeros((n_shards, H), np.int32)
-    istr = np.zeros((n_shards, H), np.int32)
-    pos_u, str_u = idx.unpack()
-    for d in range(n_shards):
-        sel = np.nonzero(owner == d)[0]
-        ih[d, : len(sel)] = h[sel]
-        irid[d, : len(sel)] = np.asarray(idx.rid)[sel]
-        ipos[d, : len(sel)] = pos_u[sel]
-        istr[d, : len(sel)] = str_u[sel]
+    ih, irid, ipos, istr = partition_index(idx, n_shards)
 
     # reads as data-parallel code rows (block distribution: rid r on shard
     # r // B_local, which the route-back step requires)
@@ -113,8 +95,7 @@ def distributed_map_polish_reads(contigs: List[np.ndarray], reads: SeqStore,
     # per-SHARD minimizer capacity: every local row batch shares one array
     cap_mini = 2 * (B // n_shards) * L // max(1, w) + 1024
     args = [shard_rows(mesh, jnp.asarray(a))
-            for a in (codes, lens, rid_base, ih.reshape(-1),
-                      irid.reshape(-1), ipos.reshape(-1), istr.reshape(-1))]
+            for a in (codes, lens, rid_base, ih, irid, ipos, istr)]
     out, _caps = distributed_overlap_autocap(
         *args, k=k, w=w, cap_mini=cap_mini, max_occ=8, diag_shift=8,
         cap_out=max(4096, 512 * (B // n_shards)), mesh=mesh,
