@@ -45,7 +45,10 @@ def _chunk_sup_pairs(sup: np.ndarray, seg_ss: int, seg_se: int, t: int):
         return [(0, len(sup), seg_ss, seg_se)]
     st = (t % 5) * (CORR_PIECE // 5)
     bounds = [seg_ss]
-    p = seg_ss + (st + CORR_PIECE if st else CORR_PIECE)
+    # stagger with a SHORT first chunk (st alone), never st + CORR_PIECE:
+    # a long first chunk would exceed CORR_CHUNK_T and re-open the
+    # shape-bucket ladder this chunking exists to bound
+    p = seg_ss + (st if st else CORR_PIECE)
     while p < seg_se - CORR_PIECE // 2:
         bounds.append(p)
         p += CORR_PIECE
@@ -53,8 +56,11 @@ def _chunk_sup_pairs(sup: np.ndarray, seg_ss: int, seg_se: int, t: int):
     f = len(sup) / max(1, seg_len)
     out = []
     for a, b in zip(bounds[:-1], bounds[1:]):
-        lo = max(0, int((a - seg_ss) * f) - 32)
-        hi = min(len(sup), int((b - seg_ss) * f) + 32)
+        # support-slice slop scales with chunk length: the fixed +-32 can
+        # undershoot cumulative indel drift on raw reads over ~9 kb chunks
+        slop = 32 + (b - a) // 32
+        lo = max(0, int((a - seg_ss) * f) - slop)
+        hi = min(len(sup), int((b - seg_ss) * f) + slop)
         if b - a >= 200 and hi - lo >= 100:
             out.append((lo, hi, a, b - 1))
     return out or [(0, len(sup), seg_ss, seg_se)]

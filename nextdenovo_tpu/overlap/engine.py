@@ -240,11 +240,18 @@ def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
         del inflight[:]
         arrs = []
         for m, _, _ in group:
-            arrs += [m.hash, m.rid, m.pos, m.strand, m.n]
+            arrs += [m.hash, m.rid, m.pos, m.strand, m.n, m.n_all]
         pulled = fetch(arrs)
         for gi, (_, row_rid, row_g0) in enumerate(group):
-            hh, rr_, pp, ss_, nn = pulled[5 * gi : 5 * gi + 5]
+            hh, rr_, pp, ss_, nn, nall = pulled[6 * gi : 6 * gi + 6]
             n = int(nn)
+            # sketch-cap overflow check (the SPMD path's drop accounting,
+            # dist_overlap.py): n_all is the TRUE selected count before the
+            # cap — silent truncation here would silently lose minimizers
+            if int(nall) > n:
+                raise RuntimeError(
+                    f"sketch cap overflow building index: selected "
+                    f"{int(nall)} minimizers > cap {n}; raise cap_mini")
             mr = rr_[:n]
             parts.append((row_rid[mr], pp[:n] + row_g0[mr], hh[:n], ss_[:n]))
 
