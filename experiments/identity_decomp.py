@@ -1,0 +1,129 @@
+"""Decompose the residual 31-mer error of a finished scale run
+(VERDICT r4 weak #5 / next #7: 0.995 at 10-20 Mb vs 0.997 at 5 Mb,
+unexplained).
+
+Loads a scale_run workdir, re-simulates its genome (same seed as
+scale_run.py), and reports:
+  * draft (pre-polish, 05.ctg_graph/draft) vs final (nd.asm.fasta)
+    31-mer identity — does polish help or hurt at this scale?
+  * seam-band vs interior mismatch density on the FINAL contigs:
+    polish windows are `window - 2*EDGE - STITCH - SLACK` apart, so
+    mismatch clusters at that stride implicate the stitch; a flat
+    profile implicates the consensus itself.
+  * mismatch run-length histogram (scattered single-base errors point at
+    consensus/QV choices; multi-base runs at splices/junctions).
+
+Run: python experiments/identity_decomp.py <workdir> <genome_mb>
+     [sim_seed=5] [out_json]
+"""
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def kmer_hits(contig: np.ndarray, gk: set, k: int = 31):
+    """Per-position k-mer membership (1 = k-mer at this offset in genome)."""
+    a = np.asarray(contig, np.uint64)
+    if len(a) < k:
+        return np.zeros(0, bool)
+    v = np.zeros(len(a) - k + 1, np.uint64)
+    for j in range(k):
+        v = (v << np.uint64(2)) | a[j : len(a) - k + 1 + j]
+    return np.fromiter((int(x) in gk for x in v), bool, len(v))
+
+
+def kset(arr, k=31):
+    a = np.asarray(arr, np.uint64)
+    if len(a) < k:
+        return set()
+    v = np.zeros(len(a) - k + 1, np.uint64)
+    for j in range(k):
+        v = (v << np.uint64(2)) | a[j : len(a) - k + 1 + j]
+    return set(v.tolist())
+
+
+def main():
+    from nextdenovo_tpu.io.fastx import read_fastx
+    from nextdenovo_tpu.io.seqstore import SeqStore
+    from nextdenovo_tpu.io.simulate import simulate_genome
+    from nextdenovo_tpu.polish.driver import EDGE, SLACK, STITCH
+
+    wd = sys.argv[1]
+    glen = int(float(sys.argv[2]) * 1e6)
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    out_json = sys.argv[4] if len(sys.argv) > 4 else None
+
+    g = simulate_genome(glen, seed=seed)
+    gk = kset(g) | kset((np.asarray(g) ^ 3)[::-1])
+
+    draft = SeqStore.load(os.path.join(wd, "05.ctg_graph", "draft"))
+    drafts = [draft.get(i) for i in range(len(draft))]
+    finals = [s for _, s in read_fastx(
+        os.path.join(wd, "06.ctg_cns", "nd.asm.fasta"))]
+
+    def ident(ctgs, stride=11):
+        hit = tot = 0
+        for c in ctgs:
+            a = np.asarray(c, np.uint64)
+            if len(a) < 31:
+                continue
+            v = np.zeros(len(a) - 30, np.uint64)
+            for j in range(31):
+                v = (v << np.uint64(2)) | a[j : len(a) - 30 + j]
+            sub = v[::stride]
+            hit += sum(1 for x in sub.tolist() if x in gk)
+            tot += len(sub)
+        return hit / max(1, tot)
+
+    res = dict(genome_mb=glen / 1e6,
+               draft_identity=round(ident(drafts), 5),
+               final_identity=round(ident(finals), 5))
+
+    # seam-band analysis on the largest final contig: windows advance by
+    # window - (2*EDGE + STITCH + SLACK) interior bases
+    big = max(finals, key=len)
+    hits = kmer_hits(big, gk)
+    miss = ~hits
+    window = 25000
+    stride = window - (2 * EDGE + STITCH + SLACK)
+    seam_mask = np.zeros(len(miss), bool)
+    band = 300
+    p = stride
+    n_seams = 0
+    while p < len(miss):
+        seam_mask[max(0, p - band) : p + band] = True
+        n_seams += 1
+        p += stride
+    seam_err = float(miss[seam_mask].mean()) if seam_mask.any() else 0.0
+    int_err = float(miss[~seam_mask].mean()) if (~seam_mask).any() else 0.0
+    res.update(seam_n=n_seams, seam_band_missrate=round(seam_err, 5),
+               interior_missrate=round(int_err, 5))
+
+    # mismatch run-length histogram (interior only)
+    runs = []
+    c = 0
+    for x in miss:
+        if x:
+            c += 1
+        elif c:
+            runs.append(c)
+            c = 0
+    if c:
+        runs.append(c)
+    hist = {}
+    for r in runs:
+        b = "1-31" if r <= 31 else ("32-100" if r <= 100 else
+                                    ("101-1k" if r <= 1000 else ">1k"))
+        hist[b] = hist.get(b, 0) + 1
+    res["miss_run_hist"] = hist
+    print(json.dumps(res, indent=1))
+    if out_json:
+        json.dump(res, open(out_json, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()

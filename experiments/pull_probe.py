@@ -1,0 +1,114 @@
+"""Resolve the r4 event-pull paradox (VERDICT weak #4 / next #8).
+
+Round 4 shrank the Myers traceback's device->host bytes 3-4x (2-bit event
+codes + up-run stream) yet `myers_dev_over_e2e` went 26.5 -> 28.5 and
+pairs/s dropped.  Hypothesis: the tunnel's device->host path is
+LATENCY-bound, not bandwidth-bound, so byte packing cannot move it.
+
+This probe measures, on the live backend:
+  1. pull latency vs payload size (4 KB .. 64 MB, median of 7): if the
+     curve is flat until ~MBs, each pull pays a fixed RTT and the lever
+     is FEWER pulls, not fewer bytes;
+  2. the actual correction-path pull: a myers_fwd+tb launch at production
+     shapes, pulled (a) per-batch and (b) 8-batches-per-fetch, comparing
+     effective pairs/s.
+
+Run on TPU: python experiments/pull_probe.py [out_json]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def median_time(fn, n=7):
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from nextdenovo_tpu.utils.fetch import fetch
+
+    out_json = sys.argv[1] if len(sys.argv) > 1 else None
+    res = dict(backend=jax.default_backend())
+
+    # --- 1. latency vs size ---
+    lat = {}
+    f = jax.jit(lambda x: x + 1)
+    for size in (4 << 10, 64 << 10, 1 << 20, 8 << 20, 64 << 20):
+        a = jnp.zeros(size // 4, jnp.int32)
+        a = f(a)
+        np.asarray(a)  # warm
+        t = median_time(lambda: np.asarray(f(a)))
+        lat[f"{size >> 10}KB"] = round(t * 1e3, 2)
+    res["pull_ms_by_size"] = lat
+
+    # --- 2. correction-path pull shapes ---
+    from nextdenovo_tpu.ops.myers import (_build_streams, _half_octave,
+                                          myers_fwd, myers_tb)
+
+    rng = np.random.default_rng(0)
+    B, nw = 256, 8
+    W = 32 * nw
+    n_len = 8192
+    n_pad = _half_octave(n_len + 1)
+    qw = _half_octave(n_len + W + 2)
+    qpad = rng.integers(0, 4, (B, qw)).astype(np.int8)
+    tpad = qpad[:, :n_pad].copy()
+    m = np.full(B, n_len, np.int32)
+    n = np.full(B, n_len, np.int32)
+    off = np.clip((W - (m - n)) // 2, 16, W - 16).astype(np.int32)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("nw",))
+    def step(qpad, tpad, off, m, n, nw):
+        qtop, tch, win0 = _build_streams(jnp.asarray(qpad),
+                                         jnp.asarray(tpad),
+                                         jnp.asarray(off), nw=nw)
+        score, planes, final = myers_fwd(win0, qtop, tch, jnp.asarray(n),
+                                         jnp.asarray(off), nw=nw)
+        evs, i_f, ok = myers_tb(planes, jnp.asarray(m), jnp.asarray(n),
+                                jnp.asarray(off), nw=nw)
+        return score, final, evs, i_f, ok
+
+    outs = step(qpad, tpad, off, m, n, nw)
+    fetch(list(outs))  # warm compile + pull
+
+    t_per_batch = median_time(lambda: fetch(list(step(qpad, tpad, off, m,
+                                                      n, nw))))
+    # grouped: launch 8 batches, one packed fetch
+    def grouped():
+        group = [step(qpad, tpad, off, m, n, nw) for _ in range(8)]
+        arrs = [a for outs in group for a in outs]
+        fetch(arrs)
+    t0 = time.time()
+    grouped()
+    t_grouped8 = (time.time() - t0) / 8
+    ev_bytes = int(np.asarray(outs[2]).nbytes)
+    res.update(
+        pairs_per_launch=B,
+        ev_plane_bytes=ev_bytes,
+        per_batch_s=round(t_per_batch, 4),
+        grouped8_per_batch_s=round(t_grouped8, 4),
+        pairs_s_single=round(B / t_per_batch, 1),
+        pairs_s_grouped=round(B / t_grouped8, 1),
+    )
+    print(json.dumps(res, indent=1))
+    if out_json:
+        json.dump(res, open(out_json, "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()
