@@ -28,27 +28,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def kmer_identity(contigs, genome, k=31, stride=7):
-    """Fraction of sampled contig k-mers present in the genome (both
-    strands) — a fast proxy for per-base identity."""
-    def kset(arr, stride=1):
-        a = np.asarray(arr, np.uint64)
-        if len(a) < k:
-            return set()
-        v = np.zeros(len(a) - k + 1, np.uint64)
-        for j in range(k):
-            v = (v << np.uint64(2)) | a[j : len(a) - k + 1 + j]
-        return set(v[::stride].tolist())
-
-    gk = kset(genome) | kset((np.asarray(genome) ^ 3)[::-1])
-    hit = tot = 0
-    for c in contigs:
-        ck = kset(c, stride=stride)
-        hit += sum(1 for v in ck if v in gk)
-        tot += len(ck)
-    return hit / max(1, tot)
-
-
 def main():
     glen = int(float(sys.argv[1]) * 1000) if len(sys.argv) > 1 else 1_000_000
     cov = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -64,24 +43,34 @@ def main():
     import logging
     logging.basicConfig(level=logging.INFO,
                         format="[%(asctime)s %(levelname)s] %(message)s")
-    import jax
     from nextdenovo_tpu.io.fastx import write_fasta
     from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.utils.asm_metrics import (kmer_identity,
+                                                  misassembly_count,
+                                                  second_haplotype)
+
+    os.makedirs(workdir, exist_ok=True)
+    g = simulate_genome(glen, seed=5, repeat_frac=repeat_frac)
+    reads_fa = os.path.join(workdir, "reads.fa")
+    if not os.path.exists(reads_fa):
+        # simulate BEFORE touching jax so the device stays free for other
+        # work during the CPU-bound read generation
+        sim = simulate_reads(g, coverage=cov, mean_len=mean_len,
+                             error_rate=err, seed=6, min_len=3000,
+                             het_snp_rate=het)
+        lens = np.array([len(r) for r in sim.reads])
+        print(f"workload: {glen/1e6:.2f} Mb genome, {cov}x, "
+              f"{len(sim.reads)} reads, len p50/p95/max = "
+              f"{np.percentile(lens,50):.0f}/"
+              f"{np.percentile(lens,95):.0f}/{lens.max()}", flush=True)
+        write_fasta(reads_fa, [(f"r{i}", r) for i, r in enumerate(sim.reads)])
+        del sim
+    import jax
     from nextdenovo_tpu.pipeline.config import load_config
     from nextdenovo_tpu.pipeline.run import run_pipeline
 
-    os.makedirs(workdir, exist_ok=True)
-    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}")
-    g = simulate_genome(glen, seed=5, repeat_frac=repeat_frac)
-    sim = simulate_reads(g, coverage=cov, mean_len=mean_len, error_rate=err,
-                         seed=6, min_len=3000, het_snp_rate=het)
-    lens = np.array([len(r) for r in sim.reads])
-    print(f"workload: {glen/1e6:.2f} Mb genome, {cov}x, {len(sim.reads)} reads, "
-          f"len p50/p95/max = {np.percentile(lens,50):.0f}/"
-          f"{np.percentile(lens,95):.0f}/{lens.max()}")
-    reads_fa = os.path.join(workdir, "reads.fa")
-    if not os.path.exists(reads_fa):
-        write_fasta(reads_fa, [(f"r{i}", r) for i, r in enumerate(sim.reads)])
+    print(f"backend: {jax.default_backend()}  devices: {jax.devices()}",
+          flush=True)
     with open(os.path.join(workdir, "input.fofn"), "w") as fh:
         fh.write(reads_fa + "\n")
     cfgp = os.path.join(workdir, "run.cfg")
@@ -103,14 +92,17 @@ genome_size = {glen}
     wall = time.time() - t0
     contigs = out["contigs"]
     total = sum(len(c) for c in contigs)
-    ident = kmer_identity(contigs, g)
+    haps = [g] if het <= 0 else [g, second_haplotype(g, het, seed=6)]
+    ident = kmer_identity(contigs, haps)
+    mis = misassembly_count(contigs, g)
     res = dict(genome_mb=glen / 1e6, coverage=cov, read_type=read_type,
                error_rate=err, repeat_frac=repeat_frac, het_snp_rate=het,
                wall_s=round(wall, 1),
                n_contigs=len(contigs),
                n50=int(out["stats"].get("N50", (0,))[0]) if out["stats"] else 0,
                total_bp=total, genome_frac=round(total / glen, 3),
-               kmer31_identity=round(ident, 4))
+               kmer31_identity=round(ident, 4),
+               misassemblies=mis)
     from nextdenovo_tpu.utils import get_tracer
     stages = {}
     for s in get_tracer().spans:
