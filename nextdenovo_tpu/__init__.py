@@ -52,8 +52,18 @@ def _setup_jax_cache():
                 flags = "".join(l for l in fh if l.startswith("flags"))[:4096]
         except OSError:
             flags = platform.processor()
+        # /proc/cpuinfo flags TEXT can be identical across hosts whose
+        # LLVM-detected feature sets differ (observed round 5: foreign
+        # AOT entries loaded with "target machine feature not supported"
+        # warnings).  Scope the cache to this boot: cross-machine reuse
+        # is never safe for XLA:CPU AOT executables.
+        try:
+            with open("/proc/sys/kernel/random/boot_id") as fh:
+                boot = fh.read().strip()
+        except OSError:
+            boot = ""
         fp = hashlib.sha1(
-            f"{jax.__version__}|{platform.machine()}|{flags}".encode()
+            f"{jax.__version__}|{platform.machine()}|{flags}|{boot}".encode()
         ).hexdigest()[:12]
         jax.config.update("jax_compilation_cache_dir",
                           _os.path.join(base, fp))
