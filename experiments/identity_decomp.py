@@ -14,7 +14,12 @@ scale_run.py), and reports:
     consensus/QV choices; multi-base runs at splices/junctions).
 
 Run: python experiments/identity_decomp.py <workdir> <genome_mb>
-     [sim_seed=5] [out_json]
+     [sim_seed=5] [out_json] [repeat_frac=0] [het=0]
+
+repeat_frac / het must match the original scale_run invocation; with
+het > 0 the k-mer truth is the union of both haplotypes (consensus
+legitimately resolves each SNP site to either allele — see
+utils/asm_metrics.py).
 """
 import json
 import os
@@ -56,9 +61,16 @@ def main():
     glen = int(float(sys.argv[2]) * 1e6)
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     out_json = sys.argv[4] if len(sys.argv) > 4 else None
+    repeat_frac = float(sys.argv[5]) if len(sys.argv) > 5 else 0.0
+    het = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
 
-    g = simulate_genome(glen, seed=seed)
+    from nextdenovo_tpu.utils.asm_metrics import second_haplotype
+
+    g = simulate_genome(glen, seed=seed, repeat_frac=repeat_frac)
     gk = kset(g) | kset((np.asarray(g) ^ 3)[::-1])
+    if het > 0:
+        h2 = second_haplotype(g, het, seed=6)
+        gk |= kset(h2) | kset((np.asarray(h2) ^ 3)[::-1])
 
     draft = SeqStore.load(os.path.join(wd, "05.ctg_graph", "draft"))
     drafts = [draft.get(i) for i in range(len(draft))]

@@ -1,0 +1,87 @@
+"""E2E mesh-native pipeline parity at >=1 Mb (VERDICT r4 item 4 "done"
+criterion): run the SAME workload through `run_pipeline` twice — once
+single-device, once with `use_mesh = 8` routing raw_align/sort/seed_cns/
+ctg_align+ctg_cns through the SPMD dist stages on the virtual 8-device
+CPU mesh — and assert the final assemblies are byte-identical.
+
+This is the production-path version of tests/test_mesh_pipeline.py (120 kb)
+at the scale the verdict asked for; the reference's equivalent contract is
+its job matrix producing the same result at any -p (nextDenovo:426-467).
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python experiments/mesh_e2e.py [genome_kb=1000] [coverage=30] [out_json]
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    glen = int(float(sys.argv[1]) * 1000) if len(sys.argv) > 1 else 1_000_000
+    cov = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    out_json = sys.argv[3] if len(sys.argv) > 3 else None
+
+    import logging
+    logging.basicConfig(level=logging.INFO,
+                        format="[%(asctime)s %(levelname)s] %(message)s")
+    import jax
+    assert jax.default_backend() == "cpu" and len(jax.devices()) >= 8, \
+        "run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8"
+    from nextdenovo_tpu.io.fastx import write_fasta
+    from nextdenovo_tpu.io.simulate import simulate_genome, simulate_reads
+    from nextdenovo_tpu.pipeline.config import load_config
+    from nextdenovo_tpu.pipeline.run import run_pipeline
+
+    base = "/tmp/ndtpu_mesh_e2e"
+    os.makedirs(base, exist_ok=True)
+    g = simulate_genome(glen, seed=41)
+    sim = simulate_reads(g, coverage=cov, mean_len=12000, error_rate=0.10,
+                         seed=42, min_len=3000)
+    reads_fa = os.path.join(base, "reads.fa")
+    if not os.path.exists(reads_fa):
+        write_fasta(reads_fa, [(f"r{i}", r) for i, r in enumerate(sim.reads)])
+    res = dict(genome_mb=glen / 1e6, coverage=cov, n_devices=8)
+    outs = {}
+    for mode, mesh_n in (("single", 0), ("mesh8", 8)):
+        wd = os.path.join(base, mode)
+        os.makedirs(wd, exist_ok=True)
+        cfgp = os.path.join(wd, "run.cfg")
+        with open(cfgp, "w") as fh:
+            fh.write(f"""
+[General]
+task = all
+input_type = raw
+read_type = ont
+input_fofn = {base}/input.fofn
+workdir = {wd}/rundir
+use_mesh = {mesh_n}
+
+[correct_option]
+read_cutoff = 1k
+genome_size = {glen}
+""")
+        with open(os.path.join(base, "input.fofn"), "w") as fh:
+            fh.write(reads_fa + "\n")
+        t0 = time.time()
+        outs[mode] = run_pipeline(load_config(cfgp))
+        res[f"wall_s_{mode}"] = round(time.time() - t0, 1)
+        res[f"n_contigs_{mode}"] = len(outs[mode]["contigs"])
+
+    a, b = outs["single"]["contigs"], outs["mesh8"]["contigs"]
+    identical = len(a) == len(b) and all(
+        np.array_equal(x, y) for x, y in zip(a, b))
+    res["byte_identical"] = bool(identical)
+    res["total_bp"] = int(sum(len(c) for c in a))
+    print(json.dumps(res, indent=1))
+    if out_json:
+        json.dump(res, open(out_json, "w"), indent=1)
+    assert identical, "mesh e2e parity FAILED"
+
+
+if __name__ == "__main__":
+    main()

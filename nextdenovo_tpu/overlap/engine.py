@@ -253,7 +253,13 @@ def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
                     f"sketch cap overflow building index: selected "
                     f"{int(nall)} minimizers > cap {n}; raise cap_mini")
             mr = rr_[:n]
-            parts.append((row_rid[mr], pp[:n] + row_g0[mr], hh[:n], ss_[:n]))
+            # .copy() the sliced pulls: a bare hh[:n]/ss_[:n] is a VIEW that
+            # pins the whole cap_mini-sized transfer buffer for the life of
+            # `parts` — at 50 Mb/40x scale that pinned ~3x the index size in
+            # host RAM and OOM'd the box (observed round 5, RSS >95 GB for a
+            # ~14 GB index)
+            parts.append((row_rid[mr], pp[:n] + row_g0[mr],
+                          hh[:n].copy(), ss_[:n].copy()))
 
     while s < len(rows):
         Lp = _bucket_len(rows[s][4])
