@@ -258,8 +258,13 @@ def build_index(store: SeqStore, rids: np.ndarray, k: int, w: int,
             # `parts` — at 50 Mb/40x scale that pinned ~3x the index size in
             # host RAM and OOM'd the box (observed round 5, RSS >95 GB for a
             # ~14 GB index)
-            parts.append((row_rid[mr], pp[:n] + row_g0[mr],
-                          hh[:n].copy(), ss_[:n].copy()))
+            # compact dtypes too: rid/pos fit int32, strand fits int8 —
+            # the final index casts there anyway, and accumulating at
+            # 24 B/entry instead of pull-native widths halves the peak
+            parts.append((row_rid[mr].astype(np.int32),
+                          (pp[:n] + row_g0[mr]).astype(np.int32),
+                          hh[:n].astype(np.uint32, copy=True),
+                          ss_[:n].astype(np.int8)))
 
     while s < len(rows):
         Lp = _bucket_len(rows[s][4])
