@@ -138,8 +138,11 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
         # min(8, n_cpu): measured on a 2-core TPU host, 2 threads beat both
         # 1 (no align/consensus overlap) and 7 (feeder starvation) — the
         # feeder thread mostly blocks on device transfers, so one consensus
-        # thread per core is the sweet spot.
-        cns_threads = max(1, min(8, _os.cpu_count() or 4))
+        # thread per core is the sweet spot.  NDT_CNS_THREADS overrides
+        # (e.g. =1 to serialize the native consensus when isolating
+        # heap-corruption suspects at scale).
+        cns_threads = int(_os.environ.get("NDT_CNS_THREADS", "0")) or \
+            max(1, min(8, _os.cpu_count() or 4))
     ex = cf.ThreadPoolExecutor(cns_threads)
 
     def _consensus(job, seed_codes, qs_list, spans, ops_all):

@@ -12,7 +12,9 @@ from typing import List, Sequence
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB = os.path.join(_DIR, "libndtpu.so")
+# NDTPU_LIB overrides the library path (sanitizer/instrumented builds);
+# an override is loaded as-is, never rebuilt
+_LIB = os.environ.get("NDTPU_LIB") or os.path.join(_DIR, "libndtpu.so")
 
 
 class NdCns(ctypes.Structure):
@@ -27,8 +29,9 @@ def _build():
 def _load():
     srcs = [os.path.join(_DIR, f)
             for f in ("consensus.cpp", "ovl_filter.cpp", "graph.cpp")]
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < max(
-            os.path.getmtime(s) for s in srcs):
+    if "NDTPU_LIB" not in os.environ and (
+            not os.path.exists(_LIB) or os.path.getmtime(_LIB) < max(
+                os.path.getmtime(s) for s in srcs)):
         _build()
     lib = ctypes.CDLL(_LIB)
     u8p = ctypes.POINTER(ctypes.c_uint8)

@@ -1797,25 +1797,36 @@ NdCns *nd_correct(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
     int qi = 0, ti = t_starts[s];
     bool bad = false;
     int gap_run = 0;
+    // bound the walk INSIDE the loop: an inconsistent op stream (the
+    // post-loop qi check already treats those as droppable) must not
+    // read past the seed/support buffers first — seed/sup are numpy
+    // heap buffers and a large one can end exactly at an mmap boundary
+    // (observed round 5: deterministic SIGSEGV at a mapping edge on the
+    // 50 Mb run's correction phase; the wild read crashed before the
+    // qi != sup_lens[s] guard could reject the stream)
+    const int qn = sup_lens[s], tn = seed_len;
     for (int i = 0; i < no; i++) {
       switch (ops[i]) {
         case 0:
+          if (qi >= qn || ti >= tn) { bad = true; break; }
           q_aln.push_back(kIntToBase[sup_seqs[s][qi++] & 3]);
           t_aln.push_back(kIntToBase[seed[ti++] & 3]);
           gap_run = 0;
           break;
         case 1:
+          if (qi >= qn) { bad = true; break; }
           q_aln.push_back(kIntToBase[sup_seqs[s][qi++] & 3]);
           t_aln.push_back('-');
           gap_run++;
           break;
         default:
+          if (ti >= tn) { bad = true; break; }
           q_aln.push_back('-');
           t_aln.push_back(kIntToBase[seed[ti++] & 3]);
           gap_run++;
           break;
       }
-      if (gap_run > 250) { bad = true; break; }  // align.c:542 gap cap
+      if (bad || gap_run > 250) { bad = true; break; }  // align.c:542 gap cap
     }
     if (bad || qi != sup_lens[s]) continue;
     // get_align_shift(aln, 8) (nextcorrect.c:102-154): trim to the first and
@@ -1919,6 +1930,10 @@ NdCns *nd_correct_links(const uint8_t *seed, int32_t seed_len, int32_t n_sup,
     uint16_t delta = 0;
     for (int i = f; i <= l; i++) {
       bool tc = ops[i] != 1, qc = ops[i] != 2;
+      // same bound rule as nd_correct's walk: never read past the
+      // seed/support buffers on an inconsistent op stream
+      if ((qc && qi >= sup_lens[s]) || (tc && t_pos + 1 >= seed_len))
+        break;  // truncate this support's tags at the inconsistency
       if (tc) { t_pos++; delta = 0; }
       Tag tg;
       tg.t_pos = t_pos;
