@@ -1811,6 +1811,13 @@ int64_t nd_expand_events(const uint8_t *evs, int64_t n_pad, int64_t B,
         offs[b] = off;
         if (!okv[b]) continue;
         int64_t n = nvec[b];
+        // guard malformed per-pair metadata: a negative i_f (or an n
+        // outside the plane) with ok set would make the back-fill WRITE
+        // BELOW `out` — heap corruption, observed as deterministic
+        // malloc/tcache aborts on the 50 Mb correction phase (round 5).
+        // Emit the pair as empty ops instead; downstream's op-stream
+        // consistency check drops it like any failed alignment.
+        if (i_f[b] < 0 || n < 0 || n > n_pad) continue;
         // pass 1: total length
         int64_t L = i_f[b];
         for (int64_t row = n_pad - n; row < n_pad; row++) {
