@@ -113,6 +113,14 @@ def iter_seed_jobs(sorted_blk, blacklist: Dict[int, str], lens: np.ndarray,
         yield SeedJob(seed, seed_len, sups)
 
 
+def _consensus_entry(payload):
+    """Top-level (picklable) consensus worker: runs one seed's native
+    tag-MSA consensus from a prebuilt payload.  Used by both the thread
+    pool and the spawn-process pool (see isolation note in correct_seeds)."""
+    seed_codes, sups, tss, tes, ops, kw = payload
+    return correct_seed(seed_codes, sups, tss, tes, ops, **kw)
+
+
 def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
                   min_len_aln: int = 500, max_cov_aln: int = 130,
                   min_cov: int = 4, max_lq_length: int = 10000,
@@ -143,7 +151,30 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
         # heap-corruption suspects at scale).
         cns_threads = int(_os.environ.get("NDT_CNS_THREADS", "0")) or \
             max(1, min(8, _os.cpu_count() or 4))
-    ex = cf.ThreadPoolExecutor(cns_threads)
+    # Heap isolation: on the axon/TPU backend the consensus runs in SPAWNED
+    # WORKER PROCESSES, not threads.  Round-5 forensics: at 50 Mb scale the
+    # in-process heap gets corrupted while the device client is active
+    # (glibc tcache aborts / SIGSEGV in whichever thread mallocs hardest —
+    # always the native consensus), yet every captured nd_correct input
+    # replays clean in a jax-free process, and the identical workload on
+    # the CPU backend is clean.  Isolating the malloc-heavy consensus in
+    # child processes takes it out of the blast radius; ~2 MB pickle per
+    # seed is noise next to the device walls.  NDT_CNS_ISOLATE=0/1 forces.
+    iso_env = _os.environ.get("NDT_CNS_ISOLATE")
+    if iso_env is not None:
+        isolate = iso_env not in ("0", "")
+    else:
+        try:
+            import jax
+            isolate = jax.default_backend() not in ("cpu",)
+        except Exception:
+            isolate = False
+    if isolate:
+        import multiprocessing as _mp
+        ex = cf.ProcessPoolExecutor(
+            max_workers=cns_threads, mp_context=_mp.get_context("spawn"))
+    else:
+        ex = cf.ThreadPoolExecutor(cns_threads)
 
     def _consensus(job, seed_codes, qs_list, spans, ops_all):
         # NOTE: a sort-based batched link path exists (correct/tagmsa.py
@@ -160,12 +191,12 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
             tss.append(spans[i][0])
             tes.append(spans[i][1])
             ops.append(o)
-        return correct_seed(
-            seed_codes, sups, tss, tes, ops, min_len_aln=min_len_aln,
-            max_cov_aln=max_cov_aln, min_cov=min_cov,
-            max_lq_length=min(max_lq_length, job.seed_len // 2 or 1),
-            min_error_corrected_ratio=min_error_corrected_ratio, split=split,
-            read_type=read_type, fast=fast)
+        kw = dict(min_len_aln=min_len_aln,
+                  max_cov_aln=max_cov_aln, min_cov=min_cov,
+                  max_lq_length=min(max_lq_length, job.seed_len // 2 or 1),
+                  min_error_corrected_ratio=min_error_corrected_ratio,
+                  split=split, read_type=read_type, fast=fast)
+        return seed_codes, sups, tss, tes, ops, kw
 
     pending: List[Tuple[int, "cf.Future"]] = []
 
@@ -189,8 +220,9 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
                 ops_store[gi][si] = r["ops"].astype(np.uint8)
         for (job, sc, qs_list, _t, spans), ops_all in zip(group, ops_store):
             pending.append((job.seed,
-                            ex.submit(_consensus, job, sc, qs_list, spans,
-                                      ops_all)))
+                            ex.submit(_consensus_entry,
+                                      _consensus(job, sc, qs_list, spans,
+                                                 ops_all))))
 
     try:
         group, npairs = [], 0
