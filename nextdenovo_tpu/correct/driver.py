@@ -151,24 +151,15 @@ def correct_seeds(store: SeqStore, jobs: List[SeedJob], read_type: int = 1,
         # heap-corruption suspects at scale).
         cns_threads = int(_os.environ.get("NDT_CNS_THREADS", "0")) or \
             max(1, min(8, _os.cpu_count() or 4))
-    # Heap isolation: on the axon/TPU backend the consensus runs in SPAWNED
-    # WORKER PROCESSES, not threads.  Round-5 forensics: at 50 Mb scale the
-    # in-process heap gets corrupted while the device client is active
-    # (glibc tcache aborts / SIGSEGV in whichever thread mallocs hardest —
-    # always the native consensus), yet every captured nd_correct input
-    # replays clean in a jax-free process, and the identical workload on
-    # the CPU backend is clean.  Isolating the malloc-heavy consensus in
-    # child processes takes it out of the blast radius; ~2 MB pickle per
-    # seed is noise next to the device walls.  NDT_CNS_ISOLATE=0/1 forces.
-    iso_env = _os.environ.get("NDT_CNS_ISOLATE")
-    if iso_env is not None:
-        isolate = iso_env not in ("0", "")
-    else:
-        try:
-            import jax
-            isolate = jax.default_backend() not in ("cpu",)
-        except Exception:
-            isolate = False
+    # NDT_CNS_ISOLATE=1 runs the consensus in SPAWNED WORKER PROCESSES
+    # instead of threads — a debugging/hardening mode kept from the
+    # round-5 forensics of the 50 Mb correction crashes.  (The actual
+    # corruptor was the save[LQSEQ_MAX_CAN_COUNT] overflow in
+    # generate_lqseqs_from_tags, ASAN-confirmed and fixed; it looked
+    # backend-dependent only because TPU op streams fed the lq re-rank
+    # branch candidate sets that the CPU aligner's streams didn't.
+    # Threads remain the default: same heap, no pickle overhead.)
+    isolate = _os.environ.get("NDT_CNS_ISOLATE", "") not in ("", "0")
     if isolate:
         import multiprocessing as _mp
         ex = cf.ProcessPoolExecutor(

@@ -765,7 +765,12 @@ static int generate_lqseqs_from_tags(std::vector<LqWin> &lqwins,
     unsigned kmaxlen = (unsigned)w.seqs[0].seq.size(), kminlen;
     if (kmaxlen > 500 || (kmaxlen > 200 && kmaxscore < 200)) {
       // long windows: re-rank anchored at the tail (nextcorrect.c:418-428)
-      std::vector<uint32_t> save(LQSEQ_MAX_CAN_COUNT, 0);
+      // sized by the SOURCE read count: Cand.order is the tags_list
+      // index (0 = the seed itself), which routinely exceeds
+      // LQSEQ_MAX_CAN_COUNT at >40x support — indexing a 40-slot array
+      // with it was a 4-byte heap overflow (THE slow corruptor behind
+      // the round-5 50 Mb correction crashes; ASAN-confirmed at :773)
+      std::vector<uint32_t> save(tags_list.size(), 0);
       if (w.seqs[0].order) {  // find_ref_lqseq
         for (size_t j = 1; j < w.seqs.size(); j++)
           if (!w.seqs[j].order) { std::swap(w.seqs[0], w.seqs[j]); break; }
